@@ -1,0 +1,46 @@
+"""Tuned SparkSession factory.
+
+Single place where execution knobs live so every entrypoint (tests,
+bench, driver contract, CLI) runs with the same posture:
+
+- AQE on: runtime shuffle coalescing + skew-join splitting means the
+  static ``shuffle.partitions`` only needs to be an upper bound.
+- UTC session timezone: deterministic timestamp semantics regardless of
+  host tz (the reference stamps UTC, transform.py:34).
+- Arrow on: every pandas interchange (mapInPandas, pandas UDFs,
+  applyInPandas) moves columnar batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "website-traffic-etl-spark") -> SparkSession:
+    """Build (or reuse) the tuned session.
+
+    ``SPARK_GRAFT_CPUS`` sizes local parallelism; on a real cluster the
+    master/resource settings come from spark-submit and everything here
+    still applies.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata's events.ts is parquet TIMESTAMP(NANOS); read as int64
+        # ns-since-epoch and convert in the catalog (Spark has no ns type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
