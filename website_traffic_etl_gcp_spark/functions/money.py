@@ -31,9 +31,10 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
     return F.sum(dec(col, scale)).cast("double")
 
 
-def dec_avg(col: Column | str, scale: int = 2, out_scale: int = 6) -> Column:
-    """Exact average: decimal sum / count, rounded at a fixed scale then
-    cast to double (both engines do identical exact-decimal arithmetic,
-    so the final double is bit-identical)."""
-    s = F.sum(dec(col, scale)).cast("decimal(38,6)")
-    return F.round(s / F.count(F.lit(1)), out_scale).cast("double")
+def dec_avg(col: Column | str, scale: int = 2) -> Column:
+    """Deterministic average: exact decimal sum → double, divided by
+    count → double. Both engines convert the same exact decimal to the
+    same double and IEEE-754 double division is deterministic, so no
+    rounding fudge is needed (decimal division would round differently
+    per engine's scale rules)."""
+    return F.sum(dec(col, scale)).cast("double") / F.count(F.lit(1)).cast("double")

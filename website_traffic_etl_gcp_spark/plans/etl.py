@@ -124,9 +124,8 @@ def etl_traffic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day,
            CAST(d_sum AS DOUBLE) AS traffic_sum,
            d_n AS n_rows,
-           CAST(ROUND(
-               SUM(d_sum) OVER w / SUM(d_n) OVER w, 6) AS DOUBLE
-           ) AS rolling_7d_avg
+           CAST(SUM(d_sum) OVER w AS DOUBLE)
+               / CAST(SUM(d_n) OVER w AS DOUBLE) AS rolling_7d_avg
     FROM daily
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
@@ -146,9 +145,10 @@ def etl_traffic_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("d_sum").cast("double").alias("traffic_sum"),
         F.col("d_n").alias("n_rows"),
-        F.round(F.sum("d_sum").over(w) / F.sum("d_n").over(w), 6)
-        .cast("double")
-        .alias("rolling_7d_avg"),
+        (
+            F.sum("d_sum").over(w).cast("double")
+            / F.sum("d_n").over(w).cast("double")
+        ).alias("rolling_7d_avg"),
     )
 
 

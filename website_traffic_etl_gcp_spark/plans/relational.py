@@ -1,0 +1,390 @@
+"""§2B — Relational analytics over the star schema (TPC-H-flavored,
+adapted to the driver testdata's columns).
+
+Scale posture: region/nation are fixed-size at any SF → always
+broadcast; customer/orders/lineitem joins shuffle on their keys with AQE
+handling skew; every query filters/projects before joining so parquet
+pushdown + pruning hold. All money math is decimal-exact (see
+functions/money.py) and emitted as double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import dec, dec_avg, dec_sum
+from .registry import register
+
+# revenue = extendedprice * (1 - discount), exact decimal.
+# (12,2) * (5,2) → scale-4 decimal: exact in both Spark and DuckDB.
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev() -> F.Column:
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return ext * (F.lit(1) - disc)
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST({_SQL_REV} AS DECIMAL(18,4))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational",),
+    bench=True,
+    doc="TPC-H Q1 pricing summary: single-pass partial aggregation over "
+    "lineitem, grouped on two low-cardinality flags — map-side combine "
+    "shrinks the shuffle to ~6 rows per task regardless of SF.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    charge = _rev().cast("decimal(18,4)") * (
+        F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_rev()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY SUM({_SQL_REV}) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("relational",),
+    bench=True,
+    doc="TPC-H Q3 adaptation: unshipped high-value BUILDING orders. "
+    "Filters precede joins (pushdown); ordering ties broken on the "
+    "exact decimal revenue + orderkey so LIMIT is deterministic.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.select("c_custkey")
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              c.c_custkey == o.o_custkey)
+        .join(li.select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("relational",),
+    bench=True,
+    doc="TPC-H Q5: local supplier volume in ASIA. region+nation are "
+    "fixed-size (5/25 rows) → explicit broadcast; the big "
+    "orders⋈lineitem join shuffles on orderkey with AQE.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    asian_nations = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        c.join(asian_nations, c.c_nationkey == F.col("n_nationkey"))
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY SUM({_SQL_REV}) DESC, c.c_custkey
+    LIMIT 10
+    """,
+    tags=("relational",),
+    doc="Top-10 customers by lifetime lineitem revenue. Aggregates "
+    "lineitem→orders first (pre-aggregation before the customer join "
+    "shrinks the shuffle by ~4× at any SF).",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(_rev()).alias("rev_dec"))
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_dec").alias("rev_dec"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "nation_revenue_yearly",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("relational",),
+    doc="Revenue per customer-nation per order year (nation broadcast).",
+)
+def nation_revenue_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational",),
+    doc="TPC-H Q4 adaptation: orders with at least one lineitem shipped "
+    "after the order date, counted per priority — a left-semi join, not "
+    "a join+distinct (no duplicate blowup to shuffle).",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "part_type_revenue_share",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT p.p_type, SUM({_SQL_REV}) AS rev_dec
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+    )
+    SELECT p_type,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+               AS revenue_share
+    FROM per_type
+    """,
+    tags=("relational", "window"),
+    doc="Revenue share per part type. The unpartitioned window runs over "
+    "the already-aggregated per-type frame (6 rows), not raw lineitem.",
+)
+def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    per_type = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    return per_type.select(
+        "p_type",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "customers_above_segment_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT *,
+               SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (PARTITION BY c_mktsegment) AS seg_sum,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_n
+        FROM customer
+    )
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM seg
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * seg_n > seg_sum
+    """,
+    tags=("relational", "window"),
+    doc="Customers with balance above their segment average. The "
+    "comparison is cross-multiplied (bal·n > sum) so it stays in exact "
+    "decimal arithmetic — no engine-dependent division at the decision "
+    "boundary.",
+)
+def customers_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    bal = dec("c_acctbal", 2)
+    return (
+        c.withColumn("seg_sum", F.sum(bal).over(w))
+        .withColumn("seg_n", F.count(F.lit(1)).over(w))
+        .filter(bal * F.col("seg_n") > F.col("seg_sum"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            bal.cast("double").alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "returned_items_report",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM({_SQL_REV}) DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("relational",),
+    doc="TPC-H Q10 adaptation: revenue lost to returns per customer. "
+    "Return-flag filter is pushed to the lineitem scan; nation "
+    "broadcast.",
+)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
