@@ -1,0 +1,321 @@
+"""§2C — Event / website-traffic analytics over the ``events`` table.
+
+All timestamps are emitted as formatted strings (µs precision) so
+comparison is representation-exact across engines; rates/averages use
+the deterministic exact-int→double division pattern."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import dec, dec_sum
+from ..operators.sessionize import DEFAULT_GAP_SECONDS, sessionize
+from .registry import register
+
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _ev(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > {DEFAULT_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM tagged
+    )
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '{_TS_FMT_SQL}') AS session_start,
+           strftime(MAX(ts), '{_TS_FMT_SQL}') AS session_end,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 1000000.0
+               AS duration_s,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "window"),
+    bench=True,
+    doc="30-minute-gap sessionization: lag → boundary flag → running "
+    "sum, one shuffle on user_id. See operators/sessionize.py.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_ev(spark, sf_dir))
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, MIN(e.ts) AS view_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.signup_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_signup_then_view,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    tags=("events",),
+    doc="Ordered signup→view→purchase funnel: per-stage first-timestamp "
+    "aggregation + join, strictly increasing timestamps between stages.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_signup_then_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "daily_active_users",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("events",),
+    bench=True,
+    doc="DAU + daily event volume.",
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events",),
+    doc="First-seen-day cohorts × day-offset retention (long form).",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "event_type_hourly",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error,
+           COUNT(*) AS n_total
+    FROM events GROUP BY 1
+    """,
+    tags=("events",),
+    doc="Hourly counts per event type — pivot expressed as conditional "
+    "aggregation (single pass, map-side combinable, unlike pivot-on-"
+    "collected-values).",
+)
+def event_type_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def cnt(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"))
+        .agg(
+            cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"),
+            cnt("error"), F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+@register(
+    "top_users_by_purchase",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS purchase_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY SUM(CAST(value AS DECIMAL(18,2))) DESC, user_id
+    LIMIT 20
+    """,
+    tags=("events",),
+    doc="Top-20 purchasers by exact decimal value (deterministic order).",
+)
+def top_users_by_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("purchase_cnt"),
+            F.sum(dec("value")).alias("val_dec"),
+        )
+        .orderBy(F.col("val_dec").desc(), F.col("user_id"))
+        .limit(20)
+        .select(
+            "user_id", "purchase_cnt",
+            F.col("val_dec").cast("double").alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "error_rate_hourly",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+           COUNT(*) FILTER (event_type = 'error') AS n_error,
+           COUNT(*) AS n_total,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS error_rate
+    FROM events GROUP BY 1
+    """,
+    tags=("events",),
+    doc="Hourly error share (int→double division: deterministic).",
+)
+def error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    n_tot = F.count(F.lit(1))
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"))
+        .agg(
+            n_err.alias("n_error"),
+            n_tot.alias("n_total"),
+            (n_err.cast("double") / n_tot.cast("double")).alias("error_rate"),
+        )
+    )
+
+
+@register(
+    "props_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+    tags=("events",),
+    doc="Semi-structured props: JSON path extraction stays JVM-side "
+    "(get_json_object), bucketed aggregation over the extracted key.",
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _ev(spark, sf_dir)
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "rolling_7d_event_volume",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS rolling_7d_sum,
+           CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+               AS rolling_7d_avg
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window"),
+    doc="Daily volume + 7-day rolling sum/avg over the aggregated "
+    "per-day frame.",
+)
+def rolling_7d_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("rolling_7d_sum"),
+        (
+            F.sum("n").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("rolling_7d_avg"),
+    )
