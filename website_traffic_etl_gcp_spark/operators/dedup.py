@@ -1,0 +1,221 @@
+"""Deduplication operator family for LLM training-data pipelines.
+
+Four tiers, all bucketed so candidate generation is never a global
+cross join (the only thing that matters at 100 TB):
+
+- exact: md5 of normalized text, plain hash-groupBy. One shuffle.
+- n-gram Jaccard: explode distinct shingles → inverted-index self-join
+  on (bucket, shingle) → per-pair intersection counts → exact Jaccard.
+  Candidates bounded by content buckets (lang × length band).
+- MinHash + LSH: k md5-derived min-hashes per doc (single groupBy after
+  the shingle explode), banded into b keys; docs sharing a band key are
+  candidates. Shuffle volume is O(docs × b), independent of pair count.
+- SimHash: 32-bit fingerprint from token-hash bit votes; near-dups =
+  pairs sharing a band byte with hamming distance ≤ r.
+
+All hashing goes through md5 (identical in DuckDB) so every tier is
+oracle-checkable; see plans/documents.py for the SQL twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import md5_long, normalize_text
+from .textstats import shingles_col
+
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 32
+SIMHASH_BAND_BYTES = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: fingerprint, group size,
+    canonical (min) id. ``n_dups > 1`` marks duplicate groups."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalize_text(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, bucket: Column | None
+) -> DataFrame:
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *( [bucket.alias("bucket")] if bucket is not None else [] ),
+        F.explode(shingles_col(text_col)).alias("shingle"),
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    bucket: Column,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles for candidate pairs sharing
+    a content bucket. Inverted-index join: |A∩B| from the shingle
+    self-join, |A|,|B| from per-doc sizes — no per-pair array ops, no
+    cross join."""
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"), F.size(shingles_col(text_col)).alias("n_sh")
+    )
+    ex = _exploded_shingles(df, id_col, text_col, bucket)
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.min(
+            md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """k min-hashes per doc in ONE aggregation over the shingle explode
+    (k agg expressions, not k passes)."""
+    ex = _exploded_shingles(df, id_col, text_col, bucket=None)
+    return ex.groupBy("doc_id").agg(*_minhash_cols())
+
+
+def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding: b band keys per doc (md5 of the band's row hashes);
+    docs sharing any band key become candidate pairs."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"h{j * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    keyed = sigs.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash: per-token md5-derived hash, per-bit ±1 votes,
+    fingerprint from vote signs. One explode + one groupBy with 32 sum
+    expressions — a single shuffle regardless of corpus size."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(text_col), " "))
+        ).alias("token"),
+    )
+    h = md5_long(F.col("token"))
+    votes = [
+        F.sum(
+            F.when((h.bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sigs = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sigs.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame) -> DataFrame:
+    """Candidates share at least one of the 4 fingerprint bytes (any
+    pair within hamming ≤ 3 of a 32-bit code must agree on ≥1 byte);
+    exact hamming filter via xor+bit_count afterwards."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                (F.shiftright(F.col("simhash"), 8 * j) % 256).alias("band_val"),
+            )
+            for j in range(SIMHASH_BAND_BYTES)
+        ]
+    )
+    keyed = fps.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_idx", "b.band_val"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -1,0 +1,325 @@
+"""§2D — Documents / text-analysis queries (LLM-data pipeline).
+
+The dedup tiers' DuckDB oracles are machine-generated from the same
+constants (shingle K, minhash K/bands, simhash bits) as the Spark
+operators, so both sides share one spec. All hashing is md5-based —
+identical across engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.texthash import normalize_text
+from ..operators import dedup as dd
+from ..operators import textstats as ts
+from .registry import register
+
+NGRAM_JACCARD_THRESHOLD = 0.8
+
+# ---- shared DuckDB fragments (generated from the same spec) ------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_MD5L = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SQL_DOCS_NORM = f"SELECT doc_id, lang, source, n_chars, {_NORM} AS norm FROM documents"
+_SQL_DOCS_SH = f"""
+    SELECT doc_id, lang, n_chars,
+           {ts.SQL_SHINGLES.format(toks='toks', norm='norm')} AS shingles
+    FROM (SELECT doc_id, lang, n_chars, norm, string_split(norm, ' ') AS toks
+          FROM ({_SQL_DOCS_NORM}))
+"""
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---- exact / fingerprint ----------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(norm) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM ({_SQL_DOCS_NORM})
+    GROUP BY 1
+    """,
+    tags=("documents", "dedup"),
+    bench=True,
+    doc="Exact dedup: md5 of normalized text, hash-groupBy — one "
+    "shuffle, map-side combinable. operators/dedup.py:exact_groups.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(norm) AS fingerprint,
+           n_chars // 100 AS len_bucket
+    FROM ({_SQL_DOCS_NORM})
+    """,
+    tags=("documents",),
+    doc="Per-doc md5 content fingerprint + coarse length bucket.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("fingerprint"),
+        F.expr("n_chars div 100").alias("len_bucket"),
+    )
+
+
+# ---- token counting / quality / lang-id --------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all({_NORM}, '[a-z0-9]+')) AS n_words
+    FROM documents
+    """,
+    tags=("documents",),
+    doc="Whitespace token count + regex word count, both JVM-side.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = normalize_text("text")
+    return d.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]+"), 0)).alias("n_words"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_chars_norm, n_tokens, n_stop, n_punct, n_digit,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
+             + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
+             + (1.0 - CAST(n_digit AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
+             AS quality_score
+    FROM (
+        SELECT doc_id,
+               greatest(length(norm), 1) AS n_chars_norm,
+               greatest(len(string_split(norm, ' ')), 1) AS n_tokens,
+               {ts.sql_count_in_set("string_split(norm, ' ')", ts.STOPWORDS)} AS n_stop,
+               length(regexp_replace(norm, '[^.,;:!?]', '', 'g')) AS n_punct,
+               length(regexp_replace(norm, '[^0-9]', '', 'g')) AS n_digit
+        FROM ({_SQL_DOCS_NORM})
+    )
+    """,
+    tags=("documents",),
+    doc="Composite quality score: stopword ratio (fluency proxy) + "
+    "punctuation + digit density. Same closed-form on both engines — "
+    "deterministic double arithmetic.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = normalize_text("text")
+    toks = F.split(norm, " ")
+    base = d.select(
+        "doc_id",
+        F.greatest(F.length(norm), F.lit(1)).alias("n_chars_norm"),
+        F.greatest(F.size(toks), F.lit(1)).alias("n_tokens"),
+        ts.count_in_set(toks, ts.STOPWORDS).alias("n_stop"),
+        F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")).alias("n_punct"),
+        F.length(F.regexp_replace(norm, r"[^0-9]", "")).alias("n_digit"),
+    )
+    score = (
+        F.col("n_stop").cast("double") / F.col("n_tokens").cast("double") * 0.4
+        + (
+            F.lit(1.0)
+            - F.col("n_punct").cast("double") / F.col("n_chars_norm").cast("double")
+        )
+        * 0.3
+        + (
+            F.lit(1.0)
+            - F.col("n_digit").cast("double") / F.col("n_chars_norm").cast("double")
+        )
+        * 0.3
+    )
+    return base.withColumn("quality_score", score)
+
+
+def _sql_lang_pred() -> str:
+    score = {
+        lang: ts.sql_count_in_set(_TOKS, markers)
+        for lang, markers in ts.LANG_MARKERS.items()
+    }
+    cases = []
+    for lang in ts.LANG_PRIORITY[:-1]:
+        conds = " AND ".join(
+            f"({score[lang]}) >= ({score[o]})"
+            for o in ts.LANG_PRIORITY
+            if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{ts.LANG_PRIORITY[-1]}' END"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_sql_lang_pred()} AS pred_lang
+    FROM documents
+    """,
+    tags=("documents",),
+    doc="Marker-stopword language ID: per-language hit counts → "
+    "fixed-priority argmax (deterministic under ties).",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scores = ts.lang_scores("text")
+    return d.select("doc_id", "lang", ts.predicted_lang(scores).alias("pred_lang"))
+
+
+# ---- near-dup tiers ----------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_DOCS_SH}),
+    bucketed AS (
+        SELECT doc_id,
+               lang || ':' || CAST(n_chars // 50 AS VARCHAR) AS bucket,
+               shingles
+        FROM sh
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM bucketed),
+    ex AS (SELECT doc_id, bucket, unnest(shingles) AS shingle FROM bucketed),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.bucket = b.bucket AND a.shingle = b.shingle
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    tags=("documents", "dedup"),
+    bench=True,
+    doc="Exact 3-gram Jaccard near-dup pairs via inverted-index "
+    "self-join within (lang × length-band) buckets — candidate count "
+    "is bounded by shared-shingle co-occurrence, never a cross join. "
+    "operators/dedup.py:ngram_jaccard_pairs.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    return dd.ngram_jaccard_pairs(d, bucket, NGRAM_JACCARD_THRESHOLD)
+
+
+def _sql_minhash() -> str:
+    h = _MD5L.format(x="CAST(i AS VARCHAR) || ':' || shingle")
+    mins = ", ".join(
+        f"MIN(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(dd.MINHASH_K)
+    )
+    rows = dd.MINHASH_K // dd.MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_idx, md5({key}) AS band_key FROM sigs".format(
+            j=j,
+            key=" || '-' || ".join(
+                f"CAST(h{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(dd.MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({_SQL_DOCS_SH}),
+    ex AS (
+        SELECT doc_id, i, {h} AS h
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        CROSS JOIN (SELECT unnest(range({dd.MINHASH_K})) AS i)
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_minhash(),
+    tags=("documents", "dedup"),
+    bench=True,
+    doc=f"MinHash({dd.MINHASH_K})+LSH({dd.MINHASH_BANDS} bands) candidate "
+    "pairs. Signatures come from ONE groupBy over the shingle explode; "
+    "banding makes shuffle O(docs × bands) regardless of pair count. "
+    "operators/dedup.py:minhash_signatures/minhash_band_pairs.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return dd.minhash_band_pairs(sigs)
+
+
+def _sql_simhash() -> str:
+    h = _MD5L.format(x="token")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(dd.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(dd.SIMHASH_BITS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_idx, "
+        f"(simhash >> {8 * j}) & 255 AS band_val FROM fps"
+        for j in range(dd.SIMHASH_BAND_BYTES)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS token
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {dd.SIMHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_sql_simhash(),
+    tags=("documents", "dedup"),
+    doc=f"SimHash({dd.SIMHASH_BITS}-bit) near-dup pairs, hamming ≤ "
+    f"{dd.SIMHASH_MAX_HAMMING}, byte-band candidate generation (any pair "
+    "within the radius must share ≥1 of 4 bytes). "
+    "operators/dedup.py:simhash_fingerprints/simhash_near_pairs.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dd.simhash_fingerprints(_docs(spark, sf_dir))
+    return dd.simhash_near_pairs(fps).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
