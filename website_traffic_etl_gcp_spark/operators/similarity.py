@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<double>).
+
+Two paths:
+- Brute-force exact top-k: broadcast the (small) query set against the
+  candidate corpus; cosine via zip_with/aggregate — pure codegen, no
+  UDF. Cost O(|corpus| × |queries|); right whenever queries are
+  bounded (the common "probe set" shape).
+- LSH-bucketed approximate top-k (the 100 TB path): random-hyperplane
+  signatures computed as dot-product signs against a fixed seeded
+  plane set, candidates restricted to the query's bucket (plus
+  multi-probe neighbors at hamming distance 1). Shuffle is O(corpus)
+  on bucket keys; recall measured against brute force in tests.
+
+Cosine values are rounded to 6dp before ranking so ordering (with
+vec_id tie-break) is stable across engines and runs."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+LSH_PLANES = 8
+LSH_SEED = 42
+COSINE_SCALE = 6
+
+
+def _plane_literals(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED):
+    """Deterministic hyperplanes as literal arrays (seeded — no runtime
+    randomness, so plans are reproducible and resumable)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [
+        F.array(*[F.lit(float(x)) for x in plane]) for plane in planes
+    ]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded).
+    ``queries`` is broadcast — it must be the bounded side."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    cos = F.round(cosine(F.col("qv"), F.col("cv")), COSINE_SCALE)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
+    """Bucket id: sign bits of dot products with the fixed planes."""
+    planes = _plane_literals(dim)
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec_col, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (or a
+    hamming-1 neighbor bucket when multiprobe). At scale the corpus is
+    shuffled once on bucket id; each query touches |corpus| / 2^planes
+    candidates in expectation."""
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_signature(F.col(vec_col), dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_signature(F.col(vec_col), dim).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_PLANES)],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("qbucket")
+        )
+    cos = F.round(cosine(F.col("qv"), F.col("cv")), COSINE_SCALE)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

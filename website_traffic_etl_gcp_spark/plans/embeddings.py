@@ -1,0 +1,147 @@
+"""§2E — Embedding similarity queries.
+
+Query set = every 50th vector (bounded probe set → broadcastable).
+Cosines rounded to 6dp before ranking/threshold on BOTH engines so
+float ulp differences can't flip an ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import cosine
+from ..operators import similarity as sim
+from .registry import register
+
+KNN_K = 5
+QUERY_MOD = 50
+EMBED_DIM = 64
+COSINE_DEDUP_THRESHOLD = 0.4
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """Double-precision cosine in DuckDB SQL (list_cosine_similarity
+    computes in float32, which diverges from Spark's double math)."""
+    rng = f"range(1, {EMBED_DIM + 1})"
+    dot = f"list_sum(list_transform({rng}, i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform({rng}, i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({rng}, i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_sql_cos('q.embedding', 'c.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cos('q.embedding', 'c.embedding')}
+                            DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_MOD} = 0
+    ) WHERE rank <= {KNN_K}
+    """,
+    tags=("embeddings", "similarity"),
+    bench=True,
+    doc="Exact top-k cosine neighbors for the probe set: broadcast "
+    "queries × corpus scan, zip_with dot products in codegen. "
+    "operators/similarity.py:brute_force_topk.",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return sim.brute_force_topk(emb, q, KNN_K)
+
+
+@register(
+    "embedding_dedup_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_cos('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.embedding', 'b.embedding')}
+          >= {COSINE_DEDUP_THRESHOLD}
+    """,
+    tags=("embeddings", "dedup"),
+    doc="Near-duplicate vectors: pairwise cosine within label buckets "
+    "(coarse pre-cluster bounds the pair count — the same role the LSH "
+    "bucket plays when no label exists).",
+)
+def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("label").alias("la"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.round(cosine(F.col("ea"), F.col("eb")), sim.COSINE_SCALE)
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DEDUP_THRESHOLD)
+    )
+
+
+@register(
+    "centroid_by_label",
+    oracle="""
+    SELECT label, dim,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    tags=("embeddings",),
+    doc="Element-wise mean embedding per label (long form): posexplode "
+    "→ groupBy(label, dim). Values are floor-quantized to 1e-9 integers "
+    "before summing (floor has no tie-rounding rule — Spark rounds half-up, DuckDB half-even) — integer sums are exact and order-independent, "
+    "where double accumulation depends on shuffle order and decimal "
+    "casts of doubles round differently per engine.",
+)
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val").cast("double") * 1e9).cast("bigint")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid")
+        )
+    )
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle=None,  # approximate by construction; recall vs brute force
+    # is asserted in tests/test_similarity.py
+    tags=("embeddings", "similarity"),
+    doc=f"Approximate top-k via {sim.LSH_PLANES} random-hyperplane signs "
+    "with hamming-1 multiprobe. The 100 TB path: one shuffle of the "
+    "corpus on bucket id, candidates per query = corpus/2^planes. "
+    "operators/similarity.py:lsh_topk.",
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return sim.lsh_topk(emb, q, KNN_K, EMBED_DIM)
