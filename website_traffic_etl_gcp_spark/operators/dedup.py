@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.texthash import md5_long, normalize_text
-from .textstats import shingles_col
+from .textstats import exploded_shingles
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
@@ -47,17 +47,6 @@ def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, bucket: Column | None
-) -> DataFrame:
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        *( [bucket.alias("bucket")] if bucket is not None else [] ),
-        F.explode(shingles_col(text_col)).alias("shingle"),
-    )
-    return out
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     bucket: Column,
@@ -69,10 +58,8 @@ def ngram_jaccard_pairs(
     a content bucket. Inverted-index join: |A∩B| from the shingle
     self-join, |A|,|B| from per-doc sizes — no per-pair array ops, no
     cross join."""
-    sizes = df.select(
-        F.col(id_col).alias("doc_id"), F.size(shingles_col(text_col)).alias("n_sh")
-    )
-    ex = _exploded_shingles(df, id_col, text_col, bucket)
+    ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -100,11 +87,21 @@ def ngram_jaccard_pairs(
     )
 
 
+# Affine permutation family over a Mersenne prime: h_i(x) = (a_i·x + b_i)
+# mod P with x the 31-bit fold of ONE md5 per shingle. 16× fewer md5
+# calls than hashing per-permutation, and every step is plain int64
+# arithmetic that DuckDB reproduces bit-for-bit (products stay < 2^62,
+# no overflow under Spark's ANSI mode).
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_MINHASH_A = [2 * i + 3 for i in range(MINHASH_K)]
+_MINHASH_B = [5 * i + 7 for i in range(MINHASH_K)]
+
+
 def _minhash_cols() -> list[Column]:
+    base = (md5_long(F.col("shingle")) % MINHASH_PRIME).alias("x")
     return [
-        F.min(
-            md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        ).alias(f"h{i}")
+        F.min((F.lit(_MINHASH_A[i]) * base + F.lit(_MINHASH_B[i])) % MINHASH_PRIME)
+        .alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
 
@@ -114,7 +111,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """k min-hashes per doc in ONE aggregation over the shingle explode
     (k agg expressions, not k passes)."""
-    ex = _exploded_shingles(df, id_col, text_col, bucket=None)
+    ex = exploded_shingles(df, id_col, text_col)
     return ex.groupBy("doc_id").agg(*_minhash_cols())
 
 

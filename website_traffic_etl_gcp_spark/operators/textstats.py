@@ -9,7 +9,7 @@ module so the two sides evolve together."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.texthash import normalize_text, word_tokens
@@ -56,6 +56,44 @@ def shingles_col(text_col: str = "text") -> Column:
     return F.array_distinct(
         F.when(n >= SHINGLE_K, grams).otherwise(F.array(normalize_text(text_col)))
     )
+
+
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """(doc_id[, extra...], shingle) — distinct word-3-gram shingles,
+    one row each; whole normalized text for docs shorter than K tokens.
+
+    Built with posexplode + lead windows instead of array higher-order
+    functions: HOFs are interpreted (no whole-stage codegen) and ~8×
+    slower per row, while this shape is one narrow explode + one
+    window shuffle on doc_id — the layout every downstream dedup tier
+    (inverted index, minhash groupBy) wants anyway."""
+    extra = extra or {}
+    keep = ["doc_id", *extra.keys()]
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[v.alias(k) for k, v in extra.items()],
+        normalize_text(text_col).alias("norm"),
+    ).withColumn("n_tok", F.size(F.split("norm", " ")))
+    long_docs = base.filter(F.col("n_tok") >= SHINGLE_K)
+    tok = long_docs.select(
+        *keep, F.posexplode(F.split("norm", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("l1", F.lead("token", 1).over(w))
+        .withColumn("l2", F.lead("token", 2).over(w))
+        .filter(F.col("l2").isNotNull())
+        .select(*keep, F.concat_ws(" ", "token", "l1", "l2").alias("shingle"))
+    )
+    short = base.filter(F.col("n_tok") < SHINGLE_K).select(
+        *keep, F.col("norm").alias("shingle")
+    )
+    return grams.unionByName(short).distinct()
 
 
 # {norm} = normalized text expression, {toks} = token list expression

@@ -231,9 +231,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
-    h = _MD5L.format(x="CAST(i AS VARCHAR) || ':' || shingle")
+    base = _MD5L.format(x="shingle") + f" % {dd.MINHASH_PRIME}"
     mins = ", ".join(
-        f"MIN(CASE WHEN i = {i} THEN h END) AS h{i}" for i in range(dd.MINHASH_K)
+        f"MIN(({dd._MINHASH_A[i]} * x + {dd._MINHASH_B[i]}) % {dd.MINHASH_PRIME})"
+        f" AS h{i}"
+        for i in range(dd.MINHASH_K)
     )
     rows = dd.MINHASH_K // dd.MINHASH_BANDS
     band_selects = " UNION ALL ".join(
@@ -248,9 +250,8 @@ def _sql_minhash() -> str:
     return f"""
     WITH sh AS ({_SQL_DOCS_SH}),
     ex AS (
-        SELECT doc_id, i, {h} AS h
+        SELECT doc_id, {base} AS x
         FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
-        CROSS JOIN (SELECT unnest(range({dd.MINHASH_K})) AS i)
     ),
     sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
     bands AS ({band_selects})
