@@ -1,0 +1,40 @@
+"""Batch-equivalence for the streaming jobs: the streaming engine must
+produce exactly what the batch operators produce on the same bounded
+input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.catalog import load_table
+from website_traffic_etl_gcp_spark.operators.sessionize import sessionize
+from website_traffic_etl_gcp_spark.plans.registry import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect())
+
+
+def test_streaming_hourly_matches_batch(spark):
+    stream_out = REGISTRY["streaming_hourly_counts"].builder(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    batch = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+    cols = ["hour", "n_events", "value_sum"]
+    assert _rows(stream_out, cols) == _rows(batch, cols)
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    stream_out = REGISTRY["streaming_sessionize"].builder(spark, SF_DIR)
+    batch = sessionize(load_table(spark, SF_DIR, "events"))
+    cols = ["user_id", "session_start", "session_end", "n_events", "value_sum"]
+    assert _rows(stream_out, cols) == _rows(batch, cols)
+    # every user's latest session is flagged open, all others closed
+    n_users = stream_out.select("user_id").distinct().count()
+    assert stream_out.filter(F.col("is_open")).count() == n_users

@@ -1,0 +1,85 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: keep the payload as a
+``binary`` column next to typed metadata, and run decode / feature
+extraction as Arrow-batched ``mapInPandas`` so each executor processes
+columnar batches without per-row Python overhead. Codec libraries are
+not available in this environment, so the actual decode is stubbed
+(``decode_image`` raises ``NotImplementedError`` unless the
+deterministic fake is requested); everything around it — schema,
+batch iteration, partitioning, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Decode payload → (width, height). Real codecs are unavailable in
+    this container; ``fake=True`` derives deterministic dimensions from
+    the payload's md5 so the distributed plumbing is exercisable
+    end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    v = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    return 16 + v % 512, 16 + (v // 512) % 512
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a binary payload column (utf-8 bytes of the text column —
+    the documents table stands in for a media corpus here)."""
+    return df.withColumn("payload", F.col(text_col).cast(BinaryType()))
+
+
+def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over the payload column.
+
+    ``mapInPandas``: each batch arrives as a pandas DataFrame of a few
+    thousand rows; byte lengths / checksums / fake-decode run
+    vectorized-ish per batch, never per-row through pickling.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [decode_image(p, fake=True) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda p: hashlib.md5(p).hexdigest()
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, METADATA_SCHEMA)

@@ -1,4 +1,12 @@
 """Query plans. Importing this package populates the registry."""
 
-from . import documents, embeddings, etl, events, relational  # noqa: F401
+from . import (  # noqa: F401
+    documents,
+    embeddings,
+    etl,
+    events,
+    multimodal,
+    relational,
+    streaming_plans,
+)
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401

@@ -1,0 +1,47 @@
+"""§2G — Structured Streaming queries, driven to completion through the
+real streaming engine (availableNow trigger → memory sink) so the
+driver can collect and oracle-check them like any batch query."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import rollups, sessions
+from .registry import register
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming",),
+    doc="Watermarked tumbling-window hourly rollup executed by the "
+    "streaming engine (readStream → watermark → window agg → memory "
+    "sink, availableNow). Matches the batch oracle exactly because the "
+    "bounded run sees no late data past the watermark.",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollups.streaming_hourly_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_sessionize",
+    oracle=None,  # custom stateful op; batch-equivalence asserted in
+    # tests/test_streaming.py against operators/sessionize.py
+    tags=("streaming",),
+    doc="Stateful gap-sessionization via applyInPandasWithState (O(1) "
+    "state per user). Bounded run emits exactly the batch operator's "
+    "sessions; see streaming/sessions.py.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        spark.readStream.schema(rollups.EVENTS_STREAM_SCHEMA)
+        .parquet(rollups.stream_source_dir(sf_dir, "events"))
+    )
+    return rollups.run_to_completion(
+        sessions.sessionize_stream(stream), output_mode="append"
+    )

@@ -1,0 +1,111 @@
+"""Structured Streaming rollups over the events file stream.
+
+``readStream`` on the parquet path + event-time watermark + tumbling
+window aggregation — the canonical late-data-tolerant pipeline. The
+``run_*_to_completion`` helpers drive the stream with
+``trigger(availableNow=True)`` into a memory sink and hand back the
+final result as a plain DataFrame, so the same code is verifiable in
+tests/oracles and deployable as a continuous job (swap the sink +
+drop the await)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..catalog import table_path
+
+# Streaming sources need an explicit schema (no inference mid-stream).
+# ts arrives as int64 nanoseconds (see catalog.load_table).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_source_dir(sf_dir: str, name: str = "events") -> str:
+    """The streaming file source monitors a DIRECTORY; the testdata is
+    single parquet files. Stage a symlink dir (idempotent) — in
+    production this is simply the landing directory new files arrive
+    in."""
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "stream_src",
+        os.path.basename(sf_dir.rstrip("/")),
+        name,
+    )
+    os.makedirs(base, exist_ok=True)
+    link = os.path.join(base, f"{name}.parquet")
+    src = table_path(sf_dir, name)
+    if not os.path.islink(link):
+        os.symlink(src, link)
+    return base
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(stream_source_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window hourly event counts + value sum.
+    The watermark bounds state: windows older than max(event time) - 2h
+    are finalized and dropped from the store."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_to_completion(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input through the streaming engine into a
+    memory sink; return the materialized result."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(hourly_counts(events_stream(spark, sf_dir)))
