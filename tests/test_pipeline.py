@@ -1,0 +1,95 @@
+"""End-to-end pipeline test: landing CSV → transform/quarantine →
+backup + processed CSV + warehouse parquet, append idempotency via
+dedupe. Mirrors the reference's run contract (__main__.py:25-74)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.config import PipelineConfig
+from website_traffic_etl_gcp_spark.pipeline import run_etl
+from website_traffic_etl_gcp_spark.sources import readers, writers
+
+
+@pytest.fixture
+def landing(tmp_path):
+    rows = [
+        ("15/03/2024 10:00:00", "120.5"),
+        ("16/03/2024 11:30:00", "99.25"),
+        ("31/02/2024 00:00:00", "1.0"),  # impossible date → quarantine
+        ("17/03/2024 09:15:00", "not-a-number"),  # bad traffic → quarantine
+        ("18/03/2024 23:59:59", "42.0"),
+    ]
+    p = tmp_path / "raw.csv"
+    pd.DataFrame(rows, columns=["time", "traffic"]).to_csv(p, index=False)
+    return tmp_path, p
+
+
+def _config(base, raw):
+    return PipelineConfig(
+        input_path=str(raw),
+        warehouse_path=str(base / "warehouse" / "traffic"),
+        processed_dir=str(base / "processed"),
+        backup_dir=str(base / "backups"),
+    )
+
+
+def test_run_etl_end_to_end(spark, landing):
+    base, raw = landing
+    config = _config(base, raw)
+    counts = run_etl(spark, config, run_timestamp="20260101_000000")
+    assert counts == {"loaded": 3, "quarantined": 2}
+
+    wh = writers.read_warehouse(spark, config.warehouse_path)
+    assert set(wh.columns) == {"time", "traffic", "created_at"}
+    times = {r["time"] for r in wh.select("time").collect()}
+    assert times == {
+        "2024-03-15 10:00:00", "2024-03-16 11:30:00", "2024-03-18 23:59:59",
+    }
+    rejects = writers.read_warehouse(spark, config.warehouse_path + "_rejects")
+    reasons = {r["reject_reason"] for r in rejects.collect()}
+    assert reasons == {"unparseable_time", "null_traffic"}
+    # backup + processed artifacts exist
+    assert any((base / "backups").iterdir())
+    assert any((base / "processed").iterdir())
+
+
+def test_append_then_truncate(spark, landing):
+    base, raw = landing
+    config = _config(base, raw)
+    run_etl(spark, config, run_timestamp="20260101_000000")
+    counts2 = run_etl(spark, config, run_timestamp="20260102_000000")
+    assert counts2["loaded"] == 6  # append doubled the table
+    deduped = writers.dedupe_warehouse(
+        writers.read_warehouse(spark, config.warehouse_path),
+        ("time", "traffic"),
+    )
+    assert deduped.count() == 3
+    counts3 = run_etl(
+        spark, config.with_truncate(), run_timestamp="20260103_000000"
+    )
+    assert counts3["loaded"] == 3  # truncate reset it
+
+
+def test_validate_missing_columns(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    pd.DataFrame([("x",)], columns=["nottime"]).to_csv(p, index=False)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    df = readers.read_csv(
+        spark, str(p), StructType([StructField("nottime", StringType())])
+    )
+    with pytest.raises(readers.ExtractionError, match="Missing columns"):
+        readers.validate_traffic_columns(df)
+
+
+def test_csv_export_readable(spark, landing):
+    base, raw = landing
+    config = _config(base, raw)
+    run_etl(spark, config, run_timestamp="20260101_000000")
+    out = next((base / "processed").iterdir())
+    back = spark.read.option("header", "true").csv(str(out))
+    assert back.count() == 3
+    assert set(back.columns) == {"time", "traffic", "created_at"}

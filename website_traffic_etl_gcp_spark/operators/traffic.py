@@ -58,7 +58,9 @@ def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantined) split on the reference's validation rules.
     Numeric-type enforcement is a cast: non-castable traffic → NULL →
     quarantined."""
-    df = df.withColumn("traffic", F.col("traffic").cast("double"))
+    # try_cast: ANSI mode would abort the whole job on one malformed
+    # cell; NULL routes the row to quarantine instead.
+    df = df.withColumn("traffic", F.col("traffic").try_cast("double"))
     bad = _invalid_predicate()
     return df.filter(~bad), df.filter(bad)
 
