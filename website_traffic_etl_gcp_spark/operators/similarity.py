@@ -57,7 +57,7 @@ def brute_force_topk(
     return (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
 
@@ -128,6 +128,6 @@ def lsh_topk(
         )
         .select("query_id", "cand_id", cos.alias("cosine"))
         .distinct()
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )

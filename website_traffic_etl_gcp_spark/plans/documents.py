@@ -96,8 +96,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = normalize_text("text")
     return d.select(
         "doc_id",
-        F.size(F.split(norm, " ")).alias("n_tokens"),
-        F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]+"), 0)).alias("n_words"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_words"),
     )
 
 
@@ -130,11 +132,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(norm, " ")
     base = d.select(
         "doc_id",
-        F.greatest(F.length(norm), F.lit(1)).alias("n_chars_norm"),
-        F.greatest(F.size(toks), F.lit(1)).alias("n_tokens"),
-        ts.count_in_set(toks, ts.STOPWORDS).alias("n_stop"),
-        F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")).alias("n_punct"),
-        F.length(F.regexp_replace(norm, r"[^0-9]", "")).alias("n_digit"),
+        F.greatest(F.length(norm), F.lit(1)).cast("bigint").alias("n_chars_norm"),
+        F.greatest(F.size(toks), F.lit(1)).cast("bigint").alias("n_tokens"),
+        ts.count_in_set(toks, ts.STOPWORDS).cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
+        F.length(F.regexp_replace(norm, r"[^0-9]", "")).cast("bigint").alias("n_digit"),
     )
     score = (
         F.col("n_stop").cast("double") / F.col("n_tokens").cast("double") * 0.4

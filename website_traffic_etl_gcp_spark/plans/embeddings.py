@@ -120,6 +120,7 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .withColumn("dim", F.col("dim").cast("bigint"))
         .groupBy("label", "dim")
         .agg(
             (

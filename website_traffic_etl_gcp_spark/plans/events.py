@@ -162,9 +162,9 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(firsts, "user_id")
         .groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
-            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
-                "day_offset"
-            ),
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
