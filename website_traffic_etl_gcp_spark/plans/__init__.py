@@ -1,6 +1,7 @@
 """Query plans. Importing this package populates the registry."""
 
 from . import (  # noqa: F401
+    advanced,
     documents,
     embeddings,
     etl,

@@ -1,0 +1,296 @@
+"""§2 extensions — advanced engine capabilities beyond the core suites:
+multi-level rollups, as-of joins, skew-proof salted aggregation,
+deterministic discrete quantiles, anti-joins, window gap analysis, and
+sketch-based approximate aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import dec
+from .registry import register
+
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+SALT_BUCKETS = 16
+N_USERS_MOD = 150  # maps o_custkey into the events user_id space
+
+
+def _rev() -> F.Column:
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return ext * (F.lit(1) - disc)
+
+
+@register(
+    "revenue_rollup_nation_year",
+    oracle=f"""
+    SELECT COALESCE(n_name, 'ALL') AS n_name,
+           COALESCE(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+           revenue, n_items
+    FROM (
+        SELECT n.n_name, year(o.o_orderdate) AS order_year,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))
+    )
+    """,
+    tags=("relational", "rollup"),
+    doc="Hierarchical subtotals (nation → nation×year → grand total) in "
+    "ONE pass via GROUP BY ROLLUP — three separate aggregations would "
+    "scan lineitem three times.",
+)
+def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("n_name", "order_year")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        # explicit subtotal markers: NULL-able int columns turn into
+        # floats in pandas interchange, so emit strings instead
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "asof_last_event_before_order",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_event_ts
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON e.user_id = o.o_custkey % {N_USERS_MOD} AND e.ts < o.o_orderdate
+    """,
+    tags=("events", "asof"),
+    doc="As-of join: latest event strictly before each order, per user. "
+    "Implemented as the scalable union-sort-window pattern (one shuffle "
+    "on the user key, no range-join explosion): tag both streams, sort "
+    "by (ts, order-first-on-ties), carry the last event timestamp "
+    "forward with an ignore-nulls window. Matches DuckDB's native ASOF "
+    "JOIN semantics exactly.",
+)
+def asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ukey"),
+        "ts",
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % N_USERS_MOD).alias("ukey"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+    )
+    merged = ev.unionByName(orders)
+    # order rows sort BEFORE event rows at equal ts → an event at
+    # exactly the order timestamp is not visible (strict <)
+    w = (
+        Window.partitionBy("ukey")
+        .orderBy(F.col("ts"), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev_ts = F.when(F.col("is_order") == 0, F.col("ts"))
+    return (
+        merged.withColumn("last_ev", F.last(ev_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 1)
+        .select(
+            "o_orderkey",
+            F.date_format("last_ev", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_event_ts"
+            ),
+        )
+    )
+
+
+@register(
+    "salted_event_value_sum",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "skew"),
+    doc="Skew-proof aggregation: event_type has ~5 values, so a naive "
+    "groupBy lands whole types on single reducers at 100 TB. Two-stage "
+    "salting (key×16-salt partial agg → final combine) bounds any "
+    "reducer at 1/16 of a hot key. Oracle is the PLAIN aggregation — "
+    "salting must be invisible in the result.",
+)
+def salted_event_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", (F.col("event_id") % SALT_BUCKETS))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.sum(dec("value")).alias("s_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("s_part").cast("double").alias("value_sum"),
+        F.sum("n_part").alias("n"),
+    )
+
+
+@register(
+    "value_quantiles_by_type",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type, MAX(n) AS n,
+           MAX(CASE WHEN rn - 1 = CAST(floor((n-1) * 0.25) AS BIGINT) THEN value END) AS q25,
+           MAX(CASE WHEN rn - 1 = CAST(floor((n-1) * 0.50) AS BIGINT) THEN value END) AS q50,
+           MAX(CASE WHEN rn - 1 = CAST(floor((n-1) * 0.75) AS BIGINT) THEN value END) AS q75
+    FROM ranked
+    GROUP BY event_type
+    """,
+    tags=("events", "quantiles"),
+    doc="Discrete (lower-nearest) quantiles via rank selection — exact "
+    "order statistics with NO interpolation, so results are engine- "
+    "exact where interpolated percentile formulas drift in float math. "
+    "One window + one agg pass.",
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def q(p: float):
+        idx = F.floor((F.col("n") - 1) * p).cast("bigint")
+        return F.max(F.when(F.col("rn") - 1 == idx, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        q(0.25).alias("q25"),
+        q(0.50).alias("q50"),
+        q(0.75).alias("q75"),
+    )
+
+
+@register(
+    "users_without_purchase",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    )
+    GROUP BY user_id
+    """,
+    tags=("events",),
+    doc="Never-purchased users via left-anti join (the NOT EXISTS "
+    "plan shape — no join blowup, no distinct-after-join).",
+)
+def users_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        ev.join(purchasers, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "user_purchase_gaps",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_purchases,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE)
+               / CAST(COUNT(*) - 1 AS DOUBLE) / 1000000.0 AS avg_gap_s
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("events", "window"),
+    doc="Mean time between purchases per user. Spark computes it as the "
+    "window-lag mean (the general shape for gap analytics); the oracle "
+    "uses the telescoping identity mean(gaps) = (last-first)/(n-1) — "
+    "same exact integers, same division, same double.",
+)
+def user_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum("gap_us").cast("double")
+                / (F.count(F.lit(1)) - 1).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("avg_gap_s"),
+        )
+        .filter(F.col("n_purchases") >= 2)
+    )
+
+
+@register(
+    "approx_distinct_users_daily",
+    oracle=None,  # HLL sketches are engine-specific by construction;
+    # tests/test_sketches.py bounds the error vs the exact count
+    tags=("events", "sketch"),
+    doc="Daily unique users via HyperLogLog++ (approx_count_distinct, "
+    "2% rsd). At 100 TB exact distinct counts force a full shuffle of "
+    "the key space; the sketch is map-side mergeable and constant "
+    "memory.",
+)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
