@@ -27,8 +27,15 @@ def main() -> None:
 
     specs = [s for s in plans.REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
-    # JVM/codegen warmup on the smallest table read
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JVM JIT + codegen warmup: run the whole suite once at the
+    # smallest SF so measured timings reflect steady-state execution,
+    # not first-call compilation
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for spec in specs:
+            spec.builder(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     for spec in specs:
         t0 = time.perf_counter()
