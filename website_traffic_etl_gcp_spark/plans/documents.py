@@ -326,3 +326,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs(fps).select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# ---- corpus statistics -------------------------------------------------
+
+
+@register(
+    "doc_stats_by_source",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("documents",),
+    doc="Per-source corpus profile with a HAVING floor — the shape of "
+    "every 'which crawl sources are worth keeping' triage query.",
+)
+def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+@register(
+    "top_bigrams",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    bigrams AS (
+        SELECT a.token || ' ' || b.token AS bigram
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY COUNT(*) DESC, bigram
+    LIMIT 25
+    """,
+    tags=("documents",),
+    doc="Corpus-wide top-25 bigrams (with multiplicity): posexplode + "
+    "lead window -> count -> deterministic (count, bigram) order. The "
+    "n-gram frequency pass every tokenizer-training pipeline starts "
+    "with.",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.withColumn("nxt", F.lead("token", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(25)
+    )

@@ -100,10 +100,23 @@ def session_func(
              value_cents / 100.0, True)
         )
 
-    yield pd.DataFrame(
-        out,
-        columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields],
-    )
+    if out:
+        yield pd.DataFrame(
+            out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+        )
+    else:
+        # typed empty frame: an object-dtype empty yield triggers
+        # pandas concat dtype warnings on every batch
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="object"),
+                "session_end": pd.Series(dtype="object"),
+                "n_events": pd.Series(dtype="int64"),
+                "value_sum": pd.Series(dtype="float64"),
+                "is_open": pd.Series(dtype="bool"),
+            }
+        )
 
 
 def sessionize_stream(raw: DataFrame) -> DataFrame:
