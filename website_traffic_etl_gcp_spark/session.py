@@ -42,5 +42,18 @@ def get_spark(app_name: str = "website-traffic-etl-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed-table root (bucketed warehouse layouts) — static conf,
+        # must be set before the session exists
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE_DIR",
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".scratch",
+                    "spark-warehouse",
+                ),
+            ),
+        )
     )
     return builder.getOrCreate()
