@@ -294,3 +294,61 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_dau"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "salted_orderstatus_revenue",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("relational", "skew"),
+    doc="Skew-proof JOIN: lineitem salted on l_linenumber, orders "
+    "replicated across the salt space, joined on (orderkey, salt) — "
+    "any hot orderkey spreads over 8 reducers. Oracle is the PLAIN "
+    "join+aggregate; salting must not change a single row. "
+    "operators/skew.py:salted_join.",
+)
+def salted_orderstatus_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    joined = salted_join(
+        li, o, "l_orderkey", "o_orderkey", salt_source=F.col("l_linenumber")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "event_type_pivot_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "pivot"),
+    doc="True pivot API with an EXPLICIT value list — pivot without "
+    "values forces a driver-side distinct collect over 100 TB before "
+    "planning can even start.",
+)
+def event_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
