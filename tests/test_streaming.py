@@ -38,3 +38,47 @@ def test_streaming_sessionize_matches_batch(spark):
     # every user's latest session is flagged open, all others closed
     n_users = stream_out.select("user_id").distinct().count()
     assert stream_out.filter(F.col("is_open")).count() == n_users
+
+
+def test_streaming_sessionize_incremental_batches(spark, tmp_path):
+    """State must carry across micro-batches: split the events into two
+    files, force one file per trigger, and require the merged final
+    output (dedup provisional emissions by keeping the fullest session
+    per (user, start)) to equal the batch operator."""
+    from pyspark.sql.window import Window
+
+    from website_traffic_etl_gcp_spark.streaming import rollups, sessions
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "ev_stream"
+    # time-ordered split: first half of the month, then the rest —
+    # sessions spanning the boundary must merge via state
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*/")
+    )
+    out = rollups.run_to_completion(
+        sessions.sessionize_stream(
+            raw.withColumn("ts", F.unix_micros("ts") * 1000)  # ns contract
+        ),
+        output_mode="append",
+    )
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.col("n_events").desc(), F.col("session_end").desc()
+    )
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "is_open")
+    )
+    batch = sessionize(ev)
+    cols = ["user_id", "session_start", "session_end", "n_events", "value_sum"]
+    assert _rows(final, cols) == _rows(batch, cols)
