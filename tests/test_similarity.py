@@ -47,3 +47,27 @@ def test_lsh_buckets_bound_candidates(spark):
     # small fraction of the corpus, or candidate generation is not
     # actually bounding anything
     assert largest < 0.2 * n, f"largest LSH bucket holds {largest}/{n}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from website_traffic_etl_gcp_spark.plans.embeddings import label_centroids
+    from website_traffic_etl_gcp_spark.plans.registry import REGISTRY
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.brute_force_topk(emb, q, KNN_K).collect()
+    }
+    approx_df = REGISTRY["knn_ivf_cells"].builder(spark, SF_DIR)
+    approx = {(r["query_id"], r["cand_id"]) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    # 10 cells, 2 probed → ~20% of the corpus scanned; label clusters
+    # are where near neighbors concentrate, so recall must beat the
+    # scanned fraction clearly
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+
+    # index-build sanity: every corpus vector lands in exactly one cell
+    cents = label_centroids(emb)
+    assigned = sim.assign_cells(emb, cents, 1)
+    assert assigned.count() == emb.count()

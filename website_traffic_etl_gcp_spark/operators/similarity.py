@@ -131,3 +131,71 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``n_probe``
+    nearest centroids (by cosine). ``centroids`` is (cell_id,
+    centroid<array>) and is small by construction → broadcast; the
+    assignment is a narrow map over the corpus, no shuffle."""
+    cos = F.round(
+        cosine(F.col(vec_col), F.col("centroid")), COSINE_SCALE
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id")
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col, vec_col, "cell_id", cos.alias("cell_cos")
+        )
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .drop("cell_cos", "cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single
+    nearest cell; each query probes its ``n_probe`` nearest cells and
+    ranks exact cosine only against those cells' members. At 100 TB
+    the corpus shuffles ONCE on cell_id (index build); each query
+    touches |corpus| × n_probe / n_cells candidates in expectation."""
+    c = assign_cells(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        "cell_id",
+    )
+    q = assign_cells(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "cell_id",
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("cv")), COSINE_SCALE)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (c.cell_id == q.cell_id) & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -146,3 +146,41 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return sim.lsh_topk(emb, q, KNN_K, EMBED_DIM)
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer for IVF: per-label mean vectors (any clustering
+    works; the labels give a deterministic stand-in for k-means)."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cval"))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("cell_id"),
+            F.expr("transform(pairs, p -> p.cval)").alias("centroid"),
+        )
+    )
+
+
+@register(
+    "knn_ivf_cells",
+    oracle=None,  # approximate; recall vs brute force asserted in
+    # tests/test_similarity.py
+    tags=("embeddings", "similarity"),
+    doc="IVF approximate top-k: label-mean centroids as the coarse "
+    "quantizer, corpus bucketed into its nearest cell, queries probe "
+    "their 2 nearest cells. One corpus shuffle at index-build time; "
+    "per-query work is corpus/n_cells × n_probe. "
+    "operators/similarity.py:ivf_topk.",
+)
+def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cents = label_centroids(emb)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)

@@ -388,3 +388,207 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_dec").cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE ((cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+        OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3'))
+    GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+    """,
+    tags=("relational",),
+    doc="TPC-H Q7 adaptation: bilateral trade volume between two "
+    "nations per ship year. Both nation lookups broadcast; the "
+    "nation-pair filter applies before the wide join output exists.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = F.broadcast(nations.withColumnRenamed("n_name", "cust_nation"))
+    sn = F.broadcast(
+        nations.select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_7")
+    ) | (
+        (F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == cn.n_nationkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("s_nkey"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH region_orders AS (
+        SELECT year(o.o_orderdate) AS order_year,
+               sn.n_name AS supp_nation,
+               SUM({_SQL_REV}) AS rev_dec
+        FROM region r
+        JOIN nation cn  ON cn.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = cn.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1, 2
+    )
+    SELECT CAST(order_year AS INT) AS order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_dec END)
+                AS DOUBLE) AS nation_revenue,
+           CAST(SUM(rev_dec) AS DOUBLE) AS total_revenue,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_7'
+                                  THEN rev_dec END), 0) AS DOUBLE)
+               / CAST(SUM(rev_dec) AS DOUBLE) AS mkt_share
+    FROM region_orders
+    GROUP BY order_year
+    """,
+    tags=("relational",),
+    doc="TPC-H Q8 adaptation: one supplier nation's share of ASIA "
+    "customer revenue per year. The share division happens on exact "
+    "decimal sums cast to double — deterministic across engines.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nkey")
+        )
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("c_nkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("s_nkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "supp_nation",
+        )
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    target = F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("rev_dec")))
+    total = F.sum("rev_dec")
+    return per.groupBy("order_year").agg(
+        target.cast("double").alias("nation_revenue"),
+        total.cast("double").alias("total_revenue"),
+        (
+            F.coalesce(target, F.lit(0).cast("decimal(38,4)")).cast("double")
+            / total.cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           COUNT(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_priority_count,
+           COUNT(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_priority_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    tags=("relational",),
+    doc="TPC-H Q12 adaptation: urgent-vs-other order counts per line "
+    "status for one ship year (conditional aggregation after a "
+    "pushed-down date range).",
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority_count"),
+            F.count(F.when(~high, 1)).alias("low_priority_count"),
+        )
+    )
+
+
+@register(
+    "q19_brand_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational",),
+    doc="TPC-H Q19 adaptation: disjunctive brand × quantity-band "
+    "predicate. The quantity ranges prune at the lineitem scan; the "
+    "brand side is a broadcast of a small filtered part subset.",
+)
+def q19_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
