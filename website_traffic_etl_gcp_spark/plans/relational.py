@@ -592,3 +592,145 @@ def q19_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 250
+    """,
+    tags=("relational",),
+    doc="TPC-H Q18 adaptation: orders whose total quantity exceeds 250. "
+    "Aggregates lineitem per order FIRST (map-side partial sums), "
+    "filters on the aggregate, and only then joins orders/customer — "
+    "at 100 TB the join input shrinks from every lineitem to the few "
+    "qualifying orders.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 2)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 2, 3, 4, 5, 10, 15, 20, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("relational",),
+    doc="TPC-H Q16 adaptation (partsupp absent → lineitem as the "
+    "part-supplier bridge): distinct suppliers per brand/type/size. "
+    "Distinct aggregation runs as Spark's two-phase expand — partial "
+    "distinct on (keys, suppkey) before the final shuffle — so the "
+    "wide join output never concentrates on one reducer. Join strategy "
+    "left to AQE: the filtered part side is small at test SF but "
+    "grows with SF, so no hard-coded broadcast.",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 2, 3, 4, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q22_dormant_accounts",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS ab
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-09-01 00:00:00'
+      )
+    GROUP BY n.n_name
+    """,
+    tags=("relational",),
+    doc="TPC-H Q22 adaptation (no phone column → recency instead): "
+    "above-average-balance customers with no order since 2000-09-01, "
+    "per nation. The global average is one scalar broadcast (no "
+    "per-row subquery); the balance filter runs BEFORE the anti-join "
+    "so the shuffled side is already pruned; the date filter on "
+    "orders is pushed to the scan.",
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_row = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec("c_acctbal", 2)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ab")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-09-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
