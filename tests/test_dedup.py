@@ -64,3 +64,34 @@ def test_simhash_finds_near_dup(docs):
     }
     assert pairs[(0, 1)] == 0
     assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_dfcap_bounds_posting_lists(docs):
+    # With a cap of 2, shingles shared by docs 0/1/2 (df=3) are dropped,
+    # so the exact-dup pair (0,1) must still score 1.0 on the shingles
+    # unique to them... which is none — the pair disappears. With cap 3
+    # the hot shingles stay and the planted pairs survive.
+    pairs3 = dd.ngram_jaccard_pairs_dfcap(docs, F.lit("b"), 0.5, max_df=3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs3.collect()}
+    assert got[(0, 1)] == 1.0
+    assert not any(3 in p or 4 in p for p in got)
+
+    # the cap is enforced: no kept shingle's posting list exceeds max_df
+    from website_traffic_etl_gcp_spark.operators.textstats import exploded_shingles
+
+    ex = exploded_shingles(docs, extra={"bucket": F.lit("b")})
+    rare = (
+        ex.groupBy("bucket", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 3)
+    )
+    assert rare.agg(F.max("df")).collect()[0][0] <= 3
+
+
+def test_jaccard_dfcap_matches_uncapped_when_cap_is_loose(docs):
+    # A cap above the max df is a no-op: identical pairs and scores.
+    capped = dd.ngram_jaccard_pairs_dfcap(docs, F.lit("b"), 0.5, max_df=99)
+    plain = dd.ngram_jaccard_pairs(docs, F.lit("b"), 0.5)
+    c = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    p = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in plain.collect()}
+    assert c == p

@@ -60,6 +60,40 @@ def ngram_jaccard_pairs(
     cross join."""
     ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_from_index(ex, sizes, threshold)
+
+
+def ngram_jaccard_pairs_dfcap(
+    df: DataFrame,
+    bucket: Column,
+    threshold: float,
+    max_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jaccard pairs with a document-frequency cap: shingles appearing
+    in more than ``max_df`` docs of a bucket are dropped BEFORE the
+    inverted-index self-join, and per-doc sizes count only kept
+    shingles — so the score is exact Jaccard over the rare-shingle
+    sets. The cap is the 100 TB safety valve: a stopword-like shingle
+    with df = d produces d² join rows; capping bounds every posting
+    list to max_df, making worst-case join output O(shingles × max_df²)
+    instead of quadratic in corpus size. The df groupBy and the
+    self-join share the (bucket, shingle) key, so the filter adds no
+    extra shuffle of the big side."""
+    ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
+    rare = (
+        ex.groupBy("bucket", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("bucket", "shingle")
+    )
+    kept = ex.join(rare, ["bucket", "shingle"])
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _jaccard_from_index(kept, sizes, threshold)
+
+
+def _jaccard_from_index(ex: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(

@@ -232,6 +232,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, bucket, NGRAM_JACCARD_THRESHOLD)
 
 
+JACCARD_MAX_DF = 2
+
+
+@register(
+    "dedup_jaccard_dfcap",
+    oracle=f"""
+    WITH sh AS ({_SQL_DOCS_SH}),
+    bucketed AS (
+        SELECT doc_id,
+               lang || ':' || CAST(n_chars // 50 AS VARCHAR) AS bucket,
+               shingles
+        FROM sh
+    ),
+    ex AS (SELECT doc_id, bucket, unnest(shingles) AS shingle FROM bucketed),
+    kept AS (
+        SELECT ex.doc_id, ex.bucket, ex.shingle
+        FROM ex
+        JOIN (SELECT bucket, shingle FROM ex
+              GROUP BY 1, 2 HAVING COUNT(*) <= {JACCARD_MAX_DF}) rare
+          USING (bucket, shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM kept a JOIN kept b
+          ON a.bucket = b.bucket AND a.shingle = b.shingle
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    tags=("documents", "dedup"),
+    doc=f"Jaccard near-dup pairs with a df cap ({JACCARD_MAX_DF}): "
+    "shingles appearing in more docs than the cap are dropped before "
+    "the inverted-index join, bounding every posting list — the "
+    "worst-case join output goes from quadratic in corpus size to "
+    "O(shingles × cap²). Score is exact Jaccard over the kept sets. "
+    "operators/dedup.py:ngram_jaccard_pairs_dfcap.",
+)
+def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    return dd.ngram_jaccard_pairs_dfcap(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, JACCARD_MAX_DF
+    )
+
+
 def _sql_minhash() -> str:
     base = _MD5L.format(x="shingle") + f" % {dd.MINHASH_PRIME}"
     mins = ", ".join(
