@@ -1,0 +1,63 @@
+"""Small-file compaction: fewer files, identical data, partition
+pruning preserved."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.catalog import load_table
+from website_traffic_etl_gcp_spark.sources.writers import compact_table
+
+from .conftest import SF_DIR
+
+
+def _content_key(df):
+    # order-insensitive content signature: count + per-column checksums
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("event_id").cast("string"))).alias("c1"),
+        F.sum(F.crc32(F.col("event_type"))).alias("c2"),
+    ).collect()[0]
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "tbl")
+    ev.repartition(32).write.parquet(path)  # simulate small-file debris
+
+    before = _content_key(spark.read.parquet(path))
+    stats = compact_table(spark, path, target_file_bytes=1 << 30)
+    after = _content_key(spark.read.parquet(path))
+
+    assert stats["files_before"] == 32
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny table → single target file
+    assert before == after
+
+
+def test_compact_partitioned_keeps_pruning(spark, tmp_path):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .select("event_id", "user_id", "event_type", "event_date")
+    )
+    path = str(tmp_path / "ptbl")
+    ev.repartition(8).write.partitionBy("event_date").parquet(path)
+
+    stats = compact_table(
+        spark,
+        path,
+        target_file_bytes=1 << 30,
+        partition_by=("event_date",),
+        sort_within_by=("user_id",),
+    )
+    assert stats["files_after"] < stats["files_before"]
+
+    # hive layout survived and partition pruning still applies
+    one_day = ev.select(F.min("event_date")).collect()[0][0]
+    pruned = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == ev.filter(F.col("event_date") == F.lit(one_day)).count()

@@ -82,3 +82,20 @@ def test_streaming_sessionize_incremental_batches(spark, tmp_path):
     batch = sessionize(ev)
     cols = ["user_id", "session_start", "session_end", "n_events", "value_sum"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_rate_source_demo_deterministic(spark):
+    from website_traffic_etl_gcp_spark.streaming.rollups import run_rate_demo
+
+    out = run_rate_demo(spark, rows_per_batch=1000, n_batches=3).collect()
+    assert len(out) > 0
+    total = sum(r["n_events"] for r in out)
+    # rate-micro-batch emits exactly rows_per_batch rows per batch
+    assert total == 3000
+    types = {r["event_type"] for r in out}
+    assert types == {"type_0", "type_1", "type_2", "type_3"}
+    # deterministic timestamps (startTimestamp=0, 1 min per batch):
+    # re-running must give the identical rollup
+    out2 = run_rate_demo(spark, rows_per_batch=1000, n_batches=3).collect()
+    key = lambda rows: sorted((r["minute"], r["event_type"], r["n_events"], r["value_sum"]) for r in rows)
+    assert key(out) == key(out2)

@@ -85,3 +85,62 @@ def dedupe_warehouse(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+    sort_within_by: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction (the OPTIMIZE step of a streaming-append
+    warehouse): rewrite the table so data files are ~``target_file_bytes``
+    each, preserving hive partitioning and optionally clustering rows
+    within files (``sort_within_by``) so min/max stats prune row groups.
+
+    Streaming sinks and frequent small appends leave thousands of tiny
+    files; at 100 TB that turns every scan into metadata + open-cost
+    hell. Compaction is one read + one write sized from the actual
+    byte count — no shuffle unless re-partitioning demands it.
+
+    Local-filesystem swap (staging dir + rename); on an object store
+    the same rewrite lands behind a manifest/metastore pointer swap.
+    Returns {files_before, files_after, bytes_total}.
+    """
+    root = Path(table_path)
+    data_files = [
+        p for p in root.rglob("*.parquet") if not p.name.startswith(("_", "."))
+    ]
+    bytes_total = sum(p.stat().st_size for p in data_files)
+    n_out = max(1, -(-bytes_total // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(table_path)
+    if partition_by:
+        # one file per (partition × slice): repartition on the partition
+        # columns so each hive dir is written by few tasks, not all
+        df = df.repartition(int(n_out), *[F.col(c) for c in partition_by])
+    else:
+        df = df.repartition(int(n_out))
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+
+    staging = root.with_name(root.name + ".__compact_staging__")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(staging))
+
+    old = root.with_name(root.name + ".__compact_old__")
+    root.rename(old)
+    staging.rename(root)
+    shutil.rmtree(old)
+
+    files_after = len(
+        [p for p in root.rglob("*.parquet") if not p.name.startswith(("_", "."))]
+    )
+    return {
+        "files_before": len(data_files),
+        "files_after": files_after,
+        "bytes_total": bytes_total,
+    }

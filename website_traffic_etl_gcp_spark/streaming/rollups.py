@@ -109,3 +109,103 @@ def run_to_completion(result: DataFrame, output_mode: str = "complete") -> DataF
 
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(hourly_counts(events_stream(spark, sf_dir)))
+
+
+def rate_events(
+    spark: SparkSession,
+    rows_per_batch: int,
+    n_types: int = 4,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Synthetic event stream from the deterministic ``rate-micro-batch``
+    source — the load-generator path: same downstream pipeline as the
+    file stream, but input volume is dialed in code. Each generated row
+    becomes an event whose type cycles through ``n_types`` values.
+    ``max_rows`` caps the stream on the source's monotonic row counter
+    (must be applied BEFORE the value remap below, which folds the
+    counter into [0, 100))."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+    )
+    if max_rows is not None:
+        raw = raw.filter(F.col("value") < max_rows)
+    return raw.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("type_"), (F.col("value") % n_types).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )
+
+
+def rate_rollup(stream: DataFrame) -> DataFrame:
+    """Per-minute per-type counts over the synthetic stream — the same
+    watermark + tumbling-window shape as the production rollup."""
+    return (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(
+            F.window("ts", "1 minute").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_rate_demo(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    n_batches: int = 3,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Run the synthetic-ingest rollup until exactly
+    ``rows_per_batch × n_batches`` generated rows have been aggregated,
+    then stop. rate-micro-batch emits deterministic (timestamp, value)
+    rows — value is a global counter — so capping on ``value`` makes
+    the final aggregate identical run to run even though the source
+    itself is unbounded. (An unbounded source never drains, so
+    ``processAllAvailable``/``availableNow`` can't terminate it; the
+    cap + poll is the bounded-demo idiom.)"""
+    import time
+
+    expected = rows_per_batch * n_batches
+    capped = rate_events(spark, rows_per_batch, max_rows=expected)
+    name = f"rate_{uuid.uuid4().hex[:12]}"
+    q = (
+        rate_rollup(capped)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            got = (
+                spark.table(name).agg(F.sum("n_events").alias("n")).collect()[0]["n"]
+            )
+            if got == expected:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError(
+                f"rate demo saw {got}/{expected} rows within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)
