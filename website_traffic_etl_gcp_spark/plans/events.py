@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.money import dec, dec_sum
+from ..operators import rangejoin as rj
 from ..operators.sessionize import DEFAULT_GAP_SECONDS, sessionize
 from .registry import register
 
@@ -318,4 +319,67 @@ def rolling_7d_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(w).cast("double")
             / F.count(F.lit(1)).over(w).cast("double")
         ).alias("rolling_7d_avg"),
+    )
+
+
+@register(
+    "pre_purchase_activity",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{_TS_FMT_SQL}') AS purchase_ts,
+           COUNT(e.user_id) AS n_prior_events,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+               AS prior_value_sum
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 30 MINUTE
+     AND e.ts <  p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    tags=("events", "rangejoin"),
+    doc="Range (interval) join: per purchase, count + value of the "
+    "same user's events in the preceding 30 minutes. Implemented with "
+    "the bucketed interval join — points quantized to one time bucket, "
+    "intervals exploded to the ~2 buckets they cover, equi-join on "
+    "(user_id, bucket), exact refine after — so the plan is a plain "
+    "shuffled equi-join with constant fan-out, never a per-key cross "
+    "product. operators/rangejoin.py:bucketed_range_join.",
+)
+def pre_purchase_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn("lo", F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        .withColumn("hi", F.col("ts"))
+    )
+    points = ev.select("user_id", F.col("ts").alias("ets"), "value")
+    matched = rj.bucketed_range_join(
+        points,
+        purchases,
+        point_ts="ets",
+        lo_col="lo",
+        hi_col="hi",
+        keys=("user_id",),
+        bucket_seconds=1800,
+    )
+    agg = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.sum(dec("value", 2)).alias("v_dec"),
+    )
+    return (
+        purchases.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+            F.coalesce(F.col("n_prior"), F.lit(0)).alias("n_prior_events"),
+            F.coalesce(F.col("v_dec"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("prior_value_sum"),
+        )
     )
