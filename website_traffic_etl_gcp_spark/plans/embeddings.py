@@ -6,7 +6,7 @@ float ulp differences can't flip an ordering."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -184,3 +184,60 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = label_centroids(emb)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           CAST(MAX(mx) AS DOUBLE) AS max_abs,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(FLOOR(val * 127.0 / mx) AS BIGINT) * ord
+                    END) AS BIGINT) AS q_checksum
+    FROM (
+        SELECT vec_id, val, ord,
+               MAX(ABS(val)) OVER (PARTITION BY vec_id) AS mx
+        FROM (
+            SELECT vec_id,
+                   CAST(unnest(embedding) AS DOUBLE) AS val,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS ord
+            FROM embeddings
+        )
+    )
+    GROUP BY vec_id
+    """,
+    tags=("embeddings",),
+    doc="Int8 vector quantization (symmetric, per-vector scale "
+    "127/max|x|): the storage-compression path for ANN indexes — 4x "
+    "smaller vectors, distance error bounded by the scale. Emitted as "
+    "a position-weighted checksum of the codes so the full quantized "
+    "vector is pinned without comparing arrays. Floor-quantization "
+    "(never round) keeps Spark and DuckDB bit-identical; float32 "
+    "values are cast to double BEFORE any arithmetic. One posexplode "
+    "+ one groupBy — no per-row Python.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "fval"),
+    ).select(
+        "vec_id",
+        F.col("fval").cast("double").alias("val"),
+        (F.col("pos") + 1).cast("bigint").alias("ord"),
+    )
+    w = Window.partitionBy("vec_id")
+    mx = F.max(F.abs(F.col("val"))).over(w)
+    code = F.when(mx == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(F.col("val") * 127.0 / mx).cast("bigint")
+    )
+    return (
+        ex.withColumn("q", code * F.col("ord"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.abs("val")).alias("max_abs"),
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("q").alias("q_checksum"),
+        )
+    )
