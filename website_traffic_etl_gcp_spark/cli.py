@@ -30,23 +30,95 @@ def main(argv: list[str] | None = None) -> int:
         "--truncate", action="store_true",
         help="Replace warehouse data instead of appending",
     )
+    q_p = sub.add_parser("query", help="Run a registry query by name")
+    q_p.add_argument("name", help="Query name (see list-queries)")
+    q_p.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="Directory holding the parquet tables",
+    )
+    q_p.add_argument("--limit", type=int, default=20,
+                     help="Rows to display (0 = count only)")
+    sub.add_parser("list-queries", help="List every registry query")
+    c_p = sub.add_parser(
+        "compact", help="Rewrite a parquet table into ~target-size files"
+    )
+    c_p.add_argument("table_path")
+    c_p.add_argument("--target-mb", type=int, default=128)
+    c_p.add_argument(
+        "--partition-by", default="",
+        help="Comma-separated hive partition columns to preserve",
+    )
+    c_p.add_argument(
+        "--sort-within-by", default="",
+        help="Comma-separated columns to cluster within files",
+    )
     args = parser.parse_args(argv)
 
-    if args.command != "run":
-        parser.print_help()
+    if args.command == "run":
+        try:
+            config = load_config()
+        except ConfigError as e:
+            logger.error("Configuration error: %s", e)
+            return 1
+        if args.truncate:
+            config = config.with_truncate()
+        spark = get_spark("traffic-etl")
+        counts = run_etl(spark, config)
+        logger.info(
+            "loaded=%d quarantined=%d", counts["loaded"], counts["quarantined"]
+        )
         return 0
-    try:
-        config = load_config()
-    except ConfigError as e:
-        logger.error("Configuration error: %s", e)
-        return 1
-    if args.truncate:
-        config = config.with_truncate()
-    spark = get_spark("traffic-etl")
-    counts = run_etl(spark, config)
-    logger.info(
-        "loaded=%d quarantined=%d", counts["loaded"], counts["quarantined"]
-    )
+
+    if args.command == "list-queries":
+        from .plans.registry import REGISTRY
+
+        for name in sorted(REGISTRY):
+            entry = REGISTRY[name]
+            oracle = "oracle" if entry.oracle else "rows-only"
+            print(f"{name:32s} [{oracle}] {entry.doc.split('.')[0]}.")
+        return 0
+
+    if args.command == "query":
+        from .plans.registry import REGISTRY
+
+        if args.name not in REGISTRY:
+            logger.error(
+                "Unknown query %r. Run list-queries for the inventory.",
+                args.name,
+            )
+            return 1
+        spark = get_spark(f"query-{args.name}")
+        df = REGISTRY[args.name].builder(spark, args.sf_dir)
+        if args.limit > 0:
+            df.show(args.limit, truncate=False)
+        print(f"rows: {df.count()}")
+        return 0
+
+    if args.command == "compact":
+        from pathlib import Path
+
+        from .sources.writers import compact_table
+
+        if not Path(args.table_path).is_dir():
+            logger.error("Not a table directory: %s", args.table_path)
+            return 1
+        spark = get_spark("compact")
+        stats = compact_table(
+            spark,
+            args.table_path,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            partition_by=tuple(p for p in args.partition_by.split(",") if p),
+            sort_within_by=tuple(
+                s for s in args.sort_within_by.split(",") if s
+            ),
+        )
+        print(
+            f"files: {stats['files_before']} -> {stats['files_after']} "
+            f"({stats['bytes_total']} bytes)"
+        )
+        return 0
+
+    parser.print_help()
     return 0
 
 
