@@ -465,3 +465,39 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(25)
     )
+
+
+@register(
+    "lang_source_matrix",
+    oracle=f"""
+    SELECT source, pred_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           COUNT(*) FILTER (pred_lang = lang) AS n_label_agree
+    FROM (
+        SELECT source, lang, n_chars, {_sql_lang_pred()} AS pred_lang
+        FROM documents
+    )
+    GROUP BY source, pred_lang
+    """,
+    tags=("documents",),
+    doc="Corpus-composition matrix: per (source, predicted language) "
+    "doc counts, total characters, and agreement with the labeled "
+    "lang — the triage view a training-data pipeline uses to decide "
+    "what to keep per source. Language ID runs inline (no second "
+    "pass); one groupBy on two low-cardinality keys.",
+)
+def lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pred = ts.predicted_lang(ts.lang_scores("text"))
+    return (
+        d.select("source", "lang", "n_chars", pred.alias("pred_lang"))
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+            F.count(F.when(F.col("pred_lang") == F.col("lang"), 1)).alias(
+                "n_label_agree"
+            ),
+        )
+    )

@@ -734,3 +734,157 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal", 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational",),
+    doc="TPC-H Q6: pure scan-side revenue forecast — every predicate "
+    "(date range, discount band, quantity cap) pushes to the parquet "
+    "scan; no join, one partial-aggregated pass.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_SQL_REV} END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS total_revenue,
+           CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {_SQL_REV} END), 0) AS DOUBLE)
+               * 100.0 / CAST(SUM({_SQL_REV}) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY year(l.l_shipdate)
+    """,
+    tags=("relational",),
+    doc="TPC-H Q14 adaptation: PROMO parts' share of revenue per ship "
+    "year. Conditional decimal sums; the percentage is double math on "
+    "exact sums so both engines agree bit-for-bit.",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev()))
+    total = F.sum(_rev())
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+            (
+                F.coalesce(promo, F.lit(0).cast("decimal(38,4)")).cast("double")
+                * 100.0
+                / total.cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH sup_rev AS (
+        SELECT l_suppkey, SUM({_SQL_REV}) AS rev_dec
+        FROM lineitem l
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_dec AS DOUBLE) AS total_revenue
+    FROM sup_rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM sup_rev)
+    """,
+    tags=("relational",),
+    doc="TPC-H Q15: top revenue supplier for one quarter. The max is "
+    "taken over exact decimal sums (double max could tie-break "
+    "differently); implemented as one aggregation + a window max, so "
+    "lineitem is scanned once, not twice.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    sup_rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev_dec"))
+    w = Window.partitionBy()
+    top = sup_rev.withColumn("mx", F.max("rev_dec").over(w)).filter(
+        F.col("rev_dec") == F.col("mx")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+    tags=("relational",),
+    doc="TPC-H Q17 adaptation: revenue locked in small-quantity orders. "
+    "Per-part average quantity is aggregated FIRST (map-side partial), "
+    "then joined back on partkey — a self-join against reduced data, "
+    "not a correlated subquery per row.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.sum(dec("l_quantity", 2)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 2)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
