@@ -61,3 +61,27 @@ def test_compact_partitioned_keeps_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert pruned.count() == ev.filter(F.col("event_date") == F.lit(one_day)).count()
+
+
+def test_delete_rows_predicate(spark, tmp_path):
+    from website_traffic_etl_gcp_spark.sources.writers import delete_rows
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "del_tbl")
+    ev.write.parquet(path)
+    victim = ev.select("user_id").first()["user_id"]
+    n_victim = ev.filter(F.col("user_id") == victim).count()
+    n_total = ev.count()
+
+    stats = delete_rows(spark, path, f"user_id = {victim}")
+    assert stats == {
+        "rows_before": n_total,
+        "rows_deleted": n_victim,
+        "rows_after": n_total - n_victim,
+    }
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") == victim).count() == 0
+    # untouched users keep every row
+    assert back.count() == n_total - n_victim

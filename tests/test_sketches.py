@@ -23,3 +23,28 @@ def test_hll_within_error_bound(spark):
     for r in joined:
         rel_err = abs(r["approx_dau"] - r["dau"]) / max(r["dau"], 1)
         assert rel_err <= 0.10, f"{r['day']}: HLL off by {rel_err:.1%}"
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in REGISTRY["value_percentiles_approx"].builder(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    for etype, (p50, p90, p99) in approx.items():
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            # rank error: the approx value's rank must be within 1% of
+            # the target rank (accuracy=10000 guarantees 1/10000, the
+            # slack covers duplicate values)
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * (n - 1)
+            assert lo - 0.01 * n <= target <= hi + 0.01 * n, (
+                f"{etype} q={q}: value {got} rank [{lo},{hi}] vs target {target}"
+            )

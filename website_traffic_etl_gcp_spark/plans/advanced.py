@@ -393,3 +393,32 @@ def order_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "value_percentiles_approx",
+    oracle=None,  # sketch-based; error vs exact order statistics is
+    # asserted in tests/test_sketches.py
+    tags=("events", "sketch"),
+    doc="KLL/GK-style approximate percentiles (percentile_approx, "
+    "accuracy 10000) of event value per type: mergeable sketches make "
+    "this one map-side pass + tiny shuffle at any SF, where exact "
+    "order statistics need a full sort per group. Tested within "
+    "rank-error bounds of the exact quantiles.",
+)
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.5, 0.9, 0.99], 10000
+            ).alias("pcts")
+        )
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+    )

@@ -45,3 +45,24 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.run_to_completion(
         sessions.sessionize_stream(stream), output_mode="append"
     )
+
+
+@register(
+    "streaming_dedup_ingest",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "dedup"),
+    doc="Exactly-once ingest from an at-least-once source: the stream "
+    "reads every input file TWICE (duplicated landing dir) and "
+    "dropDuplicatesWithinWatermark on event_id suppresses redelivery "
+    "with watermark-bounded state. The oracle is the hourly rollup of "
+    "the ORIGINAL unduplicated table — matching it proves the dedup "
+    "removed exactly the redelivered rows. streaming/rollups.py:"
+    "dedup_ingest.",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollups.dedup_ingest(spark, sf_dir)

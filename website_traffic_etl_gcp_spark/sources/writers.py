@@ -87,6 +87,48 @@ def dedupe_warehouse(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     )
 
 
+def _swap_in(root: Path, staging: Path) -> None:
+    """Replace ``root`` with ``staging`` (local rename swap; on an
+    object store this is a manifest/metastore pointer swap)."""
+    old = root.with_name(root.name + ".__swap_old__")
+    root.rename(old)
+    staging.rename(root)
+    shutil.rmtree(old)
+
+
+def delete_rows(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Targeted delete by rewrite (retention enforcement / GDPR
+    right-to-erasure on a plain parquet table): keep everything NOT
+    matching ``predicate`` and swap the rewrite in. The predicate is a
+    SQL boolean expression; because the keep-filter is declarative it
+    pushes to the scan, and with hive partitioning a partition-key
+    predicate prunes untouched partitions from the read entirely.
+    Returns {rows_before, rows_deleted, rows_after}."""
+    root = Path(table_path)
+    df = spark.read.parquet(table_path)
+    rows_before = df.count()
+    keep = df.filter(f"NOT ({predicate})")
+
+    staging = root.with_name(root.name + ".__delete_staging__")
+    writer = keep.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(staging))
+
+    rows_after = spark.read.parquet(str(staging)).count()
+    _swap_in(root, staging)
+    return {
+        "rows_before": rows_before,
+        "rows_deleted": rows_before - rows_after,
+        "rows_after": rows_after,
+    }
+
+
 def compact_table(
     spark: SparkSession,
     table_path: str,
@@ -131,10 +173,7 @@ def compact_table(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(staging))
 
-    old = root.with_name(root.name + ".__compact_old__")
-    root.rename(old)
-    staging.rename(root)
-    shutil.rmtree(old)
+    _swap_in(root, staging)
 
     files_after = len(
         [p for p in root.rglob("*.parquet") if not p.name.startswith(("_", "."))]

@@ -60,6 +60,62 @@ def stream_source_dir(sf_dir: str, name: str = "events") -> str:
     return base
 
 
+def duplicated_stream_source_dir(sf_dir: str, name: str = "events") -> str:
+    """A landing dir where every input arrived TWICE (two links to the
+    same parquet) — the at-least-once-delivery scenario a dedup ingest
+    has to survive."""
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "stream_src_dup",
+        os.path.basename(sf_dir.rstrip("/")),
+        name,
+    )
+    os.makedirs(base, exist_ok=True)
+    src = table_path(sf_dir, name)
+    for suffix in ("a", "b"):
+        link = os.path.join(base, f"{name}_{suffix}.parquet")
+        if not os.path.islink(link):
+            os.symlink(src, link)
+    return base
+
+
+def dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest over an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` on the event key suppresses
+    redelivered rows while the watermark bounds the dedup state — keys
+    older than max(event time) − delay are evicted, so state is O(keys
+    per window), not O(all keys ever. The stream emits deduped rows in
+    append mode (a second stateful window agg would hold trailing
+    windows back until the watermark passes them — rollups belong
+    downstream); here the materialized result is rolled up batch-side
+    into per-hour counts, which must equal the batch rollup of the
+    ORIGINAL unduplicated data."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(duplicated_stream_source_dir(sf_dir, "events"))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    landed = run_to_completion(
+        deduped.select("event_id", "ts", "value"), output_mode="append"
+    )
+    return (
+        landed.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
