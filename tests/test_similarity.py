@@ -71,3 +71,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     cents = label_centroids(emb)
     assigned = sim.assign_cells(emb, cents, 1)
     assert assigned.count() == emb.count()
+
+
+def test_kmeans_converges_and_is_deterministic(spark):
+    from website_traffic_etl_gcp_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def inertia(n_iter):
+        a = kmeans(emb, k=8, n_iter=n_iter)
+        return a.agg(F.sum("dist")).collect()[0][0]
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 + 1e-9, f"inertia rose: {i1} -> {i3}"
+
+    # identical reruns: assignment is partition-order independent
+    a = {(r["vec_id"], r["cell_id"]) for r in kmeans(emb, 8, 2).collect()}
+    b = {(r["vec_id"], r["cell_id"]) for r in kmeans(emb, 8, 2).collect()}
+    assert a == b
+
+    # every vector assigned exactly once
+    assert len(a) == emb.count()

@@ -241,3 +241,27 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").alias("q_checksum"),
         )
     )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=None,  # iterative algorithm; determinism + convergence
+    # asserted in tests/test_similarity.py
+    tags=("embeddings", "clustering"),
+    doc="Lloyd's k-means (k=8, 4 iterations) over the embedding "
+    "corpus: per-cluster sizes + inertia contribution. Each iteration "
+    "is one broadcast-assign pass + one k x dim aggregation collected "
+    "to the driver, which truncates lineage (no exponential iterative "
+    "plans, no checkpoints). operators/clustering.py:kmeans.",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans
+
+    emb = _emb(spark, sf_dir)
+    assigned = kmeans(emb, k=8, n_iter=4)
+    return assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("dist").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("inertia"),
+    )
