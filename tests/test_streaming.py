@@ -99,3 +99,21 @@ def test_rate_source_demo_deterministic(spark):
     out2 = run_rate_demo(spark, rows_per_batch=1000, n_batches=3).collect()
     key = lambda rows: sorted((r["minute"], r["event_type"], r["n_events"], r["value_sum"]) for r in rows)
     assert key(out) == key(out2)
+
+
+def test_foreachbatch_upsert_idempotent(spark, tmp_path):
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.streaming.upsert import run_upsert_ingest
+
+    tbl = str(tmp_path / "warehouse")
+    n_original = load_table(spark, SF_DIR, "events").count()
+
+    # first drain: input arrives twice (duplicated landing dir), upsert
+    # must land each event exactly once
+    out1 = run_upsert_ingest(spark, SF_DIR, tbl, checkpoint_dir=str(tmp_path / "c1"))
+    assert out1.count() == n_original
+    assert out1.select("event_id").distinct().count() == n_original
+
+    # full redelivery (fresh checkpoint, same table): a no-op
+    out2 = run_upsert_ingest(spark, SF_DIR, tbl, checkpoint_dir=str(tmp_path / "c2"))
+    assert out2.count() == n_original

@@ -383,3 +383,61 @@ def pre_purchase_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prior_value_sum"),
         )
     )
+
+
+@register(
+    "session_window_rollup",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= {DEFAULT_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM tagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_SQL}') AS session_start,
+           strftime(MAX(ts) + INTERVAL {DEFAULT_GAP_SECONDS} SECOND,
+                    '{_TS_FMT_SQL}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "window"),
+    doc="Gap sessions via Spark's NATIVE session_window aggregation "
+    "(merging-window state, one groupBy — the same operator works "
+    "unchanged under readStream). Semantics differ from the lag-based "
+    "sessionize_events at the exact-gap boundary: session_window ends "
+    "are exclusive, so a gap of exactly 30min starts a new session "
+    "(oracle uses >=), and session_end = last event + gap.",
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{DEFAULT_GAP_SECONDS} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2)).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", fmt).alias("session_start"),
+            F.date_format("sw.end", fmt).alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
