@@ -1,0 +1,106 @@
+"""Property-based equivalence: the scalable operators must agree with
+naive reference implementations on arbitrary inputs, not just the
+planted fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.operators.rangejoin import bucketed_range_join
+from website_traffic_etl_gcp_spark.operators.sessionize import (
+    DEFAULT_GAP_SECONDS,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+# offsets in seconds; spans chosen to straddle bucket boundaries
+_point_offsets = st.lists(
+    st.integers(min_value=0, max_value=7200), min_size=0, max_size=12
+)
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7200),
+        st.integers(min_value=0, max_value=3600),
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(points=_point_offsets, ivs=_intervals)
+def test_range_join_matches_naive(spark, points, ivs):
+    p_rows = [(i, T0 + dt.timedelta(seconds=s)) for i, s in enumerate(points)]
+    iv_rows = [
+        (j, T0 + dt.timedelta(seconds=lo), T0 + dt.timedelta(seconds=lo + span))
+        for j, (lo, span) in enumerate(ivs)
+    ]
+    expected = {
+        (pid, ivid)
+        for pid, ts in p_rows
+        for ivid, lo, hi in iv_rows
+        if lo <= ts < hi
+    }
+    if not p_rows or not iv_rows:
+        assert expected == set()
+        return
+    pts = spark.createDataFrame(p_rows, ["pt_id", "ts"])
+    iv = spark.createDataFrame(iv_rows, ["iv_id", "lo", "hi"])
+    # deliberately small bucket (303s, prime) so intervals span many
+    got = {
+        (r["pt_id"], r["iv_id"])
+        for r in bucketed_range_join(
+            pts, iv, "ts", "lo", "hi", bucket_seconds=303
+        ).collect()
+    }
+    assert got == expected
+
+
+def _naive_sessions(events):
+    """events: sorted (ts_seconds) per user → list of (n_events)."""
+    sessions = []
+    cur = 0
+    prev = None
+    for t in events:
+        if prev is not None and t - prev > DEFAULT_GAP_SECONDS:
+            sessions.append(cur)
+            cur = 0
+        cur += 1
+        prev = t
+    if cur:
+        sessions.append(cur)
+    return sorted(sessions)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=20
+    )
+)
+def test_sessionize_matches_naive(spark, offsets):
+    uniq = sorted(set(offsets))
+    rows = [
+        (i, 1, T0 + dt.timedelta(seconds=s), 1.0, "view")
+        for i, s in enumerate(uniq)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value", "event_type"]
+    )
+    got = sorted(
+        r["n_events"] for r in sessionize(df).select("n_events").collect()
+    )
+    assert got == _naive_sessions(uniq)
