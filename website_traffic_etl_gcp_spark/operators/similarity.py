@@ -189,13 +189,16 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
+    # no dedup needed: each corpus vector lives in exactly ONE cell
+    # (n_probe=1 on the corpus side), so a (query, candidate) pair can
+    # meet through at most one cell — a distinct here would be a
+    # full extra shuffle for nothing
     return (
         c.join(
             F.broadcast(q),
             (c.cell_id == q.cell_id) & (F.col("cand_id") != F.col("query_id")),
         )
         .select("query_id", "cand_id", cos.alias("cosine"))
-        .distinct()
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
