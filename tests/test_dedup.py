@@ -95,3 +95,23 @@ def test_jaccard_dfcap_matches_uncapped_when_cap_is_loose(docs):
     c = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
     p = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in plain.collect()}
     assert c == p
+
+
+def test_connected_components_chains_and_islands(spark):
+    # chain 1-2-3 (1 and 3 never directly paired) + island 10-11:
+    # transitive closure must still unify the chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # a long path stresses the iteration count: 0-1-2-...-9
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+    )
+    got2 = {r["doc_id"]: r["cluster_id"] for r in dd.connected_components(path).collect()}
+    assert set(got2.values()) == {0} and len(got2) == 10

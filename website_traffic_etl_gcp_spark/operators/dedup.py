@@ -250,3 +250,61 @@ def simhash_near_pairs(fps: DataFrame) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Duplicate-CLUSTER formation: collapse the near-dup pair graph
+    into components via iterative min-label propagation — the step that
+    turns pairwise dedup output into actual removal groups (keep
+    cluster_id, drop the rest).
+
+    Each iteration: every node takes min(own label, neighbors' labels);
+    converges in O(component diameter) rounds — dup clusters are
+    near-cliques, so 2-3 in practice. Per round: one join + one groupBy
+    on the edge list, both shuffles on node id. ``localCheckpoint``
+    truncates lineage each round (on a cluster with reliable storage,
+    ``checkpoint`` — the plan must not grow with iterations). The loop
+    exits early when no label changes.
+
+    Returns (doc_id, cluster_id = min doc id of the component) for
+    every doc that appears in at least one pair."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -501,3 +501,64 @@ def lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH sh AS ({_SQL_DOCS_SH}),
+    bucketed AS (
+        SELECT doc_id,
+               lang || ':' || CAST(n_chars // 50 AS VARCHAR) AS bucket,
+               shingles
+        FROM sh
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM bucketed),
+    ex AS (SELECT doc_id, bucket, unnest(shingles) AS shingle FROM bucketed),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.bucket = b.bucket AND a.shingle = b.shingle
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+          >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(a, b) AS (
+        SELECT doc_a, doc_a FROM edges
+        UNION
+        SELECT c.a, e.doc_b
+        FROM closure c JOIN edges e ON c.b = e.doc_a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id
+    FROM closure GROUP BY a
+    """,
+    tags=("documents", "dedup"),
+    doc="Duplicate-cluster formation: connected components over the "
+    "jaccard near-dup pair graph via iterative min-label propagation "
+    "(converges in O(component diameter) rounds; lineage truncated "
+    "per round). The keep/drop decision of a dedup pipeline happens "
+    "per CLUSTER, not per pair — keep cluster_id, drop the rest. "
+    "Oracle is a recursive-CTE transitive closure. "
+    "operators/dedup.py:connected_components.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    pairs = dd.ngram_jaccard_pairs(d, bucket, NGRAM_JACCARD_THRESHOLD)
+    return dd.connected_components(pairs)
