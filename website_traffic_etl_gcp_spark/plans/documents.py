@@ -562,3 +562,128 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
     pairs = dd.ngram_jaccard_pairs(d, bucket, NGRAM_JACCARD_THRESHOLD)
     return dd.connected_components(pairs)
+
+
+@register(
+    "top_terms_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    filtered AS (SELECT * FROM tok WHERE length(token) >= 3),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM filtered GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM filtered GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM filtered),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+                   AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)
+                                / CAST(df.df AS DOUBLE) DESC,
+                            tf.token
+               ) AS rnk
+        FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    tags=("documents",),
+    doc="Top-3 characteristic terms per doc by rational TF-IDF "
+    "(tf × N / df — a log-free monotone transform of classic idf; "
+    "ln() is not bit-identical across engines' libm, exact-int "
+    "ratios are). Two aggregations over one token explode; the "
+    "df side is token-keyed and broadcastable at any corpus size "
+    "where the vocabulary fits (cap or hash otherwise).",
+)
+def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text("text"), " ")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast(
+        "double"
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "token", score.alias("tfidf"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "bigram_next_token_prob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    bi AS (
+        SELECT a.token AS w1, b.token AS w2, COUNT(*) AS c12
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM bi GROUP BY w1)
+    SELECT w1, w2, c12,
+           CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_next
+    FROM bi JOIN uni USING (w1)
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("documents",),
+    doc="Bigram language-model counts: P(w2 | w1) = c(w1 w2) / c(w1·) "
+    "for the 20 most frequent bigrams — the conditional-probability "
+    "table an n-gram LM or tokenizer-merge step consumes. The "
+    "denominator reuses the bigram counts (one explode, two "
+    "aggregations); exact-int division to double on both engines.",
+)
+def bigram_next_token_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("w2", F.lead("token", 1).over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("token").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        bi.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (F.col("c12").cast("double") / F.col("c1").cast("double")).alias(
+                "p_next"
+            ),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )
