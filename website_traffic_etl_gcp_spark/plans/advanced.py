@@ -422,3 +422,112 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pcts")[2].alias("p99"),
         )
     )
+
+
+@register(
+    "customer_balance_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+    FROM ranked
+    GROUP BY decile
+    """,
+    tags=("relational", "window"),
+    doc="Balance decile profile via NTILE(10): equal-frequency bands "
+    "with min/max/avg per band. The window orders on (balance, "
+    "custkey) so tie placement at band boundaries is deterministic "
+    "on both engines. A global NTILE is a single-partition sort — "
+    "fine for ranked summaries; use bucketized approx quantiles when "
+    "the output itself is per-row at 100 TB.",
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+            (
+                F.sum(dec("c_acctbal", 2)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "signup_to_purchase_latency",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) FILTER (event_type = 'signup') AS s_us,
+               MIN(epoch_us(ts)) FILTER (event_type = 'purchase') AS p_us
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, (p_us - s_us) AS delta_us
+        FROM firsts WHERE s_us IS NOT NULL AND p_us IS NOT NULL
+          AND p_us >= s_us
+    ),
+    ranked AS (
+        SELECT delta_us,
+               ROW_NUMBER() OVER (ORDER BY delta_us, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT (SELECT COUNT(*) FROM conv) AS n_converted,
+           (SELECT CAST(SUM(delta_us) AS DOUBLE) / COUNT(*) / 1000000.0
+            FROM conv) AS avg_seconds,
+           (SELECT CAST(delta_us AS DOUBLE) / 1000000.0 FROM ranked
+            WHERE rn = (n + 1) // 2) AS median_seconds
+    """,
+    tags=("events", "window"),
+    doc="Signup→first-purchase conversion latency: count, mean, and "
+    "exact lower-median over integer microsecond deltas (no float "
+    "interpolation, rank tie-broken by user). One groupBy with "
+    "conditional MINs — not one pass per event type.",
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    conv = firsts.filter(
+        F.col("s_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("s_us"))
+    ).select("user_id", (F.col("p_us") - F.col("s_us")).alias("delta_us"))
+    w = Window.orderBy("delta_us", "user_id")
+    ranked = conv.select(
+        "delta_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    agg = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (
+            F.sum("delta_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1e6
+        ).alias("avg_seconds"),
+    )
+    median = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+    ).select((F.col("delta_us").cast("double") / 1e6).alias("median_seconds"))
+    return agg.crossJoin(F.broadcast(median))
