@@ -83,3 +83,51 @@ def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, METADATA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_checksum", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+RESIZE_W, RESIZE_H = 224, 224
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling + resize plumbing: ONE payload row fans out to
+    1 + (n_bytes mod 4) frame rows — the one-to-many ``mapInPandas``
+    shape a video pipeline needs (a generator may yield any number of
+    output rows per Arrow batch, so fan-out never materializes
+    driver-side). Frame "decode" is the deterministic stand-in
+    (md5(payload ':' idx)); the resize step is represented by the
+    fixed target dims a preprocessing pipeline would normalize to."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = 1 + len(payload) % 4
+                for k in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sums.append(
+                        hashlib.md5(
+                            payload + b":" + str(k).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_checksum": sums,
+                    "width": pd.Series([RESIZE_W] * len(ids), dtype="int32"),
+                    "height": pd.Series([RESIZE_H] * len(ids), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)

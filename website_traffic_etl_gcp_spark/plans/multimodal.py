@@ -32,3 +32,27 @@ from .registry import register
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.extract_metadata(mm.with_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+                AS BIGINT) AS frame_idx,
+           md5(text || ':' ||
+               CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+                    AS VARCHAR)) AS frame_checksum,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height
+    FROM documents
+    """,
+    tags=("multimodal",),
+    doc="Frame sampling: one payload row fans out to 1..4 frame rows "
+    "through a generator mapInPandas (the one-to-many batch shape of "
+    "video decode), each frame carrying a deterministic checksum and "
+    "the resize-target dims. operators/multimodal.py:sample_frames.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.with_payload(docs))
