@@ -104,3 +104,45 @@ def test_sessionize_matches_naive(spark, offsets):
         r["n_events"] for r in sessionize(df).select("n_events").collect()
     )
     assert got == _naive_sessions(uniq)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.data(),
+    base_words=st.integers(min_value=20, max_value=40),
+)
+def test_minhash_estimate_tracks_jaccard(spark, data, base_words):
+    """Signature agreement rate is an unbiased estimator of Jaccard:
+    for doc pairs built by word substitution, |estimate - exact| must
+    stay within the k=16 sampling error."""
+    from website_traffic_etl_gcp_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_signatures,
+    )
+    from website_traffic_etl_gcp_spark.operators.textstats import (
+        exploded_shingles,
+    )
+
+    words = [f"w{i}" for i in range(base_words)]
+    n_swap = data.draw(st.integers(min_value=0, max_value=base_words // 2))
+    mutated = list(words)
+    for i in range(n_swap):
+        mutated[2 * i + 1] = f"x{i}"   # stride-2: spreads edits across shingles
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(mutated))], ["doc_id", "text"]
+    )
+    # exact jaccard over the SAME shingle definition the minhash uses
+    sh = exploded_shingles(docs).collect()
+    s0 = {r["shingle"] for r in sh if r["doc_id"] == 0}
+    s1 = {r["shingle"] for r in sh if r["doc_id"] == 1}
+    exact = len(s0 & s1) / len(s0 | s1)
+
+    sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(MINHASH_K)]
+            for r in minhash_signatures(docs).collect()}
+    est = sum(a == b for a, b in zip(sigs[0], sigs[1])) / MINHASH_K
+    # k=16 Bernoulli draws: 3 sigma ~ 3*sqrt(0.25/16) = 0.375
+    assert abs(est - exact) <= 0.40, f"exact={exact:.2f} est={est:.2f}"

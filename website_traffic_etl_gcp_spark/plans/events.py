@@ -441,3 +441,70 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "daily_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT day, n,
+               SUM(n)   OVER w AS s1,
+               SUM(n*n) OVER w AS s2,
+               COUNT(*) OVER w AS k
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n,
+           CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS trailing_mean,
+           (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE))
+             AS zscore
+    FROM stats
+    WHERE k = 7
+      AND CAST(s2 AS DOUBLE) * CAST(k AS DOUBLE)
+          > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+    """,
+    tags=("events", "window"),
+    doc="Volume anomaly detection: z-score of each day's event count "
+    "against the trailing 7-day window (excluding itself). All "
+    "moments are exact integer sums (counts and squared counts) "
+    "converted once to double — and IEEE sqrt is correctly rounded — "
+    "so the score is bit-identical across engines. Zero-variance "
+    "windows are excluded rather than divided by zero.",
+)
+def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    kd = F.col("k").cast("double")
+    mean = s1d / kd
+    var = (s2d - s1d * s1d / kd) / kd
+    return (
+        stats.filter(
+            (F.col("k") == 7) & (s2d * kd > s1d * s1d)
+        )
+        .select(
+            "day",
+            "n",
+            mean.alias("trailing_mean"),
+            ((F.col("n").cast("double") - mean) / F.sqrt(var)).alias("zscore"),
+        )
+    )
