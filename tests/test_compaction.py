@@ -85,3 +85,21 @@ def test_delete_rows_predicate(spark, tmp_path):
     assert back.filter(F.col("user_id") == victim).count() == 0
     # untouched users keep every row
     assert back.count() == n_total - n_victim
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from website_traffic_etl_gcp_spark.sources.writers import read_warehouse
+
+    tbl = str(tmp_path / "evolving")
+    ev = load_table(spark, SF_DIR, "events")
+    # v1 writes two columns; a later producer appends a third
+    ev.select("event_id", "user_id").write.parquet(tbl)
+    ev.select("event_id", "user_id", "event_type").write.mode("append").parquet(tbl)
+
+    merged = read_warehouse(spark, tbl, merge_schema=True)
+    assert set(merged.columns) == {"event_id", "user_id", "event_type"}
+    n = ev.count()
+    assert merged.count() == 2 * n
+    # old files surface the new column as NULL; new files carry values
+    assert merged.filter(F.col("event_type").isNull()).count() == n
+    assert merged.filter(F.col("event_type").isNotNull()).count() == n

@@ -687,3 +687,65 @@ def bigram_next_token_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# Per-source sampling rates (percent) — the "training mix" config.
+# Machine-generates both the Spark CASE and the SQL CASE from one spec.
+SAMPLE_RATES = {f"src{i}": 80 for i in range(5)}
+SAMPLE_RATES.update({f"src{i}": 40 for i in range(5, 10)})
+SAMPLE_RATE_DEFAULT = 10
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_RATE_DEFAULT} END"
+
+
+@register(
+    "stratified_sample_mix",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+               {_MD5L.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+               < {_sql_rate_case()}
+           ) AS n_sampled,
+           CAST(COUNT(*) FILTER (
+               {_MD5L.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+               < {_sql_rate_case()}
+           ) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS realized_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("documents", "sampling"),
+    doc="Deterministic stratified sampling for training-mix "
+    "construction: keep a doc iff md5('sample:'||id) mod 100 < its "
+    "source's configured rate. Hash sampling (not rand()) means the "
+    "same mix reproduces on every rerun, any cluster size, either "
+    "engine — the property a reproducible data pipeline needs — and "
+    "the salt prefix decorrelates this decision from every other "
+    "hash use of the same ids. Pure map-side filter: no shuffle "
+    "beyond the reporting aggregation.",
+)
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import md5_long
+
+    d = _docs(spark, sf_dir)
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for s, r in reversed(list(SAMPLE_RATES.items())):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    keep = (
+        md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+        % 100
+        < rate
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+        (
+            F.count(F.when(keep, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("realized_rate"),
+    )

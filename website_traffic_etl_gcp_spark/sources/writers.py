@@ -69,8 +69,19 @@ def save_csv(df: DataFrame, out_dir: str, run_timestamp: str) -> str:
     return path
 
 
-def read_warehouse(spark: SparkSession, table_path: str) -> DataFrame:
-    return spark.read.parquet(table_path)
+def read_warehouse(
+    spark: SparkSession, table_path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read the warehouse table. ``merge_schema=True`` unions the
+    schemas of all part files (schema evolution: columns added by
+    later appends surface as NULL for older files). Off by default —
+    footer-merging costs one extra pass over file metadata, which on
+    a 100 TB table is millions of footers; flip it on only for tables
+    that actually evolve."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(table_path)
 
 
 def dedupe_warehouse(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
