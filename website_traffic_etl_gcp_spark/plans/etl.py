@@ -183,3 +183,46 @@ def etl_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "incremental_hourly_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+    tags=("etl", "incremental"),
+    doc="Incremental view maintenance: the standing hourly rollup is "
+    "maintained by MERGING partial aggregates — base (events before "
+    "the cutover) + delta (events after) are each rolled up "
+    "independently, then combined with a groupBy SUM over the union "
+    "of partials. Counts and decimal sums are mergeable, so the "
+    "nightly batch never rescans the base table; its cost is "
+    "O(delta) + O(distinct groups). The oracle is the FULL rollup — "
+    "a hash match proves merge(base, delta) == recompute(all).",
+)
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutover = F.lit("2024-01-16").cast("timestamp")  # mid-range split
+
+    def partial(df):
+        return df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2)).alias("v_dec"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutover))
+    delta = partial(ev.filter(F.col("ts") >= cutover))
+    return (
+        base.unionByName(delta)
+        .groupBy("hour")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("v_dec").cast("double").alias("value_sum"),
+        )
+    )

@@ -98,6 +98,30 @@ def dedupe_warehouse(df: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     )
 
 
+def write_zordered(
+    df: DataFrame,
+    table_path: str,
+    zorder_by: tuple[str, ...],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered on the Z-order key of ``zorder_by`` —
+    range-partitioned then sorted within files, so min/max stats stay
+    narrow for EVERY listed column and scans filtering any of them
+    prune files. Columns must already be small non-negative ints
+    (bucketize/rank first)."""
+    from ..functions.zorder import zorder_key
+
+    (
+        df.withColumn("__z", zorder_key(*zorder_by, bits=bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(table_path)
+    )
+
+
 def _swap_in(root: Path, staging: Path) -> None:
     """Replace ``root`` with ``staging`` (local rename swap; on an
     object store this is a manifest/metastore pointer swap)."""
