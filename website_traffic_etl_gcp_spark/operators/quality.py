@@ -1,0 +1,61 @@
+"""Data-quality expectations: declarative rule checks in ONE pass.
+
+The deequ/dbt-test shape: each expectation is (name, violation
+predicate); the checker turns the rule list into one aggregation with
+a conditional count per rule — a single scan regardless of rule count,
+map-side combinable — and emits a long-form report
+(rule, n_violations, n_rows, pass). Uniqueness-style rules that need a
+groupBy run as their own aggregation and union into the same report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """``rules`` maps rule name → VIOLATION predicate (true = bad row).
+    Returns (rule, n_violations, n_rows, passed) — one row per rule,
+    computed in one scan."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(F.count(F.when(pred, 1)).alias(name))
+    row = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(name).alias("n_violations"),
+            )
+            for name in rules
+        ]
+    )
+    return (
+        row.select(F.col("__n").alias("n_rows"), F.explode(per_rule).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_violations").alias("n_violations"),
+            "n_rows",
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+def expect_unique(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """Uniqueness expectation: counts rows participating in a duplicate
+    key group. Same report schema as :func:`expect`."""
+    dup_rows = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n_violations"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+    return dup_rows.crossJoin(total).select(
+        F.lit(name).alias("rule"),
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -508,3 +508,99 @@ def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n").cast("double") - mean) / F.sqrt(var)).alias("zscore"),
         )
     )
+
+
+@register(
+    "dq_events_expectations",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM events),
+    rules AS (
+        SELECT 'event_id_not_null' AS rule,
+               COUNT(*) FILTER (event_id IS NULL) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'value_non_negative',
+               COUNT(*) FILTER (value IS NOT NULL AND value < 0)
+        FROM events
+        UNION ALL
+        SELECT 'event_type_in_domain',
+               COUNT(*) FILTER (event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup', 'error'))
+        FROM events
+        UNION ALL
+        SELECT 'ts_in_range',
+               COUNT(*) FILTER (ts < TIMESTAMP '2020-01-01'
+                                OR ts >= TIMESTAMP '2030-01-01')
+        FROM events
+        UNION ALL
+        SELECT 'event_id_unique',
+               COALESCE((SELECT SUM(c) FROM (
+                   SELECT COUNT(*) AS c FROM events
+                   GROUP BY event_id HAVING COUNT(*) > 1)), 0)
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n.n_rows, n_violations = 0 AS passed
+    FROM rules, n
+    """,
+    tags=("events", "quality"),
+    doc="Data-quality gate over events: null checks, range checks, "
+    "domain membership, and key uniqueness as a declarative rule "
+    "list. All predicate rules evaluate in ONE scan (conditional "
+    "counts in a single aggregation); the uniqueness rule is its own "
+    "groupBy and unions into the same long-form report. "
+    "operators/quality.py:expect/expect_unique.",
+)
+def dq_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import expect, expect_unique
+
+    ev = _ev(spark, sf_dir)
+    rules = {
+        "event_id_not_null": F.col("event_id").isNull(),
+        "value_non_negative": F.col("value").isNotNull() & (F.col("value") < 0),
+        "event_type_in_domain": ~F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"
+        ),
+        "ts_in_range": (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+    }
+    return expect(ev, rules).unionByName(
+        expect_unique(ev, ["event_id"], "event_id_unique")
+    )
+
+
+@register(
+    "value_histogram_by_type",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 20.0)), 19)
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events, stats
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events",),
+    doc="Equi-width histogram (20 buckets over the global value range) "
+    "per event type: one broadcast scalar (min, max) + one map-side "
+    "bucketing pass + one groupBy. Floor-bucketing (no rounding) and "
+    "a LEAST clamp for the max value keep bucket assignment "
+    "bit-identical across engines.",
+)
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width), F.lit(19)
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
