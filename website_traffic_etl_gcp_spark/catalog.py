@@ -37,10 +37,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as int64 nanoseconds (nanosAsLong); truncate to the
-        # microsecond precision every other engine (and pandas) uses.
-        # Integer `div` — float division would lose precision above 2^53.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # ts arrives as int64 nanoseconds (nanosAsLong); truncate to
+            # the microsecond precision every other engine (and pandas)
+            # uses. Integer `div` — float division loses precision > 2^53.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # a producer that writes real timestamps (µs/ntz) needs no
+            # nano fold — only a session-tz cast for ntz files
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

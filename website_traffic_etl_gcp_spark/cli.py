@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     q_p.add_argument("--limit", type=int, default=20,
                      help="Rows to display (0 = count only)")
     sub.add_parser("list-queries", help="List every registry query")
+    dq_p = sub.add_parser(
+        "dq", help="Run the data-quality gate; exit 1 if any rule fails"
+    )
+    dq_p.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="Directory holding the parquet tables",
+    )
     c_p = sub.add_parser(
         "compact", help="Rewrite a parquet table into ~target-size files"
     )
@@ -92,6 +99,25 @@ def main(argv: list[str] | None = None) -> int:
         if args.limit > 0:
             df.show(args.limit, truncate=False)
         print(f"rows: {df.count()}")
+        return 0
+
+    if args.command == "dq":
+        from .plans.registry import REGISTRY
+
+        spark = get_spark("dq-gate")
+        report = REGISTRY["dq_events_expectations"].builder(
+            spark, args.sf_dir
+        ).collect()
+        failed = [r for r in report if not r["passed"]]
+        for r in report:
+            status = "PASS" if r["passed"] else "FAIL"
+            print(
+                f"{status}  {r['rule']:24s} "
+                f"violations={r['n_violations']}/{r['n_rows']}"
+            )
+        if failed:
+            logger.error("%d rule(s) failed", len(failed))
+            return 1
         return 0
 
     if args.command == "compact":

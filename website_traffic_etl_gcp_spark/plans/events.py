@@ -604,3 +604,49 @@ def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, SUM(n) AS n_from FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE) AS p
+    FROM trans t JOIN totals tt USING (from_type)
+    """,
+    tags=("events", "window"),
+    doc="Behavioral Markov matrix: P(next event type | current) from "
+    "per-user event sequences (lead window ordered by ts with "
+    "event_id tie-break). One shuffle on user_id for the sequence, "
+    "one tiny groupBy for the matrix — the transition table feeding "
+    "next-action models and funnel diagnostics.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
