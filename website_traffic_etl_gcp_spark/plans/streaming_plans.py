@@ -66,3 +66,28 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.dedup_ingest(spark, sf_dir)
+
+
+@register(
+    "streaming_view_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_prior_views
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+     AND v.ts <  p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    tags=("streaming", "rangejoin"),
+    doc="Stream-stream interval join: purchases x views on user_id "
+    "within a 30-minute lookback, watermarks on BOTH streams bounding "
+    "the join state. Oracle is the equivalent batch interval join — "
+    "purchases with zero prior views produce no row (inner join on "
+    "both paths). streaming/rollups.py:stream_stream_attribution.",
+)
+def streaming_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollups.stream_stream_attribution(spark, sf_dir)

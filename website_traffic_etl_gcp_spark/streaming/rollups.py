@@ -265,3 +265,48 @@ def run_rate_demo(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the purchases stream joins the
+    views stream on user_id with views constrained to the 30 minutes
+    before the purchase. Both sides carry watermarks, so the join
+    state evicts views older than the interval bound instead of
+    growing forever — the canonical two-stream attribution shape.
+    The raw matches land in append mode; per-purchase counts are a
+    batch aggregation over the materialized result (a second stateful
+    agg would wait on the final watermark)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(stream_source_dir(sf_dir, "events"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    views = (
+        raw.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    )
+    landed = run_to_completion(
+        joined.select("purchase_id", "p_user", "v_ts"), output_mode="append"
+    )
+    return landed.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_prior_views")
+    )
