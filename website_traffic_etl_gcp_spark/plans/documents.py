@@ -749,3 +749,38 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("realized_rate"),
     )
+
+
+@register(
+    "dedup_ensemble_pairs",
+    oracle=f"""
+    SELECT doc_a, doc_b, 'jaccard' AS tier
+    FROM ({_SQL_JACCARD_PAIRS})
+    UNION ALL
+    SELECT doc_a, doc_b, 'minhash' AS tier
+    FROM ({_sql_minhash()})
+    UNION ALL
+    SELECT doc_a, doc_b, 'simhash' AS tier
+    FROM ({_sql_simhash()})
+    """,
+    tags=("documents", "dedup"),
+    doc="Ensemble near-dup candidates: the union of all three tiers "
+    "(exact Jaccard, MinHash-LSH, SimHash) in long form with tier "
+    "provenance — the review table a dedup pipeline actually "
+    "consumes, where agreement across tiers raises confidence and "
+    "single-tier hits get a second look. Pure composition of the "
+    "registered operators; no new shuffle shape.",
+)
+def dedup_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    jac = dd.ngram_jaccard_pairs(d, bucket, NGRAM_JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit("jaccard").alias("tier")
+    )
+    mh = dd.minhash_band_pairs(dd.minhash_signatures(d)).select(
+        "doc_a", "doc_b", F.lit("minhash").alias("tier")
+    )
+    sh = dd.simhash_near_pairs(dd.simhash_fingerprints(d)).select(
+        "doc_a", "doc_b", F.lit("simhash").alias("tier")
+    )
+    return jac.unionByName(mh).unionByName(sh)
