@@ -10,7 +10,7 @@ cross join (the only thing that matters at 100 TB):
 - MinHash + LSH: k md5-derived min-hashes per doc (single groupBy after
   the shingle explode), banded into b keys; docs sharing a band key are
   candidates. Shuffle volume is O(docs × b), independent of pair count.
-- SimHash: 32-bit fingerprint from token-hash bit votes; near-dups =
+- SimHash: 48-bit fingerprint from token-hash bit votes; near-dups =
   pairs sharing a band byte with hamming distance ≤ r.
 
 All hashing goes through md5 (identical in DuckDB) so every tier is
@@ -26,8 +26,13 @@ from .textstats import exploded_shingles
 
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
-SIMHASH_BITS = 32
-SIMHASH_BAND_BYTES = 4
+# 48 bits: random doc pairs sit at expected hamming ~24, so the ≤3
+# filter admits only genuine near-dups (32 bits was permissive enough
+# on short docs to pass thousands of chance collisions). 48 = 6 byte
+# bands; any pair within hamming ≤ 3 still agrees on ≥ 3 of them, and
+# the fingerprint stays well inside a signed int64.
+SIMHASH_BITS = 48
+SIMHASH_BAND_BYTES = 6
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -191,9 +196,10 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """32-bit SimHash: per-token md5-derived hash, per-bit ±1 votes,
-    fingerprint from vote signs. One explode + one groupBy with 32 sum
-    expressions — a single shuffle regardless of corpus size."""
+    """SimHash: per-token md5-derived hash, per-bit ±1 votes,
+    fingerprint from vote signs. One explode + one groupBy with
+    SIMHASH_BITS sum expressions — a single shuffle regardless of
+    corpus size."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -216,9 +222,9 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(fps: DataFrame) -> DataFrame:
-    """Candidates share at least one of the 4 fingerprint bytes (any
-    pair within hamming ≤ 3 of a 32-bit code must agree on ≥1 byte);
-    exact hamming filter via xor+bit_count afterwards."""
+    """Candidates share at least one of the fingerprint's byte bands
+    (any pair within hamming ≤ 3 differs in ≤3 bytes, so agrees on the
+    rest); exact hamming filter via xor+bit_count afterwards."""
     bands = F.array(
         *[
             F.struct(

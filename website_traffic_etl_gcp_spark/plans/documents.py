@@ -373,7 +373,7 @@ def _sql_simhash() -> str:
     tags=("documents", "dedup"),
     doc=f"SimHash({dd.SIMHASH_BITS}-bit) near-dup pairs, hamming ≤ "
     f"{dd.SIMHASH_MAX_HAMMING}, byte-band candidate generation (any pair "
-    "within the radius must share ≥1 of 4 bytes). "
+    f"within the radius must share ≥1 of {dd.SIMHASH_BAND_BYTES} bytes). "
     "operators/dedup.py:simhash_fingerprints/simhash_near_pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
