@@ -888,3 +888,299 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS unit_price
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                     ORDER BY unit_price, l_suppkey) AS rn
+        FROM unit)
+    SELECT p_partkey, p_name, s_name, unit_price
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_type = 'STANDARD'
+    ORDER BY unit_price DESC, p_partkey LIMIT 100
+    """,
+    tags=("relational",),
+    doc="TPC-H Q2 adaptation (no partsupp table): cheapest EUROPE "
+    "supplier per STANDARD part by observed unit price. Argmin-per-group "
+    "via ROW_NUMBER over the (part, supplier) aggregate — one extra "
+    "shuffle on partkey over data already reduced to one row per "
+    "(part, supplier); nation/region broadcast.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    unit = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(dec("l_extendedprice", 2)).cast("double")
+                / F.sum(dec("l_quantity", 2)).cast("double")
+            ).alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            best.l_suppkey == F.col("s_suppkey"),
+        )
+        .orderBy(F.col("unit_price").desc(), "p_partkey")
+        .limit(100)
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+    )
+
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("relational",),
+    doc="TPC-H Q4 adaptation (no commit/receipt dates): 1997 orders with "
+    "at least one lineitem shipped >90 days after order date, counted by "
+    "priority. EXISTS expressed as a left-semi join — lineitem is never "
+    "widened or deduplicated, and the date filter on orders is pushed to "
+    "the parquet scan.",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q9_nation_profit",
+    oracle=f"""
+    SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST({_SQL_REV} AS DECIMAL(18,4))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+    """,
+    tags=("relational",),
+    doc="TPC-H Q9 adaptation (no partsupp): profit = revenue - 50% of "
+    "retail-price cost basis, by supplier nation and order year, for "
+    "'red' parts. The p_name filter prunes part BEFORE the join so only "
+    "matching partkeys reach the big lineitem join; supplier/nation "
+    "broadcast. All money math exact decimal until the final cast.",
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(0.5).cast("decimal(2,1)")
+    )
+    profit = _rev().cast("decimal(18,4)") - cost
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (SELECT l_partkey, SUM({_SQL_REV}) AS v
+                 FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM({_SQL_REV}) AS t FROM lineitem)
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE v > t * CAST(0.0008 AS DECIMAL(5,4))
+    ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("relational",),
+    doc="TPC-H Q11 adaptation: parts whose revenue exceeds 0.08% of "
+    "global revenue. The scalar total is a one-row aggregate broadcast "
+    "into the HAVING-style filter (no second pass over lineitem per "
+    "part); the exact-decimal comparison makes the cut engine-exact.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    val = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("v"))
+    tot = li.agg(F.sum(_rev()).alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") > F.col("t") * F.lit(0.0008).cast("decimal(5,4)"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational",),
+    doc="TPC-H Q13: distribution of non-urgent order counts per "
+    "customer, including zero-order customers (left join, filter in the "
+    "join condition — a WHERE would silently drop them). Two "
+    "aggregations, each over already-reduced data.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH li AS (SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'),
+    multi AS (SELECT l_orderkey FROM li
+              GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1),
+    late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li
+             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+    sole AS (SELECT l_orderkey FROM late
+             GROUP BY l_orderkey HAVING COUNT(*) = 1)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN multi USING (l_orderkey)
+    JOIN sole USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+    tags=("relational",),
+    doc="TPC-H Q21 adaptation (lateness = shipped >60d after order "
+    "date): suppliers who were the SOLE late shipper on a finished "
+    "multi-supplier order. The EXISTS/NOT-EXISTS pair is re-expressed "
+    "as two aggregates over the same reduced (order, supplier) set — "
+    "every join keys on l_orderkey so AQE can co-partition the chain; "
+    "supplier names broadcast at the end.",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(multi, "l_orderkey")
+        .join(sole, "l_orderkey")
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
