@@ -784,3 +784,113 @@ def dedup_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit("simhash").alias("tier")
     )
     return jac.unionByName(mh).unionByName(sh)
+
+
+# ---- decontamination / repetition quality ------------------------------
+
+_SQL_SH_BY_SOURCE = f"""
+    SELECT doc_id, source,
+           {ts.SQL_SHINGLES.format(toks='toks', norm='norm')} AS shingles
+    FROM (SELECT doc_id, source, norm, string_split(norm, ' ') AS toks
+          FROM ({_SQL_DOCS_NORM}))
+"""
+
+EVAL_SOURCE = "src0"
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH sh AS ({_SQL_SH_BY_SOURCE}),
+    ev AS (SELECT DISTINCT unnest(shingles) AS shingle
+           FROM sh WHERE source = '{EVAL_SOURCE}'),
+    tr AS (SELECT doc_id, unnest(shingles) AS shingle
+           FROM sh WHERE source <> '{EVAL_SOURCE}'),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM tr GROUP BY doc_id),
+    hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+    SELECT t.doc_id, h.n_overlap, t.n_shingles,
+           CAST(h.n_overlap AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+               AS overlap_ratio
+    FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+    """,
+    tags=("documents", "dedup"),
+    doc="Benchmark decontamination (GPT-3/Pile style): training docs "
+    f"sharing any word-{ts.SHINGLE_K}-gram with the eval set "
+    f"(source='{EVAL_SOURCE}'), with overlap counts and ratio for "
+    "thresholded removal. The eval shingle set is tiny relative to the "
+    "corpus — built once, broadcast into the training-side explode, so "
+    "the scan of the 100 TB side is a single pass with no shuffle for "
+    "the probe. operators/textstats.py:exploded_shingles.",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ev_sh = (
+        ts.exploded_shingles(d.filter(F.col("source") == EVAL_SOURCE))
+        .select("shingle")
+        .distinct()
+    )
+    tr_sh = ts.exploded_shingles(d.filter(F.col("source") != EVAL_SOURCE))
+    tot = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_shingles",
+        (
+            F.col("n_overlap").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("overlap_ratio"),
+    )
+
+
+@register(
+    "doc_repetition_score",
+    oracle=f"""
+    WITH big AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM (SELECT doc_id, string_split(norm, ' ') AS toks
+              FROM ({_SQL_DOCS_NORM}))
+        WHERE len(toks) >= 2),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c
+            FROM big GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("documents",),
+    doc="Gopher-style repetition quality signal: share of a doc's "
+    "bigrams taken by its single most frequent bigram (high share = "
+    "boilerplate/spam). Two cascaded aggregations on the same doc_id "
+    "key — the second reuses the first's partitioning, so one shuffle "
+    "total after the token explode.",
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cnt = (
+        tok.withColumn("nxt", F.lead("token", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_share"),
+    )
