@@ -77,3 +77,22 @@ def test_catalog_pushdown_intact(spark):
     df = load_table(spark, SF_DIR, "events").select("event_id").filter("event_id = 7")
     plan = _explain(df)
     assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id,7)]" in plan
+
+
+def test_q4_semi_join_with_pushed_dates(spark):
+    plan = _plan(spark, "q4_late_shipment_priority")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan
+
+
+def test_q9_part_filter_reaches_scan(spark):
+    plan = _plan(spark, "q9_nation_profit")
+    assert "StringContains(p_name,red)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_pushes_source_split(spark):
+    # both the eval and the train side must prune on source AT THE SCAN
+    plan = _plan(spark, "decontaminate_eval_overlap")
+    assert "EqualTo(source,src0)" in plan
+    assert "Not(EqualTo(source,src0))" in plan
