@@ -92,3 +92,19 @@ def test_kmeans_converges_and_is_deterministic(spark):
 
     # every vector assigned exactly once
     assert len(a) == emb.count()
+
+
+def test_recall_eval_query(spark):
+    from website_traffic_etl_gcp_spark.plans.registry import REGISTRY
+    from .conftest import SF_DIR
+
+    rows = {
+        r["method"]: r
+        for r in REGISTRY["knn_recall_eval"].builder(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"ivf", "lsh"}
+    for r in rows.values():
+        assert r["n_queries"] >= 1
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+    # the indexes must beat random-candidate recall by a wide margin
+    assert rows["ivf"]["mean_recall"] >= 0.4

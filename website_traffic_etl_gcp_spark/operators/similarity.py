@@ -202,3 +202,32 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one: |approx ∩ exact| / k. Queries the approximate index
+    missed entirely still appear (recall 0) via the left join from the
+    exact side — silently dropping them would overstate quality.
+
+    Both inputs are (query_id, cand_id, ...) top-k frames, already tiny
+    (|queries| × k rows), so every join here is broadcast-sized
+    regardless of corpus scale."""
+    hits = (
+        approx.select("query_id", "cand_id")
+        .join(exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

@@ -265,3 +265,38 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("inertia"),
     )
+
+
+@register(
+    "knn_recall_eval",
+    oracle=None,  # evaluates the (non-SQL-expressible) approximate
+    # indexes; determinism is integer-exact — see doc
+    tags=("embeddings", "similarity"),
+    doc="ANN quality gate: recall@k of the IVF and LSH indexes against "
+    "brute-force ground truth, one row per method. The aggregate sums "
+    "INTEGER hit counts (not per-query double fractions) so the result "
+    "is shuffle-order independent: mean_recall = sum_hits / (n_queries "
+    "× k) exactly. operators/similarity.py:recall_at_k.",
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = sim.brute_force_topk(emb, q, KNN_K)
+    methods = {
+        "ivf": sim.ivf_topk(emb, q, label_centroids(emb), KNN_K, n_probe=2),
+        "lsh": sim.lsh_topk(emb, q, KNN_K, EMBED_DIM),
+    }
+    out = None
+    for name, approx in methods.items():
+        per_q = sim.recall_at_k(approx, exact, KNN_K)
+        row = per_q.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).alias("n_queries"),
+            (
+                F.sum("n_hits").cast("double")
+                / (F.count(F.lit(1)) * KNN_K).cast("double")
+            ).alias("mean_recall"),
+            F.min("recall").alias("min_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
