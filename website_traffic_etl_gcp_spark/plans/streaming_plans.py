@@ -91,3 +91,25 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.stream_stream_attribution(spark, sf_dir)
+
+
+@register(
+    "streaming_segment_revenue",
+    oracle="""
+    SELECT strftime(e.ts, '%Y-%m-%d %H:00:00') AS hour,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+    doc="Stream-static join enrichment: the event stream joined per "
+    "micro-batch to the static customer dimension (broadcast — no "
+    "shuffle, no join state), then a watermarked hourly rollup per "
+    "market segment. Oracle is the equivalent batch join+rollup. "
+    "streaming/rollups.py:stream_static_enrichment.",
+)
+def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollups.stream_static_enrichment(spark, sf_dir)

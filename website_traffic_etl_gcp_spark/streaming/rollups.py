@@ -310,3 +310,42 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landed.groupBy("purchase_id").agg(
         F.count(F.lit(1)).alias("n_prior_views")
     )
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch
+    with the static customer dimension (user_id → market segment),
+    then rolled up to hourly revenue per segment.
+
+    The static side is a plain batch DataFrame — Spark re-resolves it
+    against each micro-batch, so a dimension refresh lands without
+    restarting the query. It is broadcast: the join adds ZERO shuffle
+    to the stream, and the streaming state store only ever holds the
+    windowed aggregate, never join state (unlike stream-stream joins
+    there is nothing to buffer — the static side is always complete)."""
+    from ..catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "segment",
+            "n_events",
+            "value_sum",
+        )
+    )
+    return run_to_completion(agg)
