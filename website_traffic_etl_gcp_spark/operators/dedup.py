@@ -62,8 +62,16 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct shingles for candidate pairs sharing
     a content bucket. Inverted-index join: |A∩B| from the shingle
     self-join, |A|,|B| from per-doc sizes — no per-pair array ops, no
-    cross join."""
-    ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
+    cross join.
+
+    The exploded index is localCheckpoint'd (lazily): it feeds both
+    sides of the self-join plus the size aggregate, and without the
+    checkpoint Spark recomputes the explode + window sort for each
+    consumer (~40% of query time). This is the 'build the index once'
+    step — on a cluster with reliable storage, write it out instead."""
+    ex = exploded_shingles(
+        df, id_col, text_col, extra={"bucket": bucket}
+    ).localCheckpoint(eager=False)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _jaccard_from_index(ex, sizes, threshold)
 
@@ -93,7 +101,7 @@ def ngram_jaccard_pairs_dfcap(
         .filter(F.col("df") <= max_df)
         .select("bucket", "shingle")
     )
-    kept = ex.join(rare, ["bucket", "shingle"])
+    kept = ex.join(rare, ["bucket", "shingle"]).localCheckpoint(eager=False)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _jaccard_from_index(kept, sizes, threshold)
 
