@@ -183,9 +183,14 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
             for j in range(MINHASH_BANDS)
         ]
     )
-    keyed = sigs.select(
-        "doc_id", F.explode(bands).alias("b")
-    ).select("doc_id", "b.band_idx", "b.band_key")
+    # the self-join consumes this twice; without the (lazy) checkpoint
+    # the whole signature pipeline — shingle explode, window sort, k-way
+    # min aggregate — executes once per side (~3× the query time)
+    keyed = (
+        sigs.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", "b.band_idx", "b.band_key")
+        .localCheckpoint(eager=False)
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -242,8 +247,12 @@ def simhash_near_pairs(fps: DataFrame) -> DataFrame:
             for j in range(SIMHASH_BAND_BYTES)
         ]
     )
-    keyed = fps.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
-        "doc_id", "simhash", "b.band_idx", "b.band_val"
+    # self-joined twice below — checkpoint so the fingerprint groupBy
+    # (one explode + SIMHASH_BITS sums) runs once, not per join side
+    keyed = (
+        fps.select("doc_id", "simhash", F.explode(bands).alias("b"))
+        .select("doc_id", "simhash", "b.band_idx", "b.band_val")
+        .localCheckpoint(eager=False)
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(
