@@ -62,6 +62,9 @@ def run_etl(
         writers.load_to_warehouse(
             rejects, f"{config.warehouse_path.rstrip('/')}_rejects", "append"
         )
-    n_loaded = writers.read_warehouse(spark, config.warehouse_path).count()
-    logger.info("=== COMPLETE: %d rows in warehouse ===", n_loaded)
+    # Rows loaded by THIS job (reference load.py:110 reports
+    # load_job.output_rows) — not the cumulative warehouse count, which
+    # under append disposition includes every prior run's rows.
+    n_loaded = valid.count()
+    logger.info("=== COMPLETE: %d rows loaded ===", n_loaded)
     return {"loaded": n_loaded, "quarantined": n_quarantined}

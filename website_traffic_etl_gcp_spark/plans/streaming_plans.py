@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import ensure_runtime_confs
 from ..streaming import rollups, sessions
 from .registry import register
 
@@ -38,6 +39,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessions; see streaming/sessions.py.",
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
     stream = (
         spark.readStream.schema(rollups.EVENTS_STREAM_SCHEMA)
         .parquet(rollups.stream_source_dir(sf_dir, "events"))

@@ -147,7 +147,11 @@ def delete_rows(
     root = Path(table_path)
     df = spark.read.parquet(table_path)
     rows_before = df.count()
-    keep = df.filter(f"NOT ({predicate})")
+    # Keep rows where the predicate is NOT TRUE — three-valued logic:
+    # NOT(NULL) is NULL, so filter("NOT (pred)") would silently DROP any
+    # row where the predicate evaluates NULL (e.g. `user_id = 5` against
+    # a NULL user_id). A delete must only remove rows that match.
+    keep = df.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
 
     staging = root.with_name(root.name + ".__delete_staging__")
     writer = keep.write.mode("overwrite")

@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 )
 
 from ..catalog import table_path
+from ..session import ensure_runtime_confs
 
 # Streaming sources need an explicit schema (no inference mid-stream).
 # ts arrives as int64 nanoseconds (see catalog.load_table).
@@ -91,6 +92,7 @@ def dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream); here the materialized result is rolled up batch-side
     into per-hour counts, which must equal the batch rollup of the
     ORIGINAL unduplicated data."""
+    ensure_runtime_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(duplicated_stream_source_dir(sf_dir, "events"))
@@ -117,6 +119,7 @@ def dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(stream_source_dir(sf_dir, "events"))
@@ -276,6 +279,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw matches land in append mode; per-purchase counts are a
     batch aggregation over the materialized result (a second stateful
     agg would wait on the final watermark)."""
+    ensure_runtime_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(stream_source_dir(sf_dir, "events"))

@@ -18,6 +18,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import ensure_runtime_confs
 from .rollups import (
     EVENTS_STREAM_SCHEMA,
     duplicated_stream_source_dir,
@@ -46,6 +47,7 @@ def run_upsert_ingest(
             batch = batch.join(existing, key, "left_anti")
         batch.write.mode("append").parquet(table_path)
 
+    ensure_runtime_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(duplicated_stream_source_dir(sf_dir, "events"))
