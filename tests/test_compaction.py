@@ -87,6 +87,25 @@ def test_delete_rows_predicate(spark, tmp_path):
     assert back.count() == n_total - n_victim
 
 
+def test_delete_rows_null_predicate_keeps_null_rows(spark, tmp_path):
+    """Three-valued logic: `user_id = 5` evaluates NULL on a NULL
+    user_id — a delete must treat that as NOT matching, never as a
+    silent extra deletion (this is a GDPR/retention rewrite)."""
+    from website_traffic_etl_gcp_spark.sources.writers import delete_rows
+
+    rows = [(1, 5), (2, 5), (3, 7), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    path = str(tmp_path / "null_del_tbl")
+    df.write.parquet(path)
+
+    stats = delete_rows(spark, path, "user_id = 5")
+    assert stats == {"rows_before": 5, "rows_deleted": 2, "rows_after": 3}
+    back = spark.read.parquet(path)
+    # the NULL-keyed rows survived
+    assert back.filter(F.col("user_id").isNull()).count() == 2
+    assert {r["event_id"] for r in back.collect()} == {3, 4, 5}
+
+
 def test_schema_evolution_merge(spark, tmp_path):
     from website_traffic_etl_gcp_spark.sources.writers import read_warehouse
 

@@ -61,7 +61,11 @@ def test_append_then_truncate(spark, landing):
     config = _config(base, raw)
     run_etl(spark, config, run_timestamp="20260101_000000")
     counts2 = run_etl(spark, config, run_timestamp="20260102_000000")
-    assert counts2["loaded"] == 6  # append doubled the table
+    # `loaded` is THIS batch's row count (reference load.py:110
+    # load_job.output_rows), not the cumulative warehouse size…
+    assert counts2["loaded"] == 3
+    # …but the append disposition did double the table.
+    assert writers.read_warehouse(spark, config.warehouse_path).count() == 6
     deduped = writers.dedupe_warehouse(
         writers.read_warehouse(spark, config.warehouse_path),
         ("time", "traffic"),

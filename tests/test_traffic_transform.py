@@ -1,0 +1,71 @@
+"""Unit tests for the day-first time parse (functions/datetimes.py).
+
+The reference's pandas ``to_datetime(dayfirst=True)`` accepts full
+timestamps, two-digit years, and date-only values; the port coalesces
+four explicit patterns. Every expectation here is also reproduced by
+the DuckDB oracle expression in plans/etl.py (_PARSE_SQL) — the etl
+oracle queries in test_queries_oracle.py assert that side.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from website_traffic_etl_gcp_spark.functions.datetimes import (
+    iso_str,
+    parse_dayfirst,
+)
+from website_traffic_etl_gcp_spark.operators import traffic as traffic_ops
+
+CASES = [
+    ("05/03/2024 10:11:12", "2024-03-05 10:11:12"),
+    ("05/03/24 10:11:12", "2024-03-05 10:11:12"),  # two-digit year
+    ("05/03/2024", "2024-03-05 00:00:00"),  # date-only
+    ("05/03/24", "2024-03-05 00:00:00"),
+    ("05/03/75", "2075-03-05 00:00:00"),  # yy pivots to 2000-2099
+    ("05/03/69", "2069-03-05 00:00:00"),
+    ("29/02/2024", "2024-02-29 00:00:00"),  # real leap day
+    ("31/02/2024 00:00:00", None),  # impossible date
+    ("29/02/2023", None),  # non-leap Feb 29
+    ("5/3/2024", None),  # single-digit day/month: not dd/MM
+    ("05/03/2024 10:11:12x", None),  # trailing junk
+    ("garbage", None),
+]
+
+
+def test_parse_dayfirst_patterns(spark):
+    df = spark.createDataFrame([(s,) for s, _ in CASES], ["time"])
+    got = {
+        r["time"]: r["parsed"]
+        for r in df.select(
+            "time", iso_str(parse_dayfirst("time")).alias("parsed")
+        ).collect()
+    }
+    for raw, expected in CASES:
+        assert got[raw] == expected, raw
+
+
+def test_transform_accepts_dayfirst_variants(spark):
+    """Rows in any accepted variant survive the transform; impossible
+    dates still quarantine."""
+    rows = [
+        ("15/03/2024 10:00:00", "1.0"),
+        ("16/03/24 11:30:00", "2.0"),
+        ("17/03/2024", "3.0"),
+        ("31/02/2024 00:00:00", "4.0"),  # quarantined
+    ]
+    df = spark.createDataFrame(rows, ["TIME", "TRAFFIC"])
+    valid = traffic_ops.transform(df, fixed_ts="2026-01-01 00:00:00")
+    assert {r["time"] for r in valid.collect()} == {
+        "2024-03-15 10:00:00",
+        "2024-03-16 11:30:00",
+        "2024-03-17 00:00:00",
+    }
+    bad = traffic_ops.quarantine(df, fixed_ts="2026-01-01 00:00:00")
+    assert [r["time_raw"] for r in bad.collect()] == ["31/02/2024 00:00:00"]
+
+
+def test_transform_strict_mode_raises(spark):
+    df = spark.createDataFrame([("31/02/2024 00:00:00", "1.0")], ["time", "traffic"])
+    with pytest.raises(traffic_ops.TransformationError):
+        traffic_ops.transform(df, fixed_ts="2026-01-01 00:00:00", strict=True)

@@ -12,13 +12,31 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DAYFIRST_FMT = "dd/MM/yyyy HH:mm:ss"
+# Patterns tried in order — first match wins. The reference's pandas
+# to_datetime(dayfirst=True) accepts two-digit years and date-only
+# values (its docstring says dd/mm/YY), so the port does too. Java's
+# `yy` maps 00-99 onto 2000-2099 (base-2000 reduced field); that pivot
+# is part of this engine's contract and the DuckDB oracles reproduce it.
+DAYFIRST_FMTS = (
+    "dd/MM/yyyy HH:mm:ss",
+    "dd/MM/yy HH:mm:ss",
+    "dd/MM/yyyy",
+    "dd/MM/yy",
+)
+DAYFIRST_FMT = DAYFIRST_FMTS[0]
 ISO_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def parse_dayfirst(col: Column | str, fmt: str = DAYFIRST_FMT) -> Column:
+def parse_dayfirst(
+    col: Column | str, fmts: str | tuple[str, ...] = DAYFIRST_FMTS
+) -> Column:
+    """First successful parse among ``fmts``; NULL if none match.
+    Each pattern must consume the whole string (Java semantics), so a
+    timestamped string never half-matches a date-only pattern."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(c, F.lit(fmt))
+    if isinstance(fmts, str):
+        fmts = (fmts,)
+    return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in fmts])
 
 
 def iso_str(col: Column | str) -> Column:

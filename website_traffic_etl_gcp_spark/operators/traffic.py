@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.datetimes import DAYFIRST_FMT, iso_str, parse_dayfirst
+from ..functions.datetimes import DAYFIRST_FMTS, iso_str, parse_dayfirst
 
 OUTPUT_COLUMNS = ("time", "traffic", "created_at")
 
@@ -32,10 +32,14 @@ def normalize_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.lower() for c in df.columns])
 
 
-def parse_time_column(df: DataFrame, fmt: str = DAYFIRST_FMT) -> DataFrame:
+def parse_time_column(
+    df: DataFrame, fmts: str | tuple[str, ...] = DAYFIRST_FMTS
+) -> DataFrame:
     """Day-first raw string → ISO string; invalid rows get NULL time
-    (caught by validate/quarantine downstream)."""
-    return df.withColumn("time", iso_str(parse_dayfirst(F.col("time"), fmt)))
+    (caught by validate/quarantine downstream). Accepts the same
+    day-first variants the reference's pandas dayfirst parse does:
+    full timestamps, two-digit years, and date-only values."""
+    return df.withColumn("time", iso_str(parse_dayfirst(F.col("time"), fmts)))
 
 
 def add_created_at(df: DataFrame, fixed_ts: str | None = None) -> DataFrame:

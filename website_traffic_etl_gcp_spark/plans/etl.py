@@ -31,14 +31,35 @@ _RAW_SQL = """
     FROM events
 """
 
+# DuckDB analog of functions/datetimes.py parse_dayfirst (same four
+# day-first patterns, first match wins). Each pattern is regex-guarded
+# because DuckDB's %Y accepts 2-digit years (as year 0024) and its
+# LIST-form try_strptime is lenient (rolls 31/02 over to 02/03) — only
+# the guarded single-format calls reproduce Java's strict whole-string
+# parse. The CASE on year(...) reproduces Java's `yy` base-2000 pivot
+# (00-99 → 2000-2099) against DuckDB's C-style 69-99 → 1900s.
+_PARSE_SQL = """COALESCE(
+    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{4} \\d{2}:\\d{2}:\\d{2}')
+         THEN try_strptime(time, '%d/%m/%Y %H:%M:%S') END,
+    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}')
+         THEN CASE WHEN year(try_strptime(time, '%d/%m/%y %H:%M:%S')) < 2000
+                   THEN try_strptime(time, '%d/%m/%y %H:%M:%S') + INTERVAL 100 YEAR
+                   ELSE try_strptime(time, '%d/%m/%y %H:%M:%S') END END,
+    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{4}')
+         THEN try_strptime(time, '%d/%m/%Y') END,
+    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{2}')
+         THEN CASE WHEN year(try_strptime(time, '%d/%m/%y')) < 2000
+                   THEN try_strptime(time, '%d/%m/%y') + INTERVAL 100 YEAR
+                   ELSE try_strptime(time, '%d/%m/%y') END END
+)"""
+
 _TRANSFORMED_SQL = f"""
     SELECT
-        strftime(try_strptime(time, '%d/%m/%Y %H:%M:%S'),
-                 '%Y-%m-%d %H:%M:%S') AS time,
+        strftime({_PARSE_SQL}, '%Y-%m-%d %H:%M:%S') AS time,
         CAST(traffic AS DOUBLE) AS traffic,
         '{FIXED_TS}' AS created_at
     FROM ({_RAW_SQL})
-    WHERE try_strptime(time, '%d/%m/%Y %H:%M:%S') IS NOT NULL
+    WHERE {_PARSE_SQL} IS NOT NULL
       AND traffic IS NOT NULL
 """
 
@@ -78,7 +99,7 @@ def etl_traffic_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time AS time_raw, traffic,
            'unparseable_time' AS reject_reason
     FROM ({_RAW_SQL})
-    WHERE try_strptime(time, '%d/%m/%Y %H:%M:%S') IS NULL
+    WHERE {_PARSE_SQL} IS NULL
     """,
     tags=("etl",),
     doc="Reject stream: rows the reference aborts on (transform.py:24-25) "
