@@ -97,6 +97,45 @@ def test_jaccard_dfcap_matches_uncapped_when_cap_is_loose(docs):
     assert c == p
 
 
+def _pairset(df):
+    return {tuple(sorted((r["doc_a"], r["doc_b"]))) for r in df.collect()}
+
+
+def test_salted_self_joins_equal_unsalted(docs):
+    """Skew salting is a physical-layout change only: for every tier,
+    the salted candidate/pair output must equal the plain self-join's
+    on the planted-duplicates fixture (verdict item: a hot band key or
+    shingle concentrates d² pair-work on one reducer at 100×; salting
+    spreads it with identical results)."""
+    plain_j = dd.ngram_jaccard_pairs(docs, F.lit("b"), 0.5)
+    salted_j = dd.ngram_jaccard_pairs(docs, F.lit("b"), 0.5, n_salts=4)
+    assert _pairset(plain_j) == _pairset(salted_j)
+    # scores identical too
+    pj = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in plain_j.collect()}
+    sj = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in salted_j.collect()}
+    assert pj == sj
+
+    sigs = dd.minhash_signatures(docs)
+    assert _pairset(dd.minhash_band_pairs(sigs)) == _pairset(
+        dd.minhash_band_pairs(sigs, n_salts=4)
+    )
+
+    fps = dd.simhash_fingerprints(docs)
+    assert _pairset(dd.simhash_near_pairs(fps)) == _pairset(
+        dd.simhash_near_pairs(fps, n_salts=4)
+    )
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 5-long path has diameter 5; max_iter=2 cannot converge and the
+    # operator must fail loudly instead of returning split clusters
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(path, max_iter=2)
+
+
 def test_connected_components_chains_and_islands(spark):
     # chain 1-2-3 (1 and 3 never directly paired) + island 10-11:
     # transitive closure must still unify the chain

@@ -1,10 +1,14 @@
 """Physical-plan audit across the ENTIRE registry: no query may plan a
 non-broadcast cartesian product — the one join shape that cannot
-survive a scale-up (its output is |A|×|B| with no pruning lever).
-Broadcast nested-loop joins against provably tiny sides (centroids,
-scalar aggregates, bounded probe sets) are legitimate and allowed."""
+survive a scale-up (its output is |A|×|B| with no pruning lever) —
+nor a SHUFFLED nested-loop join (every non-equi combine must ride a
+broadcast of its provably tiny side). Broadcast nested-loop joins
+against tiny sides (centroids, scalar aggregates, bounded probe sets)
+are legitimate and allowed."""
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -27,3 +31,11 @@ def test_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan, (
         f"{name} plans a non-broadcast cartesian product"
     )
+    # any NestedLoopJoin must be the Broadcast kind (a shuffled NLJ is
+    # a cartesian product wearing a different name)
+    bad_nlj = [
+        m
+        for m in re.finditer(r"\w*NestedLoopJoin", plan)
+        if not m.group().startswith("Broadcast")
+    ]
+    assert not bad_nlj, f"{name} plans a non-broadcast nested-loop join"

@@ -56,24 +56,48 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     bucket: Column,
     threshold: float,
+    max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for candidate pairs sharing
     a content bucket. Inverted-index join: |A∩B| from the shingle
     self-join, |A|,|B| from per-doc sizes — no per-pair array ops, no
     cross join.
 
+    ``max_df`` is the 100 TB safety valve: without it posting lists are
+    unbounded and a stopword-like shingle with document frequency d
+    produces d² join rows within its bucket. With the cap, shingles
+    appearing in more than ``max_df`` docs of a bucket are dropped
+    BEFORE the self-join (and per-doc sizes count only kept shingles,
+    so the score is exact Jaccard over the rare-shingle sets), bounding
+    worst-case join output at O(shingles × max_df²). ``None`` keeps the
+    exact-all-shingles semantics — small/curated corpora only; default
+    to a cap at scale.
+
+    ``n_salts`` spreads residual hot (bucket, shingle) keys over that
+    many reducers (see ``_jaccard_from_index``); output is identical.
+
     The exploded index is localCheckpoint'd (lazily): it feeds both
     sides of the self-join plus the size aggregate, and without the
     checkpoint Spark recomputes the explode + window sort for each
     consumer (~40% of query time). This is the 'build the index once'
     step — on a cluster with reliable storage, write it out instead."""
-    ex = exploded_shingles(
-        df, id_col, text_col, extra={"bucket": bucket}
-    ).localCheckpoint(eager=False)
+    ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
+    if max_df is not None:
+        # df filter and self-join share the (bucket, shingle) key — no
+        # extra shuffle of the big side
+        rare = (
+            ex.groupBy("bucket", "shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("bucket", "shingle")
+        )
+        ex = ex.join(rare, ["bucket", "shingle"])
+    ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_from_index(ex, sizes, threshold)
+    return _jaccard_from_index(ex, sizes, threshold, n_salts=n_salts)
 
 
 def ngram_jaccard_pairs_dfcap(
@@ -84,42 +108,55 @@ def ngram_jaccard_pairs_dfcap(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Jaccard pairs with a document-frequency cap: shingles appearing
-    in more than ``max_df`` docs of a bucket are dropped BEFORE the
-    inverted-index self-join, and per-doc sizes count only kept
-    shingles — so the score is exact Jaccard over the rare-shingle
-    sets. The cap is the 100 TB safety valve: a stopword-like shingle
-    with df = d produces d² join rows; capping bounds every posting
-    list to max_df, making worst-case join output O(shingles × max_df²)
-    instead of quadratic in corpus size. The df groupBy and the
-    self-join share the (bucket, shingle) key, so the filter adds no
-    extra shuffle of the big side."""
-    ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
-    rare = (
-        ex.groupBy("bucket", "shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("bucket", "shingle")
+    """The df-capped tier — see ``ngram_jaccard_pairs(max_df=...)``."""
+    return ngram_jaccard_pairs(
+        df, bucket, threshold, max_df=max_df, id_col=id_col, text_col=text_col
     )
-    kept = ex.join(rare, ["bucket", "shingle"]).localCheckpoint(eager=False)
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return _jaccard_from_index(kept, sizes, threshold)
 
 
-def _jaccard_from_index(ex: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(
+def _salted_self_join(keyed: DataFrame, join_keys: list[str], n_salts: int):
+    """Self-join ``keyed`` on ``join_keys`` with doc_id-derived salting:
+    the a-side gets salt = md5(doc_id) % n_salts, the b-side is
+    replicated across all salt values, and the join adds salt equality.
+    Every (a, b) pair still meets on exactly one reducer — output is
+    identical to the plain self-join — but a hot key's d² pair
+    workload is spread over ``n_salts`` reducers instead of one.
+    (AQE's skew split covers sort-merge joins after the fact; explicit
+    salting is for hot keys you know up front, same doctrine as
+    operators/skew.py.)"""
+    a = keyed.withColumn(
+        "__salt", (md5_long(F.col("doc_id").cast("string")) % n_salts).cast("int")
+    ).alias("a")
+    b = keyed.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).alias("b")
+    cond = (F.col("a.__salt") == F.col("b.__salt")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for k in join_keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return a.join(b, cond)
+
+
+def _jaccard_from_index(
+    ex: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    n_salts: int | None = None,
+) -> DataFrame:
+    if n_salts:
+        inter = _salted_self_join(ex, ["bucket", "shingle"], n_salts)
+    else:
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = inter.groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("n_inter"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = (
@@ -162,9 +199,14 @@ def minhash_signatures(
     return ex.groupBy("doc_id").agg(*_minhash_cols())
 
 
-def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
+def minhash_band_pairs(sigs: DataFrame, n_salts: int | None = None) -> DataFrame:
     """LSH banding: b band keys per doc (md5 of the band's row hashes);
-    docs sharing any band key become candidate pairs."""
+    docs sharing any band key become candidate pairs.
+
+    ``n_salts``: a corpus with thousands of IDENTICAL docs concentrates
+    one band key — d² candidate pairs on one reducer. Salting spreads
+    that key's pair generation over ``n_salts`` reducers with identical
+    output (see ``_salted_self_join``)."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = F.array(
         *[
@@ -191,19 +233,19 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
         .select("doc_id", "b.band_idx", "b.band_key")
         .localCheckpoint(eager=False)
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(
+    if n_salts:
+        joined = _salted_self_join(keyed, ["band_idx", "band_key"], n_salts)
+    else:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        joined = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).distinct()
 
 
 def simhash_fingerprints(
@@ -234,10 +276,13 @@ def simhash_fingerprints(
     return sigs.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame) -> DataFrame:
+def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
     """Candidates share at least one of the fingerprint's byte bands
     (any pair within hamming ≤ 3 differs in ≤3 bytes, so agrees on the
-    rest); exact hamming filter via xor+bit_count afterwards."""
+    rest); exact hamming filter via xor+bit_count afterwards.
+
+    ``n_salts`` spreads a hot band value's pair generation over that
+    many reducers (identical-doc floods); output unchanged."""
     bands = F.array(
         *[
             F.struct(
@@ -254,18 +299,21 @@ def simhash_near_pairs(fps: DataFrame) -> DataFrame:
         .select("doc_id", "simhash", "b.band_idx", "b.band_val")
         .localCheckpoint(eager=False)
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
-        a.join(
+    if n_salts:
+        joined = _salted_self_join(keyed, ["band_idx", "band_val"], n_salts)
+    else:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        joined = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+    return (
+        joined.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
@@ -289,6 +337,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     ``checkpoint`` — the plan must not grow with iterations). The loop
     exits early when no label changes.
 
+    Raises if the loop exhausts ``max_iter`` without converging (a
+    component with diameter > max_iter would otherwise be silently
+    SPLIT into several cluster_ids — worse than failing, because the
+    downstream keep/drop step would keep extra near-duplicates).
+
     Returns (doc_id, cluster_id = min doc id of the component) for
     every doc that appears in at least one pair."""
     edges = pairs.select("doc_a", "doc_b")
@@ -303,6 +356,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.doc_b == labels.node)
@@ -328,6 +382,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — the "
+            "pair graph has a component with diameter > max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -53,7 +53,8 @@ def expect_unique(df: DataFrame, cols: list[str], name: str) -> DataFrame:
         .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n_violations"))
     )
     total = df.agg(F.count(F.lit(1)).alias("n_rows"))
-    return dup_rows.crossJoin(total).select(
+    # 1-row side: broadcast so the combine never plans as a shuffled NLJ
+    return dup_rows.crossJoin(F.broadcast(total)).select(
         F.lit(name).alias("rule"),
         "n_violations",
         "n_rows",

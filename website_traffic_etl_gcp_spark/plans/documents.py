@@ -503,6 +503,12 @@ def lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair CTE for the downstream consumers (clusters, ensemble) — the
+# DF-CAPPED tier, matching the Spark side: uncapped posting lists are
+# the one dedup shape that degrades quadratically at 100 TB, so
+# everything built ON TOP of jaccard pairs defaults to the cap. The
+# standalone dedup_ngram_jaccard query remains the exact-all-shingles
+# tier for small/curated corpora.
 _SQL_JACCARD_PAIRS = f"""
     WITH sh AS ({_SQL_DOCS_SH}),
     bucketed AS (
@@ -511,11 +517,18 @@ _SQL_JACCARD_PAIRS = f"""
                shingles
         FROM sh
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM bucketed),
     ex AS (SELECT doc_id, bucket, unnest(shingles) AS shingle FROM bucketed),
+    kept AS (
+        SELECT ex.doc_id, ex.bucket, ex.shingle
+        FROM ex
+        JOIN (SELECT bucket, shingle FROM ex
+              GROUP BY 1, 2 HAVING COUNT(*) <= {JACCARD_MAX_DF}) rare
+          USING (bucket, shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM ex a JOIN ex b
+        FROM kept a JOIN kept b
           ON a.bucket = b.bucket AND a.shingle = b.shingle
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2
@@ -560,7 +573,9 @@ _SQL_JACCARD_PAIRS = f"""
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
-    pairs = dd.ngram_jaccard_pairs(d, bucket, NGRAM_JACCARD_THRESHOLD)
+    pairs = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
     return dd.connected_components(pairs)
 
 
@@ -769,14 +784,15 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "provenance — the review table a dedup pipeline actually "
     "consumes, where agreement across tiers raises confidence and "
     "single-tier hits get a second look. Pure composition of the "
-    "registered operators; no new shuffle shape.",
+    "registered operators (jaccard via the scale-safe df-capped "
+    "tier); no new shuffle shape.",
 )
 def dedup_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
-    jac = dd.ngram_jaccard_pairs(d, bucket, NGRAM_JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.lit("jaccard").alias("tier")
-    )
+    jac = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    ).select("doc_a", "doc_b", F.lit("jaccard").alias("tier"))
     mh = dd.minhash_band_pairs(dd.minhash_signatures(d)).select(
         "doc_a", "doc_b", F.lit("minhash").alias("tier")
     )

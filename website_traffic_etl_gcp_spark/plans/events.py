@@ -108,10 +108,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("purchase_ts"))
     )
+    # 1-row aggregates: broadcast both sides so the combines are
+    # BroadcastNestedLoopJoins by construction, never shuffled NLJs
     return (
         s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_signup_then_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        .crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_signup_then_view"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
     )
 
 
