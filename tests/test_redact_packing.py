@@ -1,0 +1,93 @@
+"""Unit tests for the pretraining-scrub operators added in round 2:
+PII redaction, sequence packing, multimodal resize/chunk plumbing.
+(Their registry entries are oracle-checked in test_queries_oracle;
+these tests pin the operator semantics on hand-built inputs.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.operators import multimodal as mm
+from website_traffic_etl_gcp_spark.operators.packing import (
+    pack_bins,
+    pack_offsets,
+)
+from website_traffic_etl_gcp_spark.operators.redact import redact_pii
+
+
+def test_redact_pii_counts_and_output(spark):
+    rows = [
+        (0, "no pii here at all"),
+        (1, "mail me at a.b-c_1@mail.example.org thanks"),
+        (2, "two mails x@y.io and z@w.co plus id 1234567"),
+        (3, "digits 12345 are short but 123456 is an id"),
+        (4, "a@b.cd 999999999 a@b.cd"),  # duplicate hits count twice
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ids"]) == (0, 0)
+    assert (got[1]["n_emails"], got[1]["n_ids"]) == (1, 0)
+    assert (got[2]["n_emails"], got[2]["n_ids"]) == (2, 1)
+    # 12345 is below the 6-digit floor; 123456 matches
+    assert (got[3]["n_emails"], got[3]["n_ids"]) == (0, 1)
+    assert (got[4]["n_emails"], got[4]["n_ids"]) == (2, 1)
+    # digits inside an email are consumed by the email redaction,
+    # never double-counted: 'a.b-c_1@...' has no surviving digit run
+    assert got[1]["n_ids"] == 0
+
+
+def test_pack_offsets_contract(spark):
+    # two groups; doc order inside a group is ascending id
+    rows = [
+        ("g1", 1, 300),
+        ("g1", 2, 300),  # starts at 300 → bin 0 (straddles into 1)
+        ("g1", 3, 100),  # starts at 600 → bin 1
+        ("g2", 4, 600),  # starts at 0 → bin 0 even though > cap
+        ("g2", 5, 10),   # starts at 600 → bin 1
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n"])
+    packed = pack_offsets(df, F.col("n"), cap=512)
+    got = {r["doc_id"]: r for r in packed.collect()}
+    assert [got[i]["stream_offset"] for i in (1, 2, 3)] == [0, 300, 600]
+    assert [got[i]["bin_id"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert (got[4]["bin_id"], got[5]["bin_id"]) == (0, 1)
+
+    bins = {
+        (r["source"], r["bin_id"]): r for r in pack_bins(packed).collect()
+    }
+    assert bins[("g1", 0)]["n_docs"] == 2
+    assert bins[("g1", 0)]["n_tokens"] == 600
+    assert bins[("g1", 1)]["first_doc_id"] == 3
+    # token totals conserved: sum of bin fills == sum of doc tokens
+    assert sum(r["n_tokens"] for r in bins.values()) == sum(
+        n for _, _, n in rows
+    )
+
+
+def test_aspect_fit_integer_contract():
+    # long side pinned to the box, short side floor-scaled, floor ≥ 1
+    assert mm.aspect_fit(448, 224) == (224, 112)
+    assert mm.aspect_fit(224, 448) == (112, 224)
+    assert mm.aspect_fit(100, 100) == (224, 224)  # upscale square
+    assert mm.aspect_fit(10000, 16) == (224, 1)  # extreme ratio floors to 1
+    w, h = mm.aspect_fit(517, 33)
+    assert max(w, h) == mm.RESIZE_BOX and min(w, h) >= 1
+
+
+def test_chunk_payload_conserves_length(spark):
+    texts = ["", "x" * 255, "y" * 256, "z" * 257, "w" * 1024]
+    df = mm.with_payload(
+        spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    )
+    got: dict[int, list] = {}
+    for r in mm.chunk_payload(df).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(got[i], key=lambda r: r["chunk_idx"])
+        expected_n = max(1, -(-len(t) // mm.CHUNK_CHARS))
+        assert len(chunks) == expected_n, (i, len(t))
+        assert sum(c["chunk_len"] for c in chunks) == len(t)
+        # every chunk except the last is exactly CHUNK_CHARS
+        assert all(
+            c["chunk_len"] == mm.CHUNK_CHARS for c in chunks[:-1]
+        )

@@ -105,6 +105,30 @@ def test_recall_eval_query(spark):
     assert set(rows) == {"ivf", "lsh"}
     for r in rows.values():
         assert r["n_queries"] >= 1
-        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
-    # the indexes must beat random-candidate recall by a wide margin
-    assert rows["ivf"]["mean_recall"] >= 0.4
+        # the driver-visible error-bound verdict: both indexes beat the
+        # floor (raw recall is asserted quantitatively below)
+        assert r["recall_ok"] is True
+
+
+def test_recall_raw_values_beat_floor(spark):
+    """Quantitative twin of the registry gate: mean recall@k computed
+    directly from the operators clears the floor with margin."""
+    from website_traffic_etl_gcp_spark.plans import embeddings as pe
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % pe.QUERY_MOD == 0)
+    exact = sim.brute_force_topk(emb, q, pe.KNN_K)
+    for approx in (
+        sim.ivf_topk(emb, q, pe.label_centroids(emb), pe.KNN_K, n_probe=2),
+        sim.lsh_topk(emb, q, pe.KNN_K, pe.EMBED_DIM),
+    ):
+        per_q = sim.recall_at_k(approx, exact, pe.KNN_K)
+        agg = per_q.agg(
+            (
+                F.sum("n_hits").cast("double")
+                / (F.count(F.lit(1)) * pe.KNN_K).cast("double")
+            ).alias("mean_recall")
+        ).collect()[0]
+        assert agg["mean_recall"] >= pe.RECALL_FLOOR

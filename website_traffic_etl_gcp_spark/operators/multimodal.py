@@ -131,3 +131,92 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ]
+)
+
+RESIZE_BOX = 224
+
+
+def aspect_fit(w: int, h: int, box: int = RESIZE_BOX) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) into a box×box target: the long
+    side becomes ``box``, the short side scales by the same integer
+    ratio (floor). Integer arithmetic only — no float scale factor —
+    so any engine reproduces it exactly."""
+    long_side = max(w, h)
+    return max(1, (w * box) // long_side), max(1, (h * box) // long_side)
+
+
+def resize_dims(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The resize step of an image-preprocessing pipeline, as Arrow
+    batch plumbing: fake-decode dims from the payload, compute the
+    aspect-fit target. The actual pixel resample is the stubbed codec
+    part (see ``decode_image``); the batch shape — one row in, one row
+    out, pure per-batch compute — is the real contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [decode_image(p, fake=True) for p in pdf["payload"]]
+            outs = [aspect_fit(w, h) for w, h in dims]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "out_w": pd.Series([o[0] for o in outs], dtype="int32"),
+                    "out_h": pd.Series([o[1] for o in outs], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("chunk_len", LongType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+CHUNK_CHARS = 256
+
+
+def chunk_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixed-window payload chunking — the audio-segmentation batch
+    shape: one payload row fans out to ceil(len/CHUNK_CHARS) chunk rows,
+    each with its own checksum. Chunking is in the CHARACTER domain of
+    the decoded payload (the stand-in corpus is utf-8 text) so the SQL
+    oracle's substr() reproduces every chunk boundary; a real audio
+    pipeline chunks the byte/sample domain with identical plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                s = payload.decode("utf-8")
+                for k in range(0, max(1, -(-len(s) // CHUNK_CHARS))):
+                    chunk = s[k * CHUNK_CHARS : (k + 1) * CHUNK_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(len(chunk))
+                    sums.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "chunk_md5": sums,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, CHUNK_SCHEMA)

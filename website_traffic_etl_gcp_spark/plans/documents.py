@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.texthash import normalize_text
 from ..operators import dedup as dd
+from ..operators import redact as _redact
 from ..operators import textstats as ts
 from .registry import register
 
@@ -909,4 +910,182 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_bigram_count"),
         F.sum("c").alias("n_bigrams"),
         (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_share"),
+    )
+
+
+# ---- PII redaction / packing / repetition (pretraining scrub ops) ------
+
+# The synthetic corpus carries no PII, so (like the ETL suite's planted
+# corrupt dates) a deterministic slice of docs gets emails + long digit
+# runs APPENDED on both engines; the redaction operator itself is
+# generic. doc_id % 14 docs get two of each — counts > 1 are exercised.
+_SQL_PII_TEXT = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 14 = 0 THEN text
+                     || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com and admin@example.org ref 12345678 id 0012345 tail'
+                WHEN doc_id % 7 = 0 THEN text
+                     || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com ref 12345678 tail'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _pii_planted(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 14 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did,
+                F.lit(
+                    "@example.com and admin@example.org ref 12345678 id 0012345 tail"
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did,
+                F.lit("@example.com ref 12345678 tail"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+# the SQL twin references the exact same pattern constants as the
+# operator (imported, not re-typed), so the two sides cannot drift
+_EMAIL_SQL = _redact.EMAIL_RE
+_DIGITS_SQL = _redact.LONG_DIGITS_RE
+_SQL_NO_EMAIL = f"regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>', 'g')"
+_SQL_REDACTED = (
+    f"regexp_replace({_SQL_NO_EMAIL}, '{_DIGITS_SQL}', '<ID>', 'g')"
+)
+
+
+@register(
+    "pii_redact_report",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all({_SQL_NO_EMAIL}, '{_DIGITS_SQL}'))
+               AS BIGINT) AS n_ids,
+           CAST(length({_SQL_REDACTED}) AS INT) AS redacted_len,
+           md5({_SQL_REDACTED}) AS redacted_md5
+    FROM ({_SQL_PII_TEXT})
+    """,
+    tags=("documents", "redaction"),
+    doc="PII scrub report: per-doc email / long-digit-run hit counts, "
+    "redacted length, and the md5 of the fully redacted text (pins the "
+    "exact redaction output cross-engine without shipping it). "
+    "Patterns live in the Java-regex ∩ RE2 portable subset. Map-only "
+    "pass — no shuffle, no UDF; at 100 TB this reads and rewrites each "
+    "split once. operators/redact.py:redact_pii.",
+)
+def pii_redact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.redact import redact_pii
+
+    return redact_pii(_pii_planted(_docs(spark, sf_dir)))
+
+
+PACK_CAP_TOKENS = 512
+
+
+@register(
+    "doc_pack_bins",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    off AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS BIGINT) AS stream_offset
+        FROM toks
+    )
+    SELECT source,
+           CAST(stream_offset // {PACK_CAP_TOKENS} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id
+    FROM off GROUP BY 1, 2
+    """,
+    tags=("documents", "packing"),
+    doc=f"Concat-and-chunk sequence packing into {PACK_CAP_TOKENS}-token "
+    "context windows: each doc's stream offset is the prefix token sum "
+    "of its pack group (source), bin = offset div cap — exactly the "
+    "concat-then-cut layout a pretraining tokenizer writer produces, "
+    "rolled up to per-bin fill stats. One window + one groupBy, both "
+    "keyed on the pack group; shard hot groups upstream to bound the "
+    "window partition at 100 TB. Integer math throughout. "
+    "operators/packing.py:pack_offsets/pack_bins.",
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_bins, pack_offsets
+
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(normalize_text("text"), " "))
+    return pack_bins(pack_offsets(d, n_tok, cap=PACK_CAP_TOKENS))
+
+
+@register(
+    "dup_ngram_fraction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(GREATEST(len(toks) - 2, 0) AS BIGINT) AS n_grams,
+           CAST(CASE WHEN len(toks) >= 3
+                THEN len({ts.SQL_SHINGLES.format(toks='toks', norm='norm')})
+                ELSE 0 END AS BIGINT) AS n_distinct,
+           CASE WHEN len(toks) >= 3
+                THEN CAST(len(toks) - 2
+                          - len({ts.SQL_SHINGLES.format(toks='toks', norm='norm')})
+                     AS DOUBLE) / CAST(len(toks) - 2 AS DOUBLE)
+                ELSE 0.0 END AS dup_fraction
+    FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks
+          FROM ({_SQL_DOCS_NORM}))
+    """,
+    tags=("documents", "dedup"),
+    doc="Gopher-style duplicate-3-gram fraction per doc: 1 − "
+    "distinct/total over word-3-gram instances (high = internally "
+    "repetitive boilerplate; the WITHIN-doc complement of the "
+    "cross-doc dedup tiers). Exact rational arithmetic; one projection "
+    "with array ops, no explode, no shuffle.",
+)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import word_tokens
+
+    d = _docs(spark, sf_dir)
+    toks = word_tokens("text")
+    n = F.size(toks).cast("bigint")
+    total = F.greatest(n - 2, F.lit(0).cast("bigint"))
+    n_dist = (
+        F.when(n >= 3, F.size(ts.shingles_col("text")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    frac = (
+        F.when(
+            total > 0,
+            (total - n_dist).cast("double") / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        total.alias("n_grams"),
+        n_dist.alias("n_distinct"),
+        frac.alias("dup_fraction"),
     )

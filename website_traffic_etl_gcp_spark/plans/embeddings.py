@@ -267,16 +267,34 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Both indexes clear this comfortably (measured mean recall@5: IVF
+# 0.42/0.50, LSH 0.40/0.42 at sf0.001/sf0.01); a random-candidate
+# baseline sits near k/corpus ≈ 0.01 — the floor proves the index
+# works without pinning engine-specific sketch values.
+RECALL_FLOOR = 0.3
+
+
 @register(
     "knn_recall_eval",
-    oracle=None,  # evaluates the (non-SQL-expressible) approximate
-    # indexes; determinism is integer-exact — see doc
+    oracle=f"""
+    SELECT 'ivf' AS method,
+           COUNT(*) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    UNION ALL
+    SELECT 'lsh', COUNT(*), TRUE
+    FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    """,
     tags=("embeddings", "similarity"),
     doc="ANN quality gate: recall@k of the IVF and LSH indexes against "
     "brute-force ground truth, one row per method. The aggregate sums "
-    "INTEGER hit counts (not per-query double fractions) so the result "
-    "is shuffle-order independent: mean_recall = sum_hits / (n_queries "
-    "× k) exactly. operators/similarity.py:recall_at_k.",
+    "INTEGER hit counts (not per-query double fractions) so recall is "
+    "shuffle-order independent. The approximate indexes are "
+    "non-SQL-expressible, so the driver-visible contract is the "
+    f"ERROR BOUND: recall_ok = (mean recall@{KNN_K} ≥ {RECALL_FLOOR}) "
+    "per method, with the oracle expecting TRUE — a hash match proves "
+    "both indexes beat the floor. Raw recall values are asserted in "
+    "tests/test_similarity.py. operators/similarity.py:recall_at_k.",
 )
 def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -295,8 +313,8 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum("n_hits").cast("double")
                 / (F.count(F.lit(1)) * KNN_K).cast("double")
-            ).alias("mean_recall"),
-            F.min("recall").alias("min_recall"),
+                >= RECALL_FLOOR
+            ).alias("recall_ok"),
         )
         out = row if out is None else out.unionByName(row)
     return out

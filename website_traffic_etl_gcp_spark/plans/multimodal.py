@@ -56,3 +56,67 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.sample_frames(mm.with_payload(docs))
+
+
+@register(
+    "multimodal_resize_dims",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(GREATEST(1, (w * {mm.RESIZE_BOX}) // GREATEST(w, h)) AS INT)
+               AS out_w,
+           CAST(GREATEST(1, (h * {mm.RESIZE_BOX}) // GREATEST(w, h)) AS INT)
+               AS out_h
+    FROM (
+        SELECT doc_id,
+               16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512 AS w,
+               16 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 512)
+                   % 512 AS h
+        FROM documents
+    )
+    """,
+    tags=("multimodal",),
+    doc=f"Image-resize plumbing: fake-decode dims from the payload, "
+    f"aspect-preserving integer fit into a {mm.RESIZE_BOX}px box (long "
+    "side pinned, short side floor-scaled — no float scale factor, so "
+    "the SQL twin is bit-exact). One-row-in/one-row-out mapInPandas; "
+    "the pixel resample itself is the stubbed codec step. "
+    "operators/multimodal.py:resize_dims/aspect_fit.",
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.resize_dims(mm.with_payload(docs))
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           chunk_idx,
+           CAST(length(substr(text,
+                CAST(chunk_idx * {mm.CHUNK_CHARS} + 1 AS INT),
+                {mm.CHUNK_CHARS})) AS BIGINT) AS chunk_len,
+           md5(substr(text,
+                CAST(chunk_idx * {mm.CHUNK_CHARS} + 1 AS INT),
+                {mm.CHUNK_CHARS})) AS chunk_md5
+    FROM (
+        SELECT doc_id, text,
+               CAST(unnest(range(0, GREATEST(1,
+                    CAST(ceil(length(text) / {mm.CHUNK_CHARS}.0) AS BIGINT))))
+                    AS BIGINT) AS chunk_idx
+        FROM documents
+    )
+    """,
+    tags=("multimodal",),
+    doc=f"Audio-segmentation plumbing: each payload fans out to "
+    f"ceil(len/{mm.CHUNK_CHARS}) fixed-window chunk rows with per-chunk "
+    "checksums through a generator mapInPandas (unbounded fan-out, "
+    "never driver-side). Chunk boundaries are in the decoded character "
+    "domain so the SQL twin reproduces them; a real audio pipeline "
+    "slices the sample domain with identical plumbing. "
+    "operators/multimodal.py:chunk_payload.",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.chunk_payload(mm.with_payload(docs))
