@@ -96,3 +96,38 @@ def test_decontamination_pushes_source_split(spark):
     plan = _plan(spark, "decontaminate_eval_overlap")
     assert "EqualTo(source,src0)" in plan
     assert "Not(EqualTo(source,src0))" in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    # redaction is a projection: no Exchange anywhere in the plan, and
+    # the scan reads only (doc_id, text)
+    plan = _plan(spark, "pii_redact_report")
+    assert "Exchange" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "doc_id" in line and "text" in line
+            assert "lang" not in line and "source" not in line
+            break
+    else:
+        raise AssertionError("no ReadSchema in plan")
+
+
+def test_doc_pack_bins_single_shuffle(spark):
+    # the window partitions by source and the rollup groups by
+    # (source, bin_id): the groupBy must reuse the window's hash
+    # partitioning — exactly ONE shuffle exchange in the whole plan
+    import re
+
+    plan = _plan(spark, "doc_pack_bins")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}:\n{plan}"
+    # and the document text must NOT ride through that shuffle — only
+    # the materialized token count does
+    exch = plan.split("Exchange")[1].splitlines()[1]
+    assert "text" not in exch, f"text shipped through the shuffle: {exch}"
+
+
+def test_dup_ngram_fraction_no_shuffle(spark):
+    # per-doc array algebra: a pure projection, no Exchange
+    plan = _plan(spark, "dup_ngram_fraction")
+    assert "Exchange" not in plan

@@ -91,3 +91,53 @@ def test_chunk_payload_conserves_length(spark):
         assert all(
             c["chunk_len"] == mm.CHUNK_CHARS for c in chunks[:-1]
         )
+
+
+def test_scd2_apply_contract(spark):
+    from website_traffic_etl_gcp_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # k=1: current A, will change to B
+            (1, "A", "2024-01-01", None, True),
+            # k=2: has history; current C unchanged by the batch
+            (2, "B", "2024-01-01", "2024-03-01", False),
+            (2, "C", "2024-03-01", None, True),
+            # k=3: no-op change (same value arrives again)
+            (3, "D", "2024-01-01", None, True),
+        ],
+        "key int, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "B", "2024-06-01"), (3, "D", "2024-06-01"), (9, "Z", "2024-06-01")],
+        "key int, new_attr string, change_ts string",
+    )
+    out = scd2_apply(dim, changes, "key", "attr", "change_ts")
+    rows = {
+        (r["key"], r["attr"], r["valid_from"]): r for r in out.collect()
+    }
+    # k=1 versioned: old closed, new current
+    assert rows[(1, "A", "2024-01-01")]["valid_to"] == "2024-06-01"
+    assert rows[(1, "A", "2024-01-01")]["is_current"] is False
+    assert rows[(1, "B", "2024-06-01")]["is_current"] is True
+    assert rows[(1, "B", "2024-06-01")]["valid_to"] is None
+    # k=2 untouched, history preserved
+    assert rows[(2, "B", "2024-01-01")]["valid_to"] == "2024-03-01"
+    assert rows[(2, "C", "2024-03-01")]["is_current"] is True
+    # k=3 no-op: exactly one row, still the original version
+    assert rows[(3, "D", "2024-01-01")]["is_current"] is True
+    assert len([k for k in rows if k[0] == 3]) == 1
+    # k=9 brand-new key inserted as current
+    assert rows[(9, "Z", "2024-06-01")]["is_current"] is True
+    assert len(rows) == 6
+
+    # replay idempotency: applying the same batch to the result is a
+    # no-op (every change now matches the current value)
+    again = scd2_apply(out, changes, "key", "attr", "change_ts")
+    assert {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in again.collect()
+    } == {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }

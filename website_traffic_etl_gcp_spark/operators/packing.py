@@ -39,12 +39,20 @@ def pack_offsets(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tok = n_tokens.cast("bigint")
-    offset = F.sum(tok).over(w) - tok
-    return df.select(
+    # materialize n_tokens BEFORE the window so the token-count source
+    # column (the full text) is projected away ahead of the shuffle —
+    # otherwise Catalyst keeps it alive to recompute the count after
+    # the exchange and ships every document body through the wire
+    base = df.select(
         F.col(id_col),
         F.col(group_col),
-        tok.alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("n_tokens"),
         offset.alias("stream_offset"),
     ).withColumn(
         # integer div, never float: offsets can exceed double's exact

@@ -548,3 +548,60 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
     ).select((F.col("delta_us").cast("double") / 1e6).alias("median_seconds"))
     return agg.crossJoin(F.broadcast(median))
+
+
+SCD_CHANGE_DAY = "2024-06-01"
+SCD_BASE_DAY = "2024-01-01"
+
+
+@register(
+    "scd2_customer_segment",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer
+    ),
+    eff AS (
+        -- the change batch targets every 10th customer, but every 30th
+        -- carries the SAME segment (a replayed/no-op change): only
+        -- genuinely differing values version the row
+        SELECT c_custkey AS custkey FROM customer
+        WHERE c_custkey % 10 = 0 AND NOT (c_custkey % 15 = 0)
+    )
+    SELECT d.custkey, d.segment,
+           '{SCD_BASE_DAY}' AS valid_from,
+           CASE WHEN e.custkey IS NOT NULL THEN '{SCD_CHANGE_DAY}' END
+               AS valid_to,
+           e.custkey IS NULL AS is_current
+    FROM dim d LEFT JOIN eff e USING (custkey)
+    UNION ALL
+    SELECT custkey, 'PROMO', '{SCD_CHANGE_DAY}', NULL, TRUE FROM eff
+    """,
+    tags=("relational", "cdc"),
+    doc="SCD type-2 dimension maintenance (the warehouse half of a CDC "
+    "pipeline): a segment-change batch closes each affected customer's "
+    "current version (valid_to = change day) and appends the new "
+    "version; no-op changes (new value == current) produce zero "
+    "version churn — the idempotency a replayed change stream needs. "
+    "One broadcast join + one anti-join, four union branches; on a "
+    "lakehouse format this is the MERGE INTO body. "
+    "operators/scd.py:scd2_apply.",
+)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(SCD_BASE_DAY).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 15 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("PROMO"))
+        .alias("new_segment"),
+        F.lit(SCD_CHANGE_DAY).alias("change_ts"),
+    )
+    return scd2_apply(dim, changes, "custkey", "segment", "change_ts")
