@@ -122,3 +122,41 @@ def test_schema_evolution_merge(spark, tmp_path):
     # old files surface the new column as NULL; new files carry values
     assert merged.filter(F.col("event_type").isNull()).count() == n
     assert merged.filter(F.col("event_type").isNotNull()).count() == n
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Re-loading one day replaces exactly that day's partition: other
+    partitions keep their data, and the reloaded day has no dup rows."""
+    from website_traffic_etl_gcp_spark.sources.writers import (
+        load_to_warehouse,
+        overwrite_partitions,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_date")
+    )
+    tbl = str(tmp_path / "dyn_tbl")
+    load_to_warehouse(ev, tbl, "truncate", partition_by=("event_date",))
+    days = sorted(
+        r["event_date"] for r in ev.select("event_date").distinct().collect()
+    )
+    assert len(days) >= 2
+    reload_day, other_day = days[0], days[1]
+
+    # the corrected day: same rows minus one victim event
+    day_rows = ev.filter(F.col("event_date") == F.lit(reload_day))
+    victim = day_rows.select("event_id").first()["event_id"]
+    corrected = day_rows.filter(F.col("event_id") != victim)
+    overwrite_partitions(corrected, tbl, ("event_date",))
+
+    back = spark.read.parquet(tbl)
+    n_other_before = ev.filter(F.col("event_date") == F.lit(other_day)).count()
+    assert (
+        back.filter(F.col("event_date") == F.lit(other_day)).count()
+        == n_other_before
+    ), "untouched partition was clobbered"
+    got_day = back.filter(F.col("event_date") == F.lit(reload_day))
+    assert got_day.count() == day_rows.count() - 1
+    assert got_day.filter(F.col("event_id") == victim).count() == 0
+    # total = everything except the one deleted event
+    assert back.count() == ev.count() - 1

@@ -45,6 +45,38 @@ def load_to_warehouse(
     writer.parquet(table_path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    table_path: str,
+    partition_by: tuple[str, ...],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched — the
+    idempotent daily-reload primitive (re-running a day's batch
+    replaces that day, never truncates the table or duplicates rows
+    like plain overwrite/append would).
+
+    Uses Spark's ``partitionOverwriteMode=dynamic``; the conf is set
+    per-write and restored, so surrounding jobs keep their static
+    semantics. At 100 TB this is the difference between rewriting one
+    day (~1/365th) and rewriting the table."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(table_path)
+        )
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
 def backup_raw(source_path: str, backup_dir: str, run_timestamp: str) -> str:
     """Copy the raw input aside before loading (load.py:50-64 parity).
     Local-path implementation; on a real cluster this is a same-store
