@@ -605,3 +605,66 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SCD_CHANGE_DAY).alias("change_ts"),
     )
     return scd2_apply(dim, changes, "custkey", "segment", "change_ts")
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               md5(COALESCE(CAST(o_orderstatus AS VARCHAR), '∅') || '|' ||
+                   COALESCE(CAST(o_totalprice AS VARCHAR), '∅')) AS h
+        FROM orders
+    ),
+    new_ AS (
+        -- surviving keys, with every 31st repriced (+1)
+        SELECT o_orderkey,
+               md5(COALESCE(CAST(o_orderstatus AS VARCHAR), '∅') || '|' ||
+                   COALESCE(CAST(CASE WHEN o_orderkey % 31 = 0
+                                      THEN o_totalprice + 1
+                                      ELSE o_totalprice END AS VARCHAR),
+                            '∅')) AS h
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        -- re-keyed inserts
+        SELECT o_orderkey + 100000000,
+               md5('NEW' || '|' ||
+                   COALESCE(CAST(o_totalprice AS VARCHAR), '∅'))
+        FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT status, COUNT(*) AS n_rows FROM (
+        SELECT CASE WHEN b.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN b.h = n.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM base b FULL OUTER JOIN new_ n USING (o_orderkey)
+    ) GROUP BY status
+    """,
+    tags=("relational", "cdc"),
+    doc="Snapshot reconciliation: diff a planted 'new' snapshot of "
+    "orders (every 97th key deleted, every 31st repriced, every 53rd "
+    "re-keyed as an insert) against the base — per-status row counts "
+    "(unchanged/changed/added/removed). Row hashes are computed "
+    "map-side so only (key, md5) crosses the full-outer join's "
+    "shuffle, never row bodies. operators/reconcile.py:diff_summary.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reconcile import diff_summary
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    surviving = base.filter(F.col("o_orderkey") % 97 != 0)
+    mutated = surviving.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 53 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("NEW").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    new = mutated.unionByName(inserts)
+    return diff_summary(base, new, ["o_orderkey"])

@@ -652,3 +652,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
     )
+
+
+@register(
+    "session_path_signatures",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > {DEFAULT_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM tagged
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS rn
+        FROM numbered
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               concat_ws('>',
+                   MAX(CASE WHEN rn = 1 THEN event_type END),
+                   MAX(CASE WHEN rn = 2 THEN event_type END),
+                   MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+    tags=("events", "window"),
+    doc="Session path signatures: the first three event types of every "
+    "session (gap-rule sessionization) concatenated into a journey "
+    "signature, counted across sessions — the entry-path view behind "
+    "funnel design. Composes with_session_id with one more window on "
+    "the SAME (user_id) partitioning plus a signature groupBy; "
+    "shorter sessions produce shorter paths (NULL steps skipped "
+    "identically by both engines' concat_ws). "
+    "operators/sessionize.py:with_session_id.",
+)
+def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.sessionize import with_session_id
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    tagged = with_session_id(ev)
+    w = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ranked = tagged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    step = lambda i: F.max(F.when(F.col("rn") == i, F.col("event_type")))
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.concat_ws(">", step(1), step(2), step(3)).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
