@@ -115,3 +115,31 @@ def streaming_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.stream_static_enrichment(spark, sf_dir)
+
+
+@register(
+    "streaming_sliding_2h",
+    oracle="""
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           strftime(win_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')
+               AS win_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM (
+        SELECT value,
+               date_trunc('hour', ts) - unnest([0, 1]) * INTERVAL 1 HOUR
+                   AS win_start
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+    doc="Sliding-window rollup through the real streaming engine: "
+    "2-hour windows sliding hourly, so every event lands in two "
+    "overlapping windows — the trailing-window dashboard view "
+    "(tumbling windows partition time; sliding windows overlap it). "
+    "The oracle materializes both window memberships per event "
+    "batch-side. streaming/rollups.py:sliding_counts.",
+)
+def streaming_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollups.streaming_sliding_counts(spark, sf_dir)

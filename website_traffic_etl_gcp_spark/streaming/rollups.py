@@ -353,3 +353,41 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg)
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window rollup: each event lands in window_len/slide
+    overlapping windows (2 here) — the trailing-window view a live
+    dashboard reads ("events in the last 2h, refreshed hourly").
+    State is (windows in flight) x (groups): the watermark retires a
+    window only after event time passes its END, so peak state is
+    ~(window_len/slide + watermark/slide) windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_end"
+            ),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(sliding_counts(events_stream(spark, sf_dir)))
