@@ -146,3 +146,97 @@ def test_minhash_estimate_tracks_jaccard(spark, data, base_words):
     est = sum(a == b for a, b in zip(sigs[0], sigs[1])) / MINHASH_K
     # k=16 Bernoulli draws: 3 sigma ~ 3*sqrt(0.25/16) = 0.375
     assert abs(est - exact) <= 0.40, f"exact={exact:.2f} est={est:.2f}"
+
+
+# ---- round-2 operators -------------------------------------------------
+
+_pii_texts = st.lists(
+    st.text(
+        alphabet="abc 0123456789.@-_",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_pii_texts)
+def test_redaction_is_idempotent(spark, texts):
+    """redact(redact(x)) == redact(x): the replacement tokens contain
+    no redactable substring, so a second pass must be a no-op — the
+    property that makes a re-run of the scrub job safe."""
+    from website_traffic_etl_gcp_spark.operators.redact import redact_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    once = df.select("doc_id", redact_text(F.col("text")).alias("r"))
+    twice = once.select("doc_id", redact_text(F.col("r")).alias("r"))
+    assert {(r["doc_id"], r["r"]) for r in once.collect()} == {
+        (r["doc_id"], r["r"]) for r in twice.collect()
+    }
+
+
+_token_counts = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),
+        st.integers(min_value=0, max_value=900),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_token_counts)
+def test_packing_conserves_and_orders(spark, rows):
+    """Packing invariants on arbitrary inputs: offsets are the exact
+    prefix sums in doc_id order within each group, bin ids are
+    monotone, and no token is lost or duplicated."""
+    from website_traffic_etl_gcp_spark.operators.packing import pack_offsets
+
+    df = spark.createDataFrame(
+        [(g, i, n) for i, (g, n) in enumerate(rows)],
+        ["source", "doc_id", "n"],
+    )
+    packed = pack_offsets(df, F.col("n"), cap=256)
+    got = sorted(
+        (
+            (r["source"], r["doc_id"], r["n_tokens"], r["stream_offset"], r["bin_id"])
+            for r in packed.collect()
+        )
+    )
+    # reference: python prefix sums per group in doc_id order
+    by_group: dict[str, int] = {}
+    expected = []
+    for g, i, n in sorted(
+        [(g, i, n) for i, (g, n) in enumerate(rows)], key=lambda t: (t[0], t[1])
+    ):
+        off = by_group.get(g, 0)
+        expected.append((g, i, n, off, off // 256))
+        by_group[g] = off + n
+    assert got == sorted(expected)
+
+
+def test_snapshot_diff_identity(spark):
+    """diff(x, x) = every key unchanged (on real data incl. NULLs)."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators.reconcile import diff_summary
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    rows = {r["status"]: r["n_rows"] for r in diff_summary(ev, ev, ["event_id"]).collect()}
+    assert rows == {"unchanged": ev.count()}
