@@ -141,3 +141,22 @@ def test_scd2_apply_contract(spark):
         (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
         for r in out.collect()
     }
+
+
+def test_scd2_null_current_attr_still_versions(spark):
+    """A NULL current attribute is a legal state (late-arriving dims):
+    a real value arriving must version the row, not silently drop it
+    (plain != would NULL out the filter on both branches)."""
+    from website_traffic_etl_gcp_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, "2024-01-01", None, True)],
+        "key int, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "A", "2024-06-01")], "key int, new_attr string, change_ts string"
+    )
+    out = scd2_apply(dim, changes, "key", "attr", "change_ts")
+    rows = {(r["attr"], r["is_current"]) for r in out.collect()}
+    assert rows == {(None, False), ("A", True)}
+    assert out.count() == 2

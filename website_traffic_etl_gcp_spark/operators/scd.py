@@ -47,10 +47,14 @@ def scd2_apply(
     ch = changes.select(key, new_attr, change_ts)
     joined = dim.join(F.broadcast(ch), key, "left")
 
+    # null-safe comparison: with a NULL current attribute, plain `!=`
+    # evaluates NULL and the row would fall out of BOTH filter branches
+    # (silently dropped); eqNullSafe keeps three-valued logic out of
+    # the routing decision
     is_effective = (
         F.col(new_attr).isNotNull()
         & F.col("is_current")
-        & (F.col(new_attr) != F.col(attr))
+        & ~F.col(new_attr).eqNullSafe(F.col(attr))
     )
 
     untouched = joined.filter(~is_effective).select(*dim.columns)
