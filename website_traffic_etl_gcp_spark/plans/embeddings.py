@@ -318,3 +318,39 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "kmeans_quality_gate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS partition_ok,
+           TRUE AS inertia_monotone
+    FROM embeddings
+    """,
+    tags=("embeddings", "clustering"),
+    doc="Driver-checkable gate for the (non-SQL-expressible) iterative "
+    "k-means: every vector assigned exactly once (n_vectors equals the "
+    "corpus count — the oracle recomputes it), at most k cells used, "
+    "and Lloyd's monotonicity holds (4-iteration inertia ≤ 1-iteration "
+    "inertia — the property that fails first if assignment or centroid "
+    "updates are wrong). Error-bound oracle pattern: the query emits "
+    "its own verdicts, the oracle expects TRUE. Complements the "
+    "per-cell breakdown in kmeans_embedding_clusters.",
+)
+def kmeans_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans
+
+    emb = _emb(spark, sf_dir)
+    inertia = lambda assigned: F.sum(F.col("dist").cast("decimal(28,10)"))
+    a1 = kmeans(emb, k=8, n_iter=1).agg(inertia(None).alias("i1"))
+    a4 = kmeans(emb, k=8, n_iter=4).agg(
+        inertia(None).alias("i4"),
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("cell_id").alias("n_cells"),
+    )
+    return a4.crossJoin(F.broadcast(a1)).select(
+        F.col("n_vectors"),
+        (F.col("n_cells") <= 8).alias("partition_ok"),
+        (F.col("i4") <= F.col("i1")).alias("inertia_monotone"),
+    )

@@ -31,12 +31,46 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_sessionize",
-    oracle=None,  # custom stateful op; batch-equivalence asserted in
-    # tests/test_streaming.py against operators/sessionize.py
+    # the custom stateful operator IS SQL-checkable on a bounded run:
+    # one availableNow batch emits every closed session plus each
+    # user's trailing open session (is_open) — exactly the batch gap
+    # sessionization with is_open = (last session per user)
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM tagged
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM numbered GROUP BY 1, 2
+    ),
+    last AS (SELECT user_id, MAX(session_id) AS max_sid FROM sess GROUP BY 1)
+    SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+           s.value_sum, s.session_id = l.max_sid AS is_open
+    FROM sess s JOIN last l USING (user_id)
+    """,
     tags=("streaming",),
     doc="Stateful gap-sessionization via applyInPandasWithState (O(1) "
-    "state per user). Bounded run emits exactly the batch operator's "
-    "sessions; see streaming/sessions.py.",
+    "state per user: four scalars). Bounded run emits exactly the "
+    "batch operator's sessions with the trailing open session flagged "
+    "— the oracle is the batch gap sessionization plus "
+    "is_open = (max session per user). see streaming/sessions.py.",
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
