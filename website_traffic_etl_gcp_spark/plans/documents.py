@@ -1169,3 +1169,58 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# ---- unicode normalization (vectorized scalar pandas_udf) --------------
+
+# combining acute accent — planted decomposed text on a doc slice
+# exercises real normalization work (the corpus itself is ASCII)
+_COMBINING_ACUTE = 769
+
+
+@register(
+    "unicode_nfc_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           md5(nfc_normalize(t)) AS nfc_md5,
+           nfc_normalize(t) <> t AS changed,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_len
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' cafe' || chr({_COMBINING_ACUTE}) || ' fin'
+                    ELSE text END AS t
+        FROM documents
+    )
+    """,
+    tags=("documents", "normalize"),
+    doc="Unicode NFC normalization via an Arrow-vectorized scalar "
+    "pandas_udf (pandas str.normalize per batch — Spark has no "
+    "built-in normalizer; this is the legitimate vectorized-UDF slot, "
+    "complementing the mapInPandas plumbing). A planted decomposed "
+    "e+COMBINING ACUTE on every 11th doc exercises real composition "
+    "on both engines; md5 of the normalized text pins byte-exact "
+    "agreement with DuckDB's nfc_normalize. Map-only pass.",
+)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textnorm import with_nfc
+
+    d = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" cafe" + chr(_COMBINING_ACUTE) + " fin"),
+        ),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", planted.alias("t"))
+    # materialize the UDF result once: Python UDF calls are not
+    # reliably common-subexpression-eliminated, and three invocations
+    # would triple the Arrow batch work
+    normalized = base.select("doc_id", "t", with_nfc("t").alias("n"))
+    return normalized.select(
+        "doc_id",
+        F.md5("n").alias("nfc_md5"),
+        (F.col("n") != F.col("t")).alias("changed"),
+        F.length("n").cast("bigint").alias("nfc_len"),
+    )
