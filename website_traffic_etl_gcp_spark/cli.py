@@ -39,6 +39,19 @@ def main(argv: list[str] | None = None) -> int:
     q_p.add_argument("--limit", type=int, default=20,
                      help="Rows to display (0 = count only)")
     sub.add_parser("list-queries", help="List every registry query")
+    e_p = sub.add_parser(
+        "explain", help="Print a registry query's physical plan"
+    )
+    e_p.add_argument("name", help="Query name (see list-queries)")
+    e_p.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="Directory holding the parquet tables",
+    )
+    e_p.add_argument(
+        "--mode", default="formatted",
+        choices=("simple", "extended", "formatted", "cost", "codegen"),
+        help="Explain mode (default: formatted)",
+    )
     dq_p = sub.add_parser(
         "dq", help="Run the data-quality gate; exit 1 if any rule fails"
     )
@@ -99,6 +112,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.limit > 0:
             df.show(args.limit, truncate=False)
         print(f"rows: {df.count()}")
+        return 0
+
+    if args.command == "explain":
+        from .plans.registry import REGISTRY
+
+        if args.name not in REGISTRY:
+            logger.error(
+                "Unknown query %r. Run list-queries for the inventory.",
+                args.name,
+            )
+            return 1
+        spark = get_spark(f"explain-{args.name}")
+        REGISTRY[args.name].builder(spark, args.sf_dir).explain(args.mode)
         return 0
 
     if args.command == "dq":
