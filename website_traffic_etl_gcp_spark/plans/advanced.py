@@ -668,3 +668,87 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = mutated.unionByName(inserts)
     return diff_summary(base, new, ["o_orderkey"])
+
+
+TRIM_FRACTION = 0.1  # two-sided 10% trim
+
+
+@register(
+    "value_trimmed_stats_by_type",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT *, CAST(floor(n * {TRIM_FRACTION}) AS BIGINT) AS k FROM ranked
+    )
+    SELECT event_type,
+           MAX(n) AS n,
+           CAST(SUM(CASE WHEN rn > k AND rn <= n - k
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN 1 END)
+                      AS DOUBLE) AS trimmed_mean,
+           CAST(SUM(CAST(
+                CASE WHEN rn <= k THEN lo
+                     WHEN rn > n - k THEN hi
+                     ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(MAX(n) AS DOUBLE) AS winsor_mean
+    FROM (
+        SELECT *,
+               MIN(CASE WHEN rn = k + 1 THEN value END) OVER
+                   (PARTITION BY event_type) AS lo,
+               MIN(CASE WHEN rn = n - k THEN value END) OVER
+                   (PARTITION BY event_type) AS hi
+        FROM bounds
+    )
+    GROUP BY event_type
+    """,
+    tags=("events", "robust"),
+    doc=f"Robust per-type value statistics: two-sided {TRIM_FRACTION:.0%} "
+    "TRIMMED mean (drop the k = floor(n·f) smallest and largest rows) "
+    "and WINSORIZED mean (clamp them to the k+1-th / (n−k)-th order "
+    "statistics) — outlier-resistant aggregates built from exact rank "
+    "selection, no interpolation, so both engines agree bit-for-bit. "
+    "One window pass + one aggregation; ties broken on event_id.",
+)
+def value_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("k", F.floor(F.col("n") * TRIM_FRACTION).cast("bigint"))
+    ranked = ranked.withColumn(
+        "lo",
+        F.min(F.when(F.col("rn") == F.col("k") + 1, F.col("value"))).over(wn),
+    ).withColumn(
+        "hi",
+        F.min(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("value"))
+        ).over(wn),
+    )
+    in_core = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    winsor_val = (
+        F.when(F.col("rn") <= F.col("k"), F.col("lo"))
+        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(F.when(in_core, dec("value"))).cast("double")
+            / F.sum(F.when(in_core, F.lit(1))).cast("double")
+        ).alias("trimmed_mean"),
+        (
+            F.sum(winsor_val.cast("decimal(18,2)")).cast("double")
+            / F.max("n").cast("double")
+        ).alias("winsor_mean"),
+    )
