@@ -1,0 +1,44 @@
+"""CLI smoke tests: the front-end a user actually types. Subprocess
+invocations (the CLI builds its own session) — one fast command per
+subcommand family; the heavy paths (run, compact) are covered by
+test_pipeline/test_compaction through their underlying functions."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _cli(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "website_traffic_etl_gcp_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+    )
+
+
+def test_list_queries_inventory():
+    proc = _cli("list-queries")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) >= 100  # the full registry prints
+    assert any("q1_pricing_summary" in ln for ln in lines)
+    assert any("[rows-only]" in ln for ln in lines)
+
+
+def test_explain_shows_physical_plan():
+    proc = _cli("explain", "q1_pricing_summary")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PushedFilters" in proc.stdout
+    assert "== Physical Plan ==" in proc.stdout
+
+
+def test_unknown_query_fails_cleanly():
+    proc = _cli("query", "no_such_query")
+    assert proc.returncode == 1
+    assert "Unknown query" in proc.stderr + proc.stdout
