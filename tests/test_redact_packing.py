@@ -160,3 +160,34 @@ def test_scd2_null_current_attr_still_versions(spark):
     rows = {(r["attr"], r["is_current"]) for r in out.collect()}
     assert rows == {(None, False), ("A", True)}
     assert out.count() == 2
+
+
+def test_bloom_prefilter_contract(spark):
+    """No false negatives (every truly-matching row survives) and the
+    sketch actually reduces the probe side before the exact join."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators.bloom import bloom_prefilter
+
+    from .conftest import SF_DIR
+
+    o = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    pre = bloom_prefilter(li, o, "l_orderkey", "o_orderkey")
+
+    n_total = li.count()
+    n_pre = pre.count()
+    n_exact = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    # superset of the exact matches (no false negatives)...
+    assert n_exact <= n_pre
+    missing = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .exceptAll(pre.join(o, pre.l_orderkey == o.o_orderkey, "left_semi"))
+        .count()
+    )
+    assert missing == 0
+    # ...and a genuine reduction of the probe side
+    assert n_pre < n_total

@@ -752,3 +752,44 @@ def value_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("n").cast("double")
         ).alias("winsor_mean"),
     )
+
+
+@register(
+    "bloom_prefiltered_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "sketch"),
+    doc="Runtime-filter join by hand: a portable Bloom sketch "
+    "(md5-position bitmap relation, broadcast; k=3 semi-join probes "
+    "in codegen) of the urgent orders' keys prefilters the lineitem "
+    "scan BEFORE the shuffle, and the exact join removes the sketch's "
+    "false positives — at 100 TB this is the difference between "
+    "shuffling every lineitem row and shuffling ~the matching "
+    "fraction. Oracle is the plain join: the sketch must be invisible "
+    "in the result. operators/bloom.py.",
+)
+def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_prefilter
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pre = bloom_prefilter(li, o, "l_orderkey", "o_orderkey")
+    return (
+        pre.join(o, pre.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
