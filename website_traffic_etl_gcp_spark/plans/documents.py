@@ -1224,3 +1224,57 @@ def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") != F.col("t")).alias("changed"),
         F.length("n").cast("bigint").alias("nfc_len"),
     )
+
+
+# ---- count-min heavy hitters (portable sketch #2) ----------------------
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(norm, ' ')) AS token
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    top AS (
+        SELECT token, COUNT(*) AS n_exact
+        FROM tok GROUP BY token
+        ORDER BY n_exact DESC, token LIMIT 20
+    )
+    SELECT token, n_exact, TRUE AS lower_ok, TRUE AS within_ok FROM top
+    """,
+    tags=("documents", "sketch"),
+    doc="Heavy-hitter token frequencies via a portable Count-Min "
+    "sketch (3x4096 md5-position counters — one explode + one "
+    "map-side-combinable groupBy builds it; probing is 3 broadcast "
+    "joins + least()). The sketch's one-sided error makes it "
+    "driver-checkable: lower_ok = est >= exact is a structural "
+    "guarantee, within_ok bounds the overshoot by the collision mass "
+    "(4N/w). The oracle recomputes the exact top-20 and expects both "
+    "verdicts TRUE. operators/cms.py.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cms import CMS_W, cms_build, cms_estimate
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("token")
+    )
+    sketch = cms_build(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(20)
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("__n"))
+    est = cms_estimate(top, sketch, "token").crossJoin(F.broadcast(total))
+    return est.select(
+        "token",
+        "n_exact",
+        (F.col("cms_est") >= F.col("n_exact")).alias("lower_ok"),
+        (
+            F.col("cms_est") - F.col("n_exact")
+            <= F.ceil(F.col("__n") * 4 / CMS_W).cast("bigint")
+        ).alias("within_ok"),
+    )
