@@ -225,7 +225,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact 3-gram Jaccard near-dup pairs via inverted-index "
     "self-join within (lang × length-band) buckets — candidate count "
     "is bounded by shared-shingle co-occurrence, never a cross join. "
-    "operators/dedup.py:ngram_jaccard_pairs.",
+    "This is the EXACT tier: posting lists are unbounded, so it's for "
+    "small/curated corpora; at scale default to the df-capped tier "
+    "(dedup_jaccard_dfcap), which everything downstream (clusters, "
+    "ensemble) builds on. operators/dedup.py:ngram_jaccard_pairs.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
