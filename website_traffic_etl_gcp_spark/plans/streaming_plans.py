@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..session import ensure_runtime_confs
 from ..streaming import rollups, sessions
 from .registry import register
 
@@ -73,11 +72,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is_open = (max session per user). see streaming/sessions.py.",
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_runtime_confs(spark)
-    stream = (
-        spark.readStream.schema(rollups.EVENTS_STREAM_SCHEMA)
-        .parquet(rollups.stream_source_dir(sf_dir, "events"))
-    )
+    stream = rollups.read_events_stream(spark, sf_dir)
     return rollups.run_to_completion(
         sessions.sessionize_stream(stream), output_mode="append"
     )

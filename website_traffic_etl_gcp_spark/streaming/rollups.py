@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -28,7 +29,10 @@ from ..catalog import table_path
 from ..session import ensure_runtime_confs
 
 # Streaming sources need an explicit schema (no inference mid-stream).
-# ts arrives as int64 nanoseconds (see catalog.load_table).
+# The producer has shipped events.ts both as parquet TIMESTAMP(NANOS)
+# (surfacing as int64 under nanosAsLong) and as TIMESTAMP(MICROS) —
+# read_events_stream sniffs one footer driver-side and declares the
+# matching schema, mirroring the batch fallback in catalog.load_table.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -39,6 +43,47 @@ EVENTS_STREAM_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+def _events_schema_with_ts(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, source_dir: str | None = None
+) -> DataFrame:
+    """readStream over the events landing dir with ``ts`` normalized to
+    a microsecond TimestampType, whatever the producer wrote.
+
+    One parquet footer is read driver-side to pick the declared schema
+    (streams cannot infer mid-flight): int64 → nanosAsLong fold to
+    micros (integer div — float division loses precision past 2^53);
+    real timestamp columns pass through with only an ntz→tz cast, same
+    as the batch path (catalog.load_table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ensure_runtime_confs(spark)
+    src = source_dir or stream_source_dir(sf_dir, "events")
+    footer_ts = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    if pa.types.is_integer(footer_ts):
+        raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if pa.types.is_timestamp(footer_ts) and footer_ts.tz is None:
+        declared: StructType = _events_schema_with_ts(TimestampNTZType())
+    else:
+        declared = _events_schema_with_ts(TimestampType())
+    raw = spark.readStream.schema(declared).parquet(src)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_source_dir(sf_dir: str, name: str = "events") -> str:
@@ -92,12 +137,9 @@ def dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream); here the materialized result is rolled up batch-side
     into per-hour counts, which must equal the batch rollup of the
     ORIGINAL unduplicated data."""
-    ensure_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(duplicated_stream_source_dir(sf_dir, "events"))
+    ev = read_events_stream(
+        spark, sf_dir, duplicated_stream_source_dir(sf_dir, "events")
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -119,12 +161,7 @@ def dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(stream_source_dir(sf_dir, "events"))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events_stream(spark, sf_dir)
 
 
 def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -279,12 +316,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw matches land in append mode; per-purchase counts are a
     batch aggregation over the materialized result (a second stateful
     agg would wait on the final watermark)."""
-    ensure_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(stream_source_dir(sf_dir, "events"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_events_stream(spark, sf_dir)
     views = (
         raw.filter(F.col("event_type") == "view")
         .select(

@@ -16,12 +16,10 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..session import ensure_runtime_confs
 from .rollups import (
-    EVENTS_STREAM_SCHEMA,
     duplicated_stream_source_dir,
+    read_events_stream,
 )
 
 __all__ = ["run_upsert_ingest"]
@@ -47,12 +45,9 @@ def run_upsert_ingest(
             batch = batch.join(existing, key, "left_anti")
         batch.write.mode("append").parquet(table_path)
 
-    ensure_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(duplicated_stream_source_dir(sf_dir, "events"))
+    ev = read_events_stream(
+        spark, sf_dir, duplicated_stream_source_dir(sf_dir, "events")
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     q = (
         ev.writeStream.foreachBatch(upsert)
         .trigger(availableNow=True)
