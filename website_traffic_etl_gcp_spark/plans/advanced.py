@@ -414,31 +414,42 @@ def order_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "value_percentiles_approx",
-    oracle=None,  # sketch-based; error vs exact order statistics is
-    # asserted in tests/test_sketches.py
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n_values,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
     tags=("events", "sketch"),
     doc="KLL/GK-style approximate percentiles (percentile_approx, "
     "accuracy 10000) of event value per type: mergeable sketches make "
     "this one map-side pass + tiny shuffle at any SF, where exact "
-    "order statistics need a full sort per group. Tested within "
-    "rank-error bounds of the exact quantiles.",
+    "order statistics need a full sort per group. Sketch outputs are "
+    "engine-specific, so the driver-visible contract is the RANK-ERROR "
+    "BOUND: for each quantile q the returned value's rank fraction "
+    "must sit within eps = 1e-4 (the sketch guarantee) + 2/n "
+    "(discreteness slack) of q, checked two-sided against the data "
+    "itself; oracle expects all-TRUE. Raw value accuracy is asserted "
+    "in tests/test_sketches.py.",
 )
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx(
-                "value", [0.5, 0.9, 0.99], 10000
-            ).alias("pcts")
-        )
-        .select(
-            "event_type",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
-        )
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pcts = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
     )
+    joined = ev.join(F.broadcast(pcts), "event_type")
+    n = F.count("value").cast("double")
+    eps = F.lit(1e-4) + F.lit(2.0) / n
+    checks = [("p50_ok", 0.5, 0), ("p90_ok", 0.9, 1), ("p99_ok", 0.99, 2)]
+    aggs = [F.count("value").cast("bigint").alias("n_values")]
+    for name, q, i in checks:
+        p = F.col("pcts")[i]
+        frac_lt = F.sum((F.col("value") < p).cast("long")).cast("double") / n
+        frac_le = F.sum((F.col("value") <= p).cast("long")).cast("double") / n
+        aggs.append(
+            ((frac_lt - F.lit(q) <= eps) & (F.lit(q) - frac_le <= eps)).alias(name)
+        )
+    return joined.groupBy("event_type").agg(*aggs)
 
 
 @register(

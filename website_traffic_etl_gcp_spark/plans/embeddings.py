@@ -19,6 +19,12 @@ QUERY_MOD = 50
 EMBED_DIM = 64
 COSINE_DEDUP_THRESHOLD = 0.4
 
+# Both ANN indexes clear this comfortably (measured mean recall@5:
+# IVF 0.41-0.50, LSH 0.35-0.42 across sf0.001/0.01/0.1); a
+# random-candidate baseline sits near k/corpus ≈ 0.01 — the floor
+# proves the index works without pinning engine-specific sketch values.
+RECALL_FLOOR = 0.3
+
 
 def _sql_cos(a: str, b: str) -> str:
     """Double-precision cosine in DuckDB SQL (list_cosine_similarity
@@ -132,20 +138,66 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_verdict(approx: DataFrame, exact: DataFrame, n_queries: int) -> DataFrame:
+    """Error-bound gate for an approximate top-k result: every probe
+    query answered, per-query result count ≤ k, mean recall@k vs brute
+    force above the floor. The raw neighbor lists stay available via
+    the operator (operators/similarity.py) and their recall values are
+    asserted in tests/test_similarity.py; this driver-visible row is
+    the oracle-checkable contract (oracle expects all-TRUE)."""
+    per_q = sim.recall_at_k(approx, exact, KNN_K)
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .agg(
+            F.count(F.lit(1)).alias("n_covered"),
+            F.max("n_results").alias("max_results"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_q.agg(
+                    (
+                        F.sum("n_hits").cast("double")
+                        / F.lit(float(n_queries * KNN_K))
+                    ).alias("recall")
+                )
+            )
+        )
+        .select(
+            F.lit(n_queries).cast("bigint").alias("n_queries"),
+            (F.col("n_covered") == n_queries).alias("coverage_ok"),
+            (F.col("max_results") <= KNN_K).alias("k_bound_ok"),
+            (F.col("recall") >= RECALL_FLOOR).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_VERDICT_ORACLE = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS coverage_ok,
+           TRUE AS k_bound_ok,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    """
+
+
 @register(
     "knn_lsh_bucketed",
-    oracle=None,  # approximate by construction; recall vs brute force
-    # is asserted in tests/test_similarity.py
+    oracle=_ANN_VERDICT_ORACLE,
     tags=("embeddings", "similarity"),
     doc=f"Approximate top-k via {sim.LSH_PLANES} random-hyperplane signs "
     "with hamming-1 multiprobe. The 100 TB path: one shuffle of the "
     "corpus on bucket id, candidates per query = corpus/2^planes. "
-    "operators/similarity.py:lsh_topk.",
+    "operators/similarity.py:lsh_topk. Driver-visible contract is the "
+    "error-bound verdict row (coverage / k-bound / recall ≥ "
+    f"{RECALL_FLOOR} vs brute force — measured 0.35-0.42 across "
+    "sf0.001-0.1); oracle expects all-TRUE.",
 )
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return sim.lsh_topk(emb, q, KNN_K, EMBED_DIM)
+    approx = sim.lsh_topk(emb, q, KNN_K, EMBED_DIM)
+    return _ann_verdict(approx, sim.brute_force_topk(emb, q, KNN_K), q.count())
 
 
 def label_centroids(emb: DataFrame) -> DataFrame:
@@ -170,20 +222,23 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 
 @register(
     "knn_ivf_cells",
-    oracle=None,  # approximate; recall vs brute force asserted in
-    # tests/test_similarity.py
+    oracle=_ANN_VERDICT_ORACLE,
     tags=("embeddings", "similarity"),
     doc="IVF approximate top-k: label-mean centroids as the coarse "
     "quantizer, corpus bucketed into its nearest cell, queries probe "
     "their 2 nearest cells. One corpus shuffle at index-build time; "
     "per-query work is corpus/n_cells × n_probe. "
-    "operators/similarity.py:ivf_topk.",
+    "operators/similarity.py:ivf_topk. Driver-visible contract is the "
+    "error-bound verdict row (coverage / k-bound / recall ≥ "
+    f"{RECALL_FLOOR} vs brute force — measured 0.41-0.50 across "
+    "sf0.001-0.1); oracle expects all-TRUE.",
 )
 def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = label_centroids(emb)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
+    approx = sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
+    return _ann_verdict(approx, sim.brute_force_topk(emb, q, KNN_K), q.count())
 
 
 @register(
@@ -245,33 +300,48 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_embedding_clusters",
-    oracle=None,  # iterative algorithm; determinism + convergence
-    # asserted in tests/test_similarity.py
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS cells_ok,
+           TRUE AS sizes_ok,
+           TRUE AS inertia_ok
+    FROM embeddings
+    """,
     tags=("embeddings", "clustering"),
     doc="Lloyd's k-means (k=8, 4 iterations) over the embedding "
-    "corpus: per-cluster sizes + inertia contribution. Each iteration "
-    "is one broadcast-assign pass + one k x dim aggregation collected "
-    "to the driver, which truncates lineage (no exponential iterative "
-    "plans, no checkpoints). operators/clustering.py:kmeans.",
+    "corpus. Each iteration is one broadcast-assign pass + one k x dim "
+    "aggregation collected to the driver, which truncates lineage (no "
+    "exponential iterative plans, no checkpoints). Iterative centroids "
+    "are not SQL-expressible, so the driver-visible contract is the "
+    "invariant verdict over the per-cluster summary: every vector "
+    "assigned exactly once (n_vectors — the oracle recomputes it), "
+    "1..k non-empty cells, per-cell inertia non-negative and finite. "
+    "Per-cell sizes/inertia detail comes from the operator directly "
+    "(operators/clustering.py:kmeans) and is asserted in "
+    "tests/test_similarity.py; monotonicity is kmeans_quality_gate.",
 )
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans
 
     emb = _emb(spark, sf_dir)
     assigned = kmeans(emb, k=8, n_iter=4)
-    return assigned.groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
+    cells = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("cell_size"),
         F.sum(F.col("dist").cast("decimal(28,10)"))
         .cast("double")
-        .alias("inertia"),
+        .alias("cell_inertia"),
     )
-
-
-# Both indexes clear this comfortably (measured mean recall@5: IVF
-# 0.42/0.50, LSH 0.40/0.42 at sf0.001/sf0.01); a random-candidate
-# baseline sits near k/corpus ≈ 0.01 — the floor proves the index
-# works without pinning engine-specific sketch values.
-RECALL_FLOOR = 0.3
+    return cells.agg(
+        F.sum("cell_size").cast("bigint").alias("n_vectors"),
+        ((F.count(F.lit(1)) >= 1) & (F.count(F.lit(1)) <= 8)).alias("cells_ok"),
+        (F.min("cell_size") >= 1).alias("sizes_ok"),
+        (
+            (F.min("cell_inertia") >= 0.0)
+            & F.bool_and(
+                ~F.isnan("cell_inertia") & F.col("cell_inertia").isNotNull()
+            )
+        ).alias("inertia_ok"),
+    )
 
 
 @register(
