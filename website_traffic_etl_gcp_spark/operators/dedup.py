@@ -28,12 +28,18 @@ MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
 # 48 bits: random doc pairs sit at expected hamming ~24, so the ≤3
 # filter admits only genuine near-dups (32 bits was permissive enough
-# on short docs to pass thousands of chance collisions). 48 = 6 byte
-# bands; any pair within hamming ≤ 3 still agrees on ≥ 3 of them, and
-# the fingerprint stays well inside a signed int64.
+# on short docs to pass thousands of chance collisions). The banding
+# uses the MINIMUM sound band count: hamming ≤ 3 flips touch ≤ 3
+# bands, so 4 bands guarantee ≥ 1 agreeing band — and fewer, wider
+# bands (4 × 12 bits → 4096 values each) shrink random band
+# collisions 16× vs byte bands, which dominated candidate volume
+# (measured 13.9M candidates → ~1M real pairs at sf0.1 with 6 × 8-bit
+# bands). The fingerprint stays well inside a signed int64.
 SIMHASH_BITS = 48
-SIMHASH_BAND_BYTES = 6
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # minimum sound band count
+SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 12 bits
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_WIDTH) - 1
 
 
 def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -261,14 +267,17 @@ def simhash_fingerprints(
             F.array_distinct(F.split(normalize_text(text_col), " "))
         ).alias("token"),
     )
-    h = md5_long(F.col("token"))
+    # materialize the hash ONCE per token — referencing md5_long inside
+    # each vote would re-evaluate the md5 48× per row (aggregate codegen
+    # does not reliably eliminate the common subexpression)
+    hashed = toks.select("doc_id", md5_long(F.col("token")).alias("h"))
     votes = [
         F.sum(
-            F.when((h.bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
+            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(SIMHASH_BITS)
     ]
-    sigs = toks.groupBy("doc_id").agg(*votes)
+    sigs = hashed.groupBy("doc_id").agg(*votes)
     fp = None
     for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -277,9 +286,10 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
-    """Candidates share at least one of the fingerprint's byte bands
-    (any pair within hamming ≤ 3 differs in ≤3 bytes, so agrees on the
-    rest); exact hamming filter via xor+bit_count afterwards.
+    """Candidates share at least one of the fingerprint's 12-bit bands
+    (any pair within hamming ≤ 3 flips bits in ≤3 of the 4 bands, so
+    agrees on at least one); exact hamming filter via xor+bit_count
+    afterwards.
 
     ``n_salts`` spreads a hot band value's pair generation over that
     many reducers (identical-doc floods); output unchanged."""
@@ -287,9 +297,11 @@ def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
         *[
             F.struct(
                 F.lit(j).alias("band_idx"),
-                (F.shiftright(F.col("simhash"), 8 * j) % 256).alias("band_val"),
+                F.shiftright(F.col("simhash"), SIMHASH_BAND_WIDTH * j)
+                .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                .alias("band_val"),
             )
-            for j in range(SIMHASH_BAND_BYTES)
+            for j in range(SIMHASH_BANDS)
         ]
     )
     # self-joined twice below — checkpoint so the fingerprint groupBy
@@ -299,9 +311,8 @@ def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
         .select("doc_id", "simhash", "b.band_idx", "b.band_val")
         .localCheckpoint(eager=False)
     )
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(xor)
     if n_salts:
         joined = _salted_self_join(keyed, ["band_idx", "band_val"], n_salts)
     else:
@@ -312,14 +323,30 @@ def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-    return (
-        joined.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
+    # a qualifying pair meets in EVERY band its fingerprints agree on
+    # (up to all 4) — instead of a distinct over that multiplied output
+    # (an O(candidates) shuffle), keep the pair only in its FIRST
+    # agreeing band, computable row-locally from the xor's zero bands.
+    # Map-side exact dedup: the join output needs no exchange at all.
+    first_agreeing_band = F.coalesce(
+        *[
+            F.when(
+                F.shiftright(xor, SIMHASH_BAND_WIDTH * j).bitwiseAND(
+                    F.lit(SIMHASH_BAND_MASK)
+                )
+                == 0,
+                F.lit(j),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    return joined.filter(
+        (ham <= SIMHASH_MAX_HAMMING)
+        & (F.col("a.band_idx") == first_agreeing_band)
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.alias("hamming"),
     )
 
 

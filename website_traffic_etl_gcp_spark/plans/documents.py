@@ -275,6 +275,7 @@ JACCARD_MAX_DF = 2
             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
           >= {NGRAM_JACCARD_THRESHOLD}
     """,
+    bench=True,
     tags=("documents", "dedup"),
     doc=f"Jaccard near-dup pairs with a df cap ({JACCARD_MAX_DF}): "
     "shingles appearing in more docs than the cap are dropped before "
@@ -350,8 +351,9 @@ def _sql_simhash() -> str:
     )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {j} AS band_idx, "
-        f"(simhash >> {8 * j}) & 255 AS band_val FROM fps"
-        for j in range(dd.SIMHASH_BAND_BYTES)
+        f"(simhash >> {dd.SIMHASH_BAND_WIDTH * j}) & {dd.SIMHASH_BAND_MASK}"
+        " AS band_val FROM fps"
+        for j in range(dd.SIMHASH_BANDS)
     )
     return f"""
     WITH tok AS (
@@ -374,10 +376,12 @@ def _sql_simhash() -> str:
 @register(
     "dedup_simhash",
     oracle=_sql_simhash(),
+    bench=True,
     tags=("documents", "dedup"),
     doc=f"SimHash({dd.SIMHASH_BITS}-bit) near-dup pairs, hamming ≤ "
-    f"{dd.SIMHASH_MAX_HAMMING}, byte-band candidate generation (any pair "
-    f"within the radius must share ≥1 of {dd.SIMHASH_BAND_BYTES} bytes). "
+    f"{dd.SIMHASH_MAX_HAMMING}, banded candidate generation (any pair "
+    f"within the radius must share ≥1 of {dd.SIMHASH_BANDS} "
+    f"{dd.SIMHASH_BAND_WIDTH}-bit bands). "
     "operators/dedup.py:simhash_fingerprints/simhash_near_pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,6 +839,7 @@ EVAL_SOURCE = "src0"
                AS overlap_ratio
     FROM hit h JOIN tot t ON h.doc_id = t.doc_id
     """,
+    bench=True,
     tags=("documents", "dedup"),
     doc="Benchmark decontamination (GPT-3/Pile style): training docs "
     f"sharing any word-{ts.SHINGLE_K}-gram with the eval set "
@@ -1026,6 +1031,7 @@ PACK_CAP_TOKENS = 512
            MIN(doc_id) AS first_doc_id
     FROM off GROUP BY 1, 2
     """,
+    bench=True,
     tags=("documents", "packing"),
     doc=f"Concat-and-chunk sequence packing into {PACK_CAP_TOKENS}-token "
     "context windows: each doc's stream offset is the prefix token sum "
