@@ -1119,6 +1119,80 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "q20_excess_availability",
+    oracle="""
+    WITH widget_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%widget'
+    ),
+    sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_1996
+        FROM lineitem
+        JOIN widget_parts ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    ptot AS (SELECT l_partkey, SUM(qty_1996) AS part_qty FROM sp GROUP BY 1),
+    dominant AS (
+        SELECT l_suppkey, l_partkey, qty_1996
+        FROM sp JOIN ptot USING (l_partkey)
+        WHERE qty_1996 > 0.5 * part_qty AND qty_1996 > 0
+    )
+    SELECT s_suppkey, s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_dominated,
+           CAST(SUM(qty_1996) AS DOUBLE) AS qty_dominated
+    FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2
+    """,
+    tags=("relational",),
+    doc="TPC-H Q20 adaptation (no partsupp table in this schema, so "
+    "availability is re-grounded in shipment flow): suppliers who "
+    "shipped more than half of a part's total 1996 volume for the "
+    "widget part subset — the nested semi-join over an aggregated "
+    "quantity that defines Q20's shape. Plan: one lineitem scan with "
+    "the ship-date filter pushed to parquet and the part subset "
+    "broadcast-semi-joined, aggregated to (supplier, part), "
+    "re-aggregated to part totals (second shuffle is over the already "
+    "reduced pair set, not the fact table), dominance filter, then a "
+    "broadcast supplier lookup. No correlated subquery anywhere.",
+)
+def q20_excess_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").endswith("widget"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(dec("l_quantity", 2)).alias("qty_1996")
+    )
+    ptot = sp.groupBy("l_partkey").agg(F.sum("qty_1996").alias("part_qty"))
+    dominant = sp.join(ptot, "l_partkey").filter(
+        (F.col("qty_1996") > F.lit(0.5) * F.col("part_qty"))
+        & (F.col("qty_1996") > 0)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_dominated"),
+            F.sum("qty_1996").cast("double").alias("qty_dominated"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts_dominated", "qty_dominated")
+    )
+
+
+@register(
     "q21_sole_late_supplier",
     oracle="""
     WITH li AS (SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
