@@ -28,7 +28,9 @@ def test_list_queries_inventory():
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) >= 100  # the full registry prints
     assert any("q1_pricing_summary" in ln for ln in lines)
-    assert any("[rows-only]" in ln for ln in lines)
+    # round 4: every query is oracle-backed (error-bound verdicts for
+    # the approximate ops) — no rows-only entries remain
+    assert not any("[rows-only]" in ln for ln in lines)
 
 
 def test_explain_shows_physical_plan():
