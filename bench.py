@@ -58,6 +58,47 @@ def _check_regressions(timings: dict[str, float], sf: float) -> list[str]:
     return warnings
 
 
+def _run_suite(spark, specs, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def _scaling_report(spark, specs) -> None:
+    """Measure each headline query at sf0.01 and sf0.1 (10× the rows)
+    and report the wall-clock ratio. On fixed local[32] a scale-safe
+    plan grows at most ~linearly (ratio ≲ 10, usually far below since
+    fixed overheads amortize); a super-linear ratio flags a plan whose
+    work grows faster than its input — the 100× red flag. Results land
+    in BENCH_SCALING.json."""
+    lo_dir, hi_dir = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    for spec in specs:  # warm both paths
+        spec.builder(spark, lo_dir).write.format("noop").mode("overwrite").save()
+    lo = _run_suite(spark, specs, lo_dir)
+    hi = _run_suite(spark, specs, hi_dir)
+    ratios = {
+        n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in lo
+    }
+    out = {
+        "sf_lo": 0.01,
+        "sf_hi": 0.1,
+        "data_ratio": 10.0,
+        "sec_lo": lo,
+        "sec_hi": hi,
+        "time_ratio": ratios,
+        "superlinear": sorted(n for n, r in ratios.items() if r and r > 10.0),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -65,6 +106,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = [s for s in plans.REGISTRY.values() if s.bench]
+
+    if "--scaling" in sys.argv:
+        _scaling_report(spark, specs)
+        return
+
     timings: dict[str, float] = {}
     # JVM JIT + codegen warmup: run the whole suite once at the
     # smallest SF so measured timings reflect steady-state execution,
@@ -76,10 +122,7 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    for spec in specs:
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+    timings = _run_suite(spark, specs, sf_dir)
 
     warnings = _check_regressions(timings, float(sf))
 
