@@ -127,13 +127,28 @@ def test_salted_self_joins_equal_unsalted(docs):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    # a 5-long path has diameter 5; max_iter=2 cannot converge and the
-    # operator must fail loudly instead of returning split clusters
+    # a 100-long path cannot reach the star fixed point in one
+    # large-star/small-star round; the operator must fail loudly
+    # instead of returning split clusters
     path = spark.createDataFrame(
-        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+        [(i, i + 1) for i in range(100)], ["doc_a", "doc_b"]
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(path, max_iter=2)
+    with pytest.raises(RuntimeError, match="did not reach its fixed point"):
+        dd.connected_components(path, max_iter=1)
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    # adversarial 50-hop duplicate chain: min-label propagation needs
+    # ~50 rounds; the alternating star algorithm must collapse it to
+    # one cluster within a log-scale round budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(chain, max_iter=6).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 51
 
 
 def test_connected_components_chains_and_islands(spark):

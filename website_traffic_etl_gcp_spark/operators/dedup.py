@@ -350,71 +350,114 @@ def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Distinct (hi, lo) orientation, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-larger neighbors to
+    its minimum neighborhood label (min of self and all neighbors)."""
+    sym = edges.select(
+        F.col("hi").alias("u"), F.col("lo").alias("v")
+    ).unionByName(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+        .select(F.col("doc_a").alias("hi"), F.col("doc_b").alias("lo"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node re-points its smaller-or-equal neighbors
+    (and itself) at the minimum of that closed neighborhood."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    nbrs = edges.join(mins, "hi")
+    e1 = nbrs.filter(F.col("lo") != F.col("m")).select(
+        F.col("lo").alias("doc_a"), F.col("m").alias("doc_b")
+    )
+    e2 = mins.select(F.col("hi").alias("doc_a"), F.col("m").alias("doc_b"))
+    return _canon_edges(e1.unionByName(e2))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Duplicate-CLUSTER formation: collapse the near-dup pair graph
-    into components via iterative min-label propagation — the step that
-    turns pairwise dedup output into actual removal groups (keep
-    cluster_id, drop the rest).
+    into components — the step that turns pairwise dedup output into
+    actual removal groups (keep cluster_id, drop the rest).
 
-    Each iteration: every node takes min(own label, neighbors' labels);
-    converges in O(component diameter) rounds — dup clusters are
-    near-cliques, so 2-3 in practice. Per round: one join + one groupBy
-    on the edge list, both shuffles on node id. ``localCheckpoint``
-    truncates lineage each round (on a cluster with reliable storage,
-    ``checkpoint`` — the plan must not grow with iterations). The loop
-    exits early when no label changes.
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round rewrites the edge
+    set so strictly-larger neighbors attach to the local minimum
+    (large-star) and then each node folds its smaller neighbors onto
+    that minimum (small-star). The fixed point is one star per
+    component rooted at the component's minimum id, reached in
+    O(log n) rounds REGARDLESS of component diameter — min-label
+    propagation needs O(diameter) rounds and a 50-hop duplicate chain
+    (common when near-dup similarity is transitive-ish) would blow any
+    sane round budget at 100 TB. Per round: two self-aggregating
+    shuffles on node id over the CURRENT edge set, which only shrinks.
+    ``localCheckpoint`` truncates lineage each round (reliable-storage
+    clusters: ``checkpoint``).
 
-    Raises if the loop exhausts ``max_iter`` without converging (a
-    component with diameter > max_iter would otherwise be silently
-    SPLIT into several cluster_ids — worse than failing, because the
-    downstream keep/drop step would keep extra near-duplicates).
+    Raises if the loop exhausts ``max_iter`` without reaching the
+    fixed point (never silently SPLITS a component — worse than
+    failing, because the downstream keep/drop step would keep extra
+    near-duplicates).
 
     Returns (doc_id, cluster_id = min doc id of the component) for
     every doc that appears in at least one pair."""
-    edges = pairs.select("doc_a", "doc_b")
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
+    edges = _canon_edges(pairs.select("doc_a", "doc_b")).localCheckpoint(
+        eager=True
     )
-    labels = (
-        sym.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    changed = 0
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym.doc_b == labels.node)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
+
+    def _is_star_set(e: DataFrame) -> bool:
+        # stars (canonical orientation forces root = star minimum) are
+        # exactly the fixed points: every hi carries ONE edge and no
+        # edge target is itself a source — two cheap aggregates, no
+        # extra confirmation round
+        multi_parent = (
+            e.groupBy("hi").count().filter(F.col("count") > 1).limit(1).count()
         )
-        new = (
-            labels.join(nbr, labels.node == nbr.doc_a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+        if multi_parent:
+            return False
+        chained = (
+            e.alias("x")
+            .join(e.alias("y"), F.col("x.lo") == F.col("y.hi"))
+            .limit(1)
             .count()
         )
-        labels = new
-        if changed == 0:
+        return chained == 0
+
+    converged = _is_star_set(edges)
+    for _ in range(max_iter):
+        if converged:
             break
-    if changed != 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        converged = _is_star_set(edges)
+    if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — the "
-            "pair graph has a component with diameter > max_iter"
+            f"connected_components did not reach its fixed point in "
+            f"{max_iter} large-star/small-star rounds; raise max_iter"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    # the fixed point is a star per component: non-roots appear as hi
+    # pointing at the root, roots only as lo
+    non_roots = edges.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
     )
+    roots = edges.select(F.col("lo").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return non_roots.unionByName(roots)
