@@ -169,3 +169,64 @@ def test_connected_components_chains_and_islands(spark):
     )
     got2 = {r["doc_id"]: r["cluster_id"] for r in dd.connected_components(path).collect()}
     assert set(got2.values()) == {0} and len(got2) == 10
+
+
+def test_salted_self_join_splits_hot_key_reducer_load(spark):
+    """Skew proof at the task level: one hot (bucket, shingle) key puts
+    every candidate pair on a single reducer; salting must spread that
+    pair-generation work across ~n_salts reducers with identical
+    output. Measured on REAL join-output partition sizes (AQE and
+    broadcast disabled so the shuffle partitioning is observable)."""
+    n_docs, n_salts = 400, 16
+    keyed = spark.createDataFrame(
+        [(i, "b0", "s0") for i in range(n_docs)],
+        ["doc_id", "bucket", "shingle"],
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the shared test session runs 4 shuffle partitions; give the
+        # 16 salt keys room to actually land on distinct reducers
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+
+        def max_partition_rows(df):
+            sizes = (
+                df.groupBy(F.spark_partition_id().alias("p"))
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        a, b = keyed.alias("a"), keyed.alias("b")
+        plain = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        salted = dd._salted_self_join(keyed, ["bucket", "shingle"], n_salts).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
+        n_pairs = n_docs * (n_docs - 1) // 2
+        plain_max = max_partition_rows(plain)
+        salted_max = max_partition_rows(salted)
+        # unsalted: the hot key lands every pair on ONE reducer
+        assert plain_max == n_pairs, (plain_max, n_pairs)
+        # salted: the busiest reducer sheds at least 4x of that load
+        # (salt keys can still collide in the partition hash, so the
+        # bound is conservative vs the ~n_salts-way ideal split)
+        assert salted_max * 4 <= plain_max, (salted_max, plain_max)
+        # and the pair set is unchanged
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
