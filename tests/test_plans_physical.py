@@ -131,3 +131,21 @@ def test_dup_ngram_fraction_no_shuffle(spark):
     # per-doc array algebra: a pure projection, no Exchange
     plan = _plan(spark, "dup_ngram_fraction")
     assert "Exchange" not in plan
+
+
+def test_q20_pushdown_and_broadcasts(spark):
+    """Q20 analog: the ship-date window must reach the lineitem scan,
+    the widget part subset and the supplier lookup must broadcast —
+    the nested availability aggregate never shuffles the fact table
+    more than once."""
+    plan = _plan(spark, "q20_excess_availability")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2, "part/supplier not broadcast"
+    # lineitem scan reads only the three needed columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_suppkey" in line:
+            assert "l_partkey" in line and "l_quantity" in line
+            assert "l_extendedprice" not in line
+            break
+    else:
+        raise AssertionError("no lineitem ReadSchema found in plan")
