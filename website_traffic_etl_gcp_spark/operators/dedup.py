@@ -18,7 +18,7 @@ oracle-checkable; see plans/documents.py for the SQL twins."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.texthash import md5_long, normalize_text
@@ -92,15 +92,15 @@ def ngram_jaccard_pairs(
     step — on a cluster with reliable storage, write it out instead."""
     ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
     if max_df is not None:
-        # df filter and self-join share the (bucket, shingle) key — no
-        # extra shuffle of the big side
-        rare = (
-            ex.groupBy("bucket", "shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+        # document frequency as a window count over (bucket, shingle):
+        # one shuffle of the index, vs the groupBy+semi-join form which
+        # shuffles it twice (measured ~25% of query time at sf0.1)
+        w = Window.partitionBy("bucket", "shingle")
+        ex = (
+            ex.withColumn("df", F.count(F.lit(1)).over(w))
             .filter(F.col("df") <= max_df)
-            .select("bucket", "shingle")
+            .drop("df")
         )
-        ex = ex.join(rare, ["bucket", "shingle"])
     ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _jaccard_from_index(ex, sizes, threshold, n_salts=n_salts)
