@@ -54,6 +54,7 @@ NEEDS_EVIDENCE_R4 = (
     "cms_heavy_hitters",
     "multimodal_resize_dims",
     "multimodal_audio_chunks",
+    "dedup_keep_list",
 )
 
 SECTION_REPRESENTATIVES = (

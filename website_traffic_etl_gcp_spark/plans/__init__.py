@@ -88,7 +88,7 @@ _PRIORITY_ORDER = (
     # in round 4 so its fresh row re-proves the new candidate path
     "q1_pricing_summary",
     "sessionize_events",
-    "daily_active_users",
+    "dedup_keep_list",  # new in round 4
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

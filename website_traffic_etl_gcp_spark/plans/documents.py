@@ -571,11 +571,12 @@ _SQL_JACCARD_PAIRS = f"""
     """,
     tags=("documents", "dedup"),
     doc="Duplicate-cluster formation: connected components over the "
-    "jaccard near-dup pair graph via iterative min-label propagation "
-    "(converges in O(component diameter) rounds; lineage truncated "
-    "per round). The keep/drop decision of a dedup pipeline happens "
-    "per CLUSTER, not per pair — keep cluster_id, drop the rest. "
-    "Oracle is a recursive-CTE transitive closure. "
+    "jaccard near-dup pair graph via alternating large-star/small-star "
+    "(O(log n) rounds regardless of component diameter; lineage "
+    "truncated per round, loud failure on round exhaustion). The "
+    "keep/drop decision of a dedup pipeline happens per CLUSTER, not "
+    "per pair — keep cluster_id, drop the rest. Oracle is a "
+    "recursive-CTE transitive closure. "
     "operators/dedup.py:connected_components.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +586,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
     )
     return dd.connected_components(pairs)
+
+
+@register(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(a, b) AS (
+        SELECT doc_a, doc_a FROM edges
+        UNION
+        SELECT c.a, e.doc_b
+        FROM closure c JOIN edges e ON c.b = e.doc_a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a
+    ),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1
+    )
+    SELECT f.doc_id, f.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           f.doc_id = f.cluster_id AS keep
+    FROM assigned f JOIN sizes s USING (cluster_id)
+    """,
+    tags=("documents", "dedup"),
+    doc="The dedup pipeline's end deliverable — a removal MANIFEST over "
+    "the whole corpus: every doc's cluster id (singletons are their own "
+    "cluster), the cluster size, and the keep verdict (canonical = "
+    "cluster minimum). Plan: clusters from the near-dup graph "
+    "(log-round connected components) left-joined back onto the corpus "
+    "id scan — the join is on doc_id, and cluster rows exist only for "
+    "docs that appeared in a pair, so the big side streams through "
+    "once. Downstream training-data jobs anti-join this manifest on "
+    "keep = false.",
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    pairs = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    clusters = dd.connected_components(pairs)
+    full = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return full.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
 
 
 @register(
