@@ -39,3 +39,9 @@ def test_no_cartesian_product(spark, name):
         if not m.group().startswith("Broadcast")
     ]
     assert not bad_nlj, f"{name} plans a non-broadcast nested-loop join"
+    # Python in a plan must be Arrow-batched (ArrowEvalPython,
+    # MapInPandas, FlatMapGroupsInPandas...) — BatchEvalPython is the
+    # pickled row-at-a-time path, 10-100x slower in a hot loop
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF"
+    )
