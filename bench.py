@@ -58,12 +58,21 @@ def _check_regressions(timings: dict[str, float], sf: float) -> list[str]:
     return warnings
 
 
-def _run_suite(spark, specs, sf_dir: str) -> dict[str, float]:
+def _run_suite(spark, specs, sf_dir: str, repeats: int = 1) -> dict[str, float]:
+    """Per-query wall clock through the noop sink; with ``repeats`` > 1
+    the best of N is kept — single-shot numbers on a shared box carry
+    ambient-load noise that shows up as phantom regressions."""
     timings: dict[str, float] = {}
     for spec in specs:
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[spec.name] = round(best, 3)
     return timings
 
 
@@ -122,7 +131,7 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    timings = _run_suite(spark, specs, sf_dir)
+    timings = _run_suite(spark, specs, sf_dir, repeats=2)
 
     warnings = _check_regressions(timings, float(sf))
 
