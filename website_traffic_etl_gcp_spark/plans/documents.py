@@ -60,6 +60,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5(norm) AS fingerprint
+                FROM ({_SQL_DOCS_NORM})),
+    existing AS (
+        SELECT fingerprint, MIN(doc_id) AS canonical_id
+        FROM fp WHERE doc_id % 2 = 0 GROUP BY 1
+    )
+    SELECT n.doc_id, n.fingerprint,
+           e.canonical_id,
+           e.canonical_id IS NOT NULL AS is_dup_of_existing
+    FROM fp n LEFT JOIN existing e USING (fingerprint)
+    WHERE n.doc_id % 2 = 1
+    """,
+    tags=("documents", "dedup"),
+    doc="Incremental ingest dedup — the production shape: an incoming "
+    "batch (odd doc ids here) is checked against the EXISTING corpus's "
+    "fingerprint index (even ids) instead of re-deduping the whole "
+    "corpus per ingest. One shuffle join on fingerprint; at scale the "
+    "existing index is a bucketed table on fingerprint so ingest "
+    "batches join exchange-free (sources/bucketing.py), and the index "
+    "append is the batch's own new fingerprints.",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+    )
+    existing = (
+        fp.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+    return incoming.join(existing, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        "canonical_id",
+        F.col("canonical_id").isNotNull().alias("is_dup_of_existing"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id, md5(norm) AS fingerprint,
