@@ -205,14 +205,9 @@ def minhash_signatures(
     return ex.groupBy("doc_id").agg(*_minhash_cols())
 
 
-def minhash_band_pairs(sigs: DataFrame, n_salts: int | None = None) -> DataFrame:
-    """LSH banding: b band keys per doc (md5 of the band's row hashes);
-    docs sharing any band key become candidate pairs.
-
-    ``n_salts``: a corpus with thousands of IDENTICAL docs concentrates
-    one band key — d² candidate pairs on one reducer. Salting spreads
-    that key's pair generation over ``n_salts`` reducers with identical
-    output (see ``_salted_self_join``)."""
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — b band keys per doc, each the md5
+    of its band's row hashes."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = F.array(
         *[
@@ -231,14 +226,22 @@ def minhash_band_pairs(sigs: DataFrame, n_salts: int | None = None) -> DataFrame
             for j in range(MINHASH_BANDS)
         ]
     )
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+
+
+def minhash_band_pairs(sigs: DataFrame, n_salts: int | None = None) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs.
+
+    ``n_salts``: a corpus with thousands of IDENTICAL docs concentrates
+    one band key — d² candidate pairs on one reducer. Salting spreads
+    that key's pair generation over ``n_salts`` reducers with identical
+    output (see ``_salted_self_join``)."""
     # the self-join consumes this twice; without the (lazy) checkpoint
     # the whole signature pipeline — shingle explode, window sort, k-way
     # min aggregate — executes once per side (~3× the query time)
-    keyed = (
-        sigs.select("doc_id", F.explode(bands).alias("b"))
-        .select("doc_id", "b.band_idx", "b.band_key")
-        .localCheckpoint(eager=False)
-    )
+    keyed = minhash_bands(sigs).localCheckpoint(eager=False)
     if n_salts:
         joined = _salted_self_join(keyed, ["band_idx", "band_key"], n_salts)
     else:

@@ -367,6 +367,100 @@ def _sql_minhash() -> str:
     """
 
 
+def _sql_incremental_minhash() -> str:
+    base = _MD5L.format(x="shingle") + f" % {dd.MINHASH_PRIME}"
+    mins = ", ".join(
+        f"MIN(({dd._MINHASH_A[i]} * x + {dd._MINHASH_B[i]}) % {dd.MINHASH_PRIME})"
+        f" AS h{i}"
+        for i in range(dd.MINHASH_K)
+    )
+    rows = dd.MINHASH_K // dd.MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_idx, md5({key}) AS band_key FROM sigs".format(
+            j=j,
+            key=" || '-' || ".join(
+                f"CAST(h{j * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for j in range(dd.MINHASH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN n.h{i} = e.h{i} THEN 1 ELSE 0 END"
+        for i in range(dd.MINHASH_K)
+    )
+    return f"""
+    WITH sh AS ({_SQL_DOCS_SH}),
+    ex AS (
+        SELECT doc_id, {base} AS x
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS doc_id, x.doc_id AS matched_id
+        FROM bands i JOIN bands x
+          ON i.band_idx = x.band_idx AND i.band_key = x.band_key
+         AND i.doc_id % 2 = 1 AND x.doc_id % 2 = 0
+    )
+    SELECT c.doc_id, c.matched_id,
+           CAST({agree} AS BIGINT) AS n_hash_agree,
+           CAST({agree} AS DOUBLE) / {dd.MINHASH_K}.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs n ON n.doc_id = c.doc_id
+    JOIN sigs e ON e.doc_id = c.matched_id
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_sql_incremental_minhash(),
+    tags=("documents", "dedup"),
+    doc="Incremental NEAR-dup ingest: the incoming batch's (odd ids) "
+    "minhash band keys probe the existing corpus's (even ids) band "
+    "index — no self-join over the whole corpus per ingest. Candidates "
+    "score est_jaccard = agreeing minhash fraction (exact rational, "
+    "engine-portable). At scale the existing band index is a bucketed "
+    "table on band_key, making each ingest probe exchange-free; the "
+    "batch's own bands are appended after. "
+    "operators/dedup.py:minhash_bands.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    existing = sigs.filter(F.col("doc_id") % 2 == 0)
+    incoming = sigs.filter(F.col("doc_id") % 2 == 1)
+    cand = (
+        dd.minhash_bands(incoming)
+        .join(
+            dd.minhash_bands(existing).select(
+                F.col("doc_id").alias("matched_id"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("doc_id", "matched_id")
+        .distinct()
+    )
+    agree = None
+    for i in range(dd.MINHASH_K):
+        term = F.when(
+            F.col(f"n.h{i}") == F.col(f"e.h{i}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(sigs.alias("n"), cand.doc_id == F.col("n.doc_id"))
+        .join(sigs.alias("e"), cand.matched_id == F.col("e.doc_id"))
+        .select(
+            cand.doc_id,
+            cand.matched_id,
+            agree.cast("bigint").alias("n_hash_agree"),
+            (agree.cast("double") / F.lit(float(dd.MINHASH_K))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=_sql_minhash(),
