@@ -75,6 +75,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n.doc_id % 2 = 1
     """,
     tags=("documents", "dedup"),
+    bench=True,
     doc="Incremental ingest dedup — the production shape: an incoming "
     "batch (odd doc ids here) is checked against the EXISTING corpus's "
     "fingerprint index (even ids) instead of re-deduping the whole "
@@ -415,6 +416,7 @@ def _sql_incremental_minhash() -> str:
     "dedup_incremental_minhash",
     oracle=_sql_incremental_minhash(),
     tags=("documents", "dedup"),
+    bench=True,
     doc="Incremental NEAR-dup ingest: the incoming batch's (odd ids) "
     "minhash band keys probe the existing corpus's (even ids) band "
     "index — no self-join over the whole corpus per ingest. Candidates "
