@@ -82,8 +82,14 @@ def _scaling_report(spark, specs) -> None:
     plan grows at most ~linearly (ratio ≲ 10, usually far below since
     fixed overheads amortize); a super-linear ratio flags a plan whose
     work grows faster than its input — the 100× red flag. Results land
-    in BENCH_SCALING.json."""
-    lo_dir, hi_dir = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    in BENCH_SCALING.json. Dirs honor the same env contract as the
+    headline run: hi = $SPARK_GRAFT_SF_DIR, lo = $SPARK_GRAFT_SF_DIR_LO
+    (default: the sf0.01 sibling of hi)."""
+    hi_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR_LO",
+        os.path.join(os.path.dirname(hi_dir.rstrip("/")), "sf0.01"),
+    )
     for spec in specs:  # warm both paths
         spec.builder(spark, lo_dir).write.format("noop").mode("overwrite").save()
     lo = _run_suite(spark, specs, lo_dir)
@@ -91,14 +97,24 @@ def _scaling_report(spark, specs) -> None:
     ratios = {
         n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in lo
     }
+    def _sf(d: str) -> float:
+        try:
+            return float(d.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            return float("nan")
+
+    sf_lo, sf_hi = _sf(lo_dir), _sf(hi_dir)
+    data_ratio = sf_hi / sf_lo if sf_lo else float("nan")
     out = {
-        "sf_lo": 0.01,
-        "sf_hi": 0.1,
-        "data_ratio": 10.0,
+        "sf_lo": sf_lo,
+        "sf_hi": sf_hi,
+        "data_ratio": data_ratio,
         "sec_lo": lo,
         "sec_hi": hi,
         "time_ratio": ratios,
-        "superlinear": sorted(n for n, r in ratios.items() if r and r > 10.0),
+        "superlinear": sorted(
+            n for n, r in ratios.items() if r and r > data_ratio
+        ),
     }
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"

@@ -22,18 +22,19 @@ from .conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def producer_dirs(tmp_path_factory):
-    """Two copies of the sf0.001 dataset differing ONLY in events.ts
-    physical type: int64 nanoseconds vs timestamp[us]."""
+    """Copies of the sf0.001 dataset differing ONLY in events.ts
+    physical type: annotated TIMESTAMP(NANOS) — the actual round-1/2
+    producer shape, which pyarrow reports as timestamp[ns], NOT int64 —
+    raw unannotated int64 nanoseconds, and TIMESTAMP(MICROS)."""
     base = tmp_path_factory.mktemp("producers")
     ev = pq.read_table(table_path(SF_DIR, "events"))
+    i = ev.schema.get_field_index("ts")
     ts = ev.column("ts").cast(pa.timestamp("us"))
+    ns_int = pc.multiply(ts.cast(pa.int64()), pa.scalar(1000, pa.int64()))
     variants = {
-        "nanos": ev.set_column(
-            ev.schema.get_field_index("ts"),
-            "ts",
-            pc.multiply(ts.cast(pa.int64()), pa.scalar(1000, pa.int64())),  # µs → ns
-        ),
-        "micros": ev.set_column(ev.schema.get_field_index("ts"), "ts", ts),
+        "nanos_ts": ev.set_column(i, "ts", ts.cast(pa.timestamp("ns"))),
+        "nanos_int64": ev.set_column(i, "ts", ns_int),
+        "micros": ev.set_column(i, "ts", ts),
     }
     dirs = {}
     for name, table in variants.items():
@@ -56,14 +57,21 @@ def _rows(df):
     ["etl_traffic_transform", "sessionize_events", "daily_active_users"],
 )
 def test_batch_queries_identical_across_producers(spark, producer_dirs, qname):
-    a = _rows(REGISTRY[qname].builder(spark, producer_dirs["nanos"]))
-    b = _rows(REGISTRY[qname].builder(spark, producer_dirs["micros"]))
-    assert a == b and len(a) > 0
+    results = {
+        name: _rows(REGISTRY[qname].builder(spark, d))
+        for name, d in producer_dirs.items()
+    }
+    baseline = results["micros"]
+    assert len(baseline) > 0
+    for name, rows in results.items():
+        assert rows == baseline, f"{qname} differs for producer {name}"
 
 
 def test_streaming_rollup_identical_across_producers(spark, producer_dirs):
-    got = {}
-    for name, d in producer_dirs.items():
-        df = REGISTRY["streaming_hourly_counts"].builder(spark, d)
-        got[name] = _rows(df)
-    assert got["nanos"] == got["micros"] and len(got["nanos"]) > 0
+    got = {
+        name: _rows(REGISTRY["streaming_hourly_counts"].builder(spark, d))
+        for name, d in producer_dirs.items()
+    }
+    assert len(got["micros"]) > 0
+    for name, rows in got.items():
+        assert rows == got["micros"], f"streaming differs for producer {name}"

@@ -65,17 +65,22 @@ def read_events_stream(
     a microsecond TimestampType, whatever the producer wrote.
 
     One parquet footer is read driver-side to pick the declared schema
-    (streams cannot infer mid-flight): int64 → nanosAsLong fold to
-    micros (integer div — float division loses precision past 2^53);
-    real timestamp columns pass through with only an ntz→tz cast, same
-    as the batch path (catalog.load_table)."""
+    (streams cannot infer mid-flight). Parquet TIMESTAMP(NANOS) —
+    which pyarrow reports as timestamp[ns], NOT int64 — and raw int64
+    columns both surface as long under nanosAsLong, so both take the
+    nano fold to micros (integer div — float division loses precision
+    past 2^53); µs/ms timestamp columns pass through with only an
+    ntz→tz cast, same as the batch path (catalog.load_table)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     ensure_runtime_confs(spark)
     src = source_dir or stream_source_dir(sf_dir, "events")
     footer_ts = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
-    if pa.types.is_integer(footer_ts):
+    surfaces_as_long = pa.types.is_integer(footer_ts) or (
+        pa.types.is_timestamp(footer_ts) and footer_ts.unit == "ns"
+    )
+    if surfaces_as_long:
         raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if pa.types.is_timestamp(footer_ts) and footer_ts.tz is None:
@@ -84,6 +89,18 @@ def read_events_stream(
         declared = _events_schema_with_ts(TimestampType())
     raw = spark.readStream.schema(declared).parquet(src)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _ensure_link(link: str, src: str) -> None:
+    """Idempotent symlink that also REFRESHES: two sf_dirs can share a
+    basename (e.g. pytest tmp dirs), so a cached link pointing at a
+    different — possibly deleted — target must be re-pointed, not
+    silently reused."""
+    if os.path.islink(link):
+        if os.readlink(link) == src:
+            return
+        os.remove(link)
+    os.symlink(src, link)
 
 
 def stream_source_dir(sf_dir: str, name: str = "events") -> str:
@@ -100,9 +117,7 @@ def stream_source_dir(sf_dir: str, name: str = "events") -> str:
     )
     os.makedirs(base, exist_ok=True)
     link = os.path.join(base, f"{name}.parquet")
-    src = table_path(sf_dir, name)
-    if not os.path.islink(link):
-        os.symlink(src, link)
+    _ensure_link(link, table_path(sf_dir, name))
     return base
 
 
@@ -120,9 +135,7 @@ def duplicated_stream_source_dir(sf_dir: str, name: str = "events") -> str:
     os.makedirs(base, exist_ok=True)
     src = table_path(sf_dir, name)
     for suffix in ("a", "b"):
-        link = os.path.join(base, f"{name}_{suffix}.parquet")
-        if not os.path.islink(link):
-            os.symlink(src, link)
+        _ensure_link(os.path.join(base, f"{name}_{suffix}.parquet"), src)
     return base
 
 
