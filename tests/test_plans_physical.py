@@ -149,3 +149,9 @@ def test_q20_pushdown_and_broadcasts(spark):
             break
     else:
         raise AssertionError("no lineitem ReadSchema found in plan")
+
+
+def test_chunk_windows_is_map_only(spark):
+    # sequence + explode + slice: chunking must not shuffle at any SF
+    plan = _plan(spark, "doc_chunk_windows")
+    assert "Exchange" not in plan, "doc_chunk_windows plans a shuffle"

@@ -1215,6 +1215,80 @@ def pii_redact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_CAP_TOKENS = 512
 
 
+CHUNK_SIZE_TOKENS = 32
+CHUNK_STRIDE_TOKENS = 24
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(norm, ' ') AS t,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    starts AS (
+        SELECT doc_id, t, n,
+               unnest(CASE WHEN n >= {CHUNK_SIZE_TOKENS}
+                           THEN range(1, n - {CHUNK_SIZE_TOKENS} + 2,
+                                      {CHUNK_STRIDE_TOKENS})
+                           ELSE [1] END) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE_TOKENS} AS BIGINT) AS chunk_idx,
+           CAST(least(n - s + 1, {CHUNK_SIZE_TOKENS}) AS BIGINT)
+               AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, s, s + {CHUNK_SIZE_TOKENS} - 1), ' '
+           )) AS chunk_hash
+    FROM starts
+    """,
+    tags=("documents", "packing"),
+    doc=f"Context-window chunking: each doc splits into "
+    f"{CHUNK_SIZE_TOKENS}-token windows at stride "
+    f"{CHUNK_STRIDE_TOKENS} (overlap "
+    f"{CHUNK_SIZE_TOKENS - CHUNK_STRIDE_TOKENS}); docs shorter than "
+    "one window yield a single whole-doc chunk. Map-only plan — "
+    "sequence + explode + slice, no shuffle at any SF — emitting the "
+    "chunk's token count and content hash (the dedup/join key "
+    "downstream chunk-level pipelines use).",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(normalize_text("text"), " ")
+    base = d.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("bigint").alias("n")
+    )
+    starts = F.when(
+        F.col("n") >= CHUNK_SIZE_TOKENS,
+        F.sequence(
+            F.lit(1),
+            (F.col("n") - CHUNK_SIZE_TOKENS + 1).cast("int"),
+            F.lit(CHUNK_STRIDE_TOKENS),
+        ),
+    ).otherwise(F.array(F.lit(1)))
+    return (
+        base.select("doc_id", "t", "n", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE_TOKENS)
+            .cast("bigint")
+            .alias("chunk_idx"),
+            F.least(
+                F.col("n") - F.col("s") + 1, F.lit(CHUNK_SIZE_TOKENS)
+            )
+            .cast("bigint")
+            .alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), F.col("s"), CHUNK_SIZE_TOKENS)
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 @register(
     "doc_pack_bins",
     oracle=f"""
