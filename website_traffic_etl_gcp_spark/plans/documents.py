@@ -1290,6 +1290,56 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_boilerplate_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(norm, ' ') AS t,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    starts AS (
+        SELECT doc_id, t, n,
+               unnest(CASE WHEN n >= {CHUNK_SIZE_TOKENS}
+                           THEN range(1, n - {CHUNK_SIZE_TOKENS} + 2,
+                                      {CHUNK_STRIDE_TOKENS})
+                           ELSE [1] END) AS s
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(t, s, s + {CHUNK_SIZE_TOKENS} - 1), ' '
+               )) AS chunk_hash
+        FROM starts
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM chunks
+    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("documents", "dedup", "packing"),
+    doc="Boilerplate spans: chunk hashes recurring across ≥2 docs "
+    "(headers, navigation, license blocks — the repeated spans "
+    "C4/RefinedWeb-style pipelines strip before training). One "
+    "hash-groupBy over the map-only chunk stream; map-side combine "
+    "keeps the shuffle at distinct-hash cardinality.",
+)
+def chunk_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = doc_chunk_windows(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
     "doc_pack_bins",
     oracle=f"""
     WITH toks AS (
