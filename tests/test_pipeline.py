@@ -97,3 +97,36 @@ def test_csv_export_readable(spark, landing):
     back = spark.read.option("header", "true").csv(str(out))
     assert back.count() == 3
     assert set(back.columns) == {"time", "traffic", "created_at"}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC interchange: write the events slice as ORC, read it back via
+    read_orc, and confirm equality plus predicate pushdown reaching the
+    ORC scan (searchArgument in the plan)."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.sources.readers import read_orc
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(path)
+
+    back = read_orc(spark, path)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    a = sorted(tuple(r) for r in ev.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+    import contextlib
+    import io
+
+    flt = back.filter(back.event_type == "purchase")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        flt.explain(True)
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "event_type" in plan

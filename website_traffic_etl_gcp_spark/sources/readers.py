@@ -43,6 +43,19 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC source (JVM-native, columnar, predicate-pushdown-capable —
+    the other warehouse interchange format besides parquet). Schema is
+    optional: ORC files carry their own types, so unlike CSV/JSON no
+    inference pass is needed; pass one to assert/prune columns."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def validate_traffic_columns(df: DataFrame) -> DataFrame:
     """Reference extract.py:69-74: required columns must exist (case-
     insensitive). Raises ExtractionError like the reference — a schema
