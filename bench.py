@@ -90,10 +90,12 @@ def _scaling_report(spark, specs) -> None:
         "SPARK_GRAFT_SF_DIR_LO",
         os.path.join(os.path.dirname(hi_dir.rstrip("/")), "sf0.01"),
     )
-    for spec in specs:  # warm both paths
-        spec.builder(spark, lo_dir).write.format("noop").mode("overwrite").save()
-    lo = _run_suite(spark, specs, lo_dir)
-    hi = _run_suite(spark, specs, hi_dir)
+    for d in (lo_dir, hi_dir):  # warm BOTH paths (file cache + codegen)
+        for spec in specs:
+            spec.builder(spark, d).write.format("noop").mode("overwrite").save()
+    # best-of-2 for the same phantom-regression reason as the headline
+    lo = _run_suite(spark, specs, lo_dir, repeats=2)
+    hi = _run_suite(spark, specs, hi_dir, repeats=2)
     ratios = {
         n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in lo
     }
@@ -101,10 +103,17 @@ def _scaling_report(spark, specs) -> None:
         try:
             return float(d.rstrip("/").rsplit("sf", 1)[-1])
         except ValueError:
-            return float("nan")
+            raise SystemExit(
+                f"--scaling needs sf<value>-suffixed dirs to derive the "
+                f"data ratio; got {d!r} (set SPARK_GRAFT_SF_DIR[_LO])"
+            )
 
     sf_lo, sf_hi = _sf(lo_dir), _sf(hi_dir)
-    data_ratio = sf_hi / sf_lo if sf_lo else float("nan")
+    if not sf_lo or sf_hi <= sf_lo:
+        raise SystemExit(
+            f"--scaling needs sf_hi > sf_lo > 0; got {sf_lo} → {sf_hi}"
+        )
+    data_ratio = sf_hi / sf_lo
     out = {
         "sf_lo": sf_lo,
         "sf_hi": sf_hi,

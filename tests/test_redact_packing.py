@@ -191,3 +191,62 @@ def test_bloom_prefilter_contract(spark):
     assert missing == 0
     # ...and a genuine reduction of the probe side
     assert n_pre < n_total
+
+
+def test_chunk_windows_cover_every_token(spark, tmp_path):
+    """Tail coverage: windows are stride-aligned PLUS a clamped final
+    window, so every token of every doc lands in >=1 chunk — checked
+    against a pure-Python reference on crafted lengths (5, 32, 56, 57,
+    70, 81 tokens: aligned, sub-window, and misaligned tails)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from website_traffic_etl_gcp_spark.plans.registry import REGISTRY
+
+    SIZE, STRIDE = 32, 24
+    lengths = [5, 32, 56, 57, 70, 81]
+    docs = []
+    for i, n in enumerate(lengths):
+        toks = [f"w{i}t{j}" for j in range(n)]
+        docs.append((i, "en", "srcT", len(" ".join(toks)), " ".join(toks)))
+    table = pa.table(
+        {
+            "doc_id": [d[0] for d in docs],
+            "lang": [d[1] for d in docs],
+            "source": [d[2] for d in docs],
+            "n_chars": [d[3] for d in docs],
+            "text": [d[4] for d in docs],
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_hash"])
+        for r in REGISTRY["doc_chunk_windows"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+
+    expected = {}
+    for i, n in enumerate(lengths):
+        toks = [f"w{i}t{j}" for j in range(n)]
+        if n >= SIZE:
+            starts = sorted(
+                set(range(1, n - SIZE + 2, STRIDE)) | {n - SIZE + 1}
+            )
+        else:
+            starts = [1]
+        covered = set()
+        for s in starts:
+            idx = (s - 1 + STRIDE - 1) // STRIDE
+            chunk = toks[s - 1 : s - 1 + SIZE]
+            covered.update(range(s, s + len(chunk)))
+            expected[(i, idx)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+        assert covered == set(range(1, n + 1)), f"doc {i} tail dropped"
+
+    assert got == expected

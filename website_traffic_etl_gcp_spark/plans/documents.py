@@ -7,7 +7,7 @@ identical across engines."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -336,7 +336,10 @@ def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash() -> str:
+def _sql_minhash_prefix() -> str:
+    """Shared sh/ex/sigs/bands CTE prefix — the batch and incremental
+    minhash oracles MUST be generated from one fragment or a constant
+    tweak (prime, band separator) silently desynchronizes them."""
     base = _MD5L.format(x="shingle") + f" % {dd.MINHASH_PRIME}"
     mins = ", ".join(
         f"MIN(({dd._MINHASH_A[i]} * x + {dd._MINHASH_B[i]}) % {dd.MINHASH_PRIME})"
@@ -360,7 +363,12 @@ def _sql_minhash() -> str:
         FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
     ),
     sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
-    bands AS ({band_selects})
+    bands AS ({band_selects})"""
+
+
+def _sql_minhash() -> str:
+    return f"""
+    {_sql_minhash_prefix()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -369,34 +377,12 @@ def _sql_minhash() -> str:
 
 
 def _sql_incremental_minhash() -> str:
-    base = _MD5L.format(x="shingle") + f" % {dd.MINHASH_PRIME}"
-    mins = ", ".join(
-        f"MIN(({dd._MINHASH_A[i]} * x + {dd._MINHASH_B[i]}) % {dd.MINHASH_PRIME})"
-        f" AS h{i}"
-        for i in range(dd.MINHASH_K)
-    )
-    rows = dd.MINHASH_K // dd.MINHASH_BANDS
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {j} AS band_idx, md5({key}) AS band_key FROM sigs".format(
-            j=j,
-            key=" || '-' || ".join(
-                f"CAST(h{j * rows + r} AS VARCHAR)" for r in range(rows)
-            ),
-        )
-        for j in range(dd.MINHASH_BANDS)
-    )
     agree = " + ".join(
         f"CASE WHEN n.h{i} = e.h{i} THEN 1 ELSE 0 END"
         for i in range(dd.MINHASH_K)
     )
     return f"""
-    WITH sh AS ({_SQL_DOCS_SH}),
-    ex AS (
-        SELECT doc_id, {base} AS x
-        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
-    ),
-    sigs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
-    bands AS ({band_selects}),
+    {_sql_minhash_prefix()},
     cand AS (
         SELECT DISTINCT i.doc_id AS doc_id, x.doc_id AS matched_id
         FROM bands i JOIN bands x
@@ -783,13 +769,13 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
-    sizes = full.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
-    )
-    return full.join(sizes, "cluster_id").select(
+    # cluster size as a window count: one shuffle of the manifest,
+    # where a groupBy + join back would scan-and-shuffle it twice
+    w = Window.partitionBy("cluster_id")
+    return full.select(
         "doc_id",
         "cluster_id",
-        "cluster_size",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
 
@@ -1218,10 +1204,16 @@ PACK_CAP_TOKENS = 512
 CHUNK_SIZE_TOKENS = 32
 CHUNK_STRIDE_TOKENS = 24
 
-
-@register(
-    "doc_chunk_windows",
-    oracle=f"""
+# shared chunking CTE (both chunk oracles MUST use the same fragment —
+# the chunk_hash join key means nothing if the two drift): aligned
+# starts at the stride, PLUS a clamped final start n-size+1 so the doc
+# tail is always covered (a 70-token doc yields starts 1, 25, 39 — the
+# aligned-only form dropped tokens 57-70 entirely). chunk_idx is the
+# ceil of (s-1)/stride: aligned starts keep their ordinal, the clamped
+# tail start lands strictly between two aligned ordinals and takes the
+# upper one (which cannot itself be an aligned start, else the clamp
+# would equal it and dedup).
+_SQL_CHUNKS = f"""
     WITH toks AS (
         SELECT doc_id, string_split(norm, ' ') AS t,
                CAST(len(string_split(norm, ' ')) AS BIGINT) AS n
@@ -1230,19 +1222,32 @@ CHUNK_STRIDE_TOKENS = 24
     starts AS (
         SELECT doc_id, t, n,
                unnest(CASE WHEN n >= {CHUNK_SIZE_TOKENS}
-                           THEN range(1, n - {CHUNK_SIZE_TOKENS} + 2,
-                                      {CHUNK_STRIDE_TOKENS})
+                           THEN list_distinct(list_append(
+                               range(1, n - {CHUNK_SIZE_TOKENS} + 2,
+                                     {CHUNK_STRIDE_TOKENS}),
+                               n - {CHUNK_SIZE_TOKENS} + 1))
                            ELSE [1] END) AS s
         FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1 + {CHUNK_STRIDE_TOKENS - 1})
+                    // {CHUNK_STRIDE_TOKENS} AS BIGINT) AS chunk_idx,
+               CAST(least(n - s + 1, {CHUNK_SIZE_TOKENS}) AS BIGINT)
+                   AS chunk_tokens,
+               md5(array_to_string(
+                   list_slice(t, s, s + {CHUNK_SIZE_TOKENS} - 1), ' '
+               )) AS chunk_hash
+        FROM starts
     )
-    SELECT doc_id,
-           CAST((s - 1) / {CHUNK_STRIDE_TOKENS} AS BIGINT) AS chunk_idx,
-           CAST(least(n - s + 1, {CHUNK_SIZE_TOKENS}) AS BIGINT)
-               AS chunk_tokens,
-           md5(array_to_string(
-               list_slice(t, s, s + {CHUNK_SIZE_TOKENS} - 1), ' '
-           )) AS chunk_hash
-    FROM starts
+"""
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    {_SQL_CHUNKS}
+    SELECT doc_id, chunk_idx, chunk_tokens, chunk_hash FROM chunks
     """,
     tags=("documents", "packing"),
     doc=f"Context-window chunking: each doc splits into "
@@ -1260,19 +1265,26 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id", toks.alias("t"), F.size(toks).cast("bigint").alias("n")
     )
+    last_start = (F.col("n") - CHUNK_SIZE_TOKENS + 1).cast("int")
     starts = F.when(
         F.col("n") >= CHUNK_SIZE_TOKENS,
-        F.sequence(
-            F.lit(1),
-            (F.col("n") - CHUNK_SIZE_TOKENS + 1).cast("int"),
-            F.lit(CHUNK_STRIDE_TOKENS),
+        F.array_distinct(
+            F.concat(
+                F.sequence(
+                    F.lit(1), last_start, F.lit(CHUNK_STRIDE_TOKENS)
+                ),
+                F.array(last_start),
+            )
         ),
     ).otherwise(F.array(F.lit(1)))
     return (
         base.select("doc_id", "t", "n", F.explode(starts).alias("s"))
         .select(
             "doc_id",
-            ((F.col("s") - 1) / CHUNK_STRIDE_TOKENS)
+            F.expr(
+                f"(s - 1 + {CHUNK_STRIDE_TOKENS - 1}) div "
+                f"{CHUNK_STRIDE_TOKENS}"
+            )
             .cast("bigint")
             .alias("chunk_idx"),
             F.least(
@@ -1292,26 +1304,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "chunk_boilerplate_report",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(norm, ' ') AS t,
-               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n
-        FROM ({_SQL_DOCS_NORM})
-    ),
-    starts AS (
-        SELECT doc_id, t, n,
-               unnest(CASE WHEN n >= {CHUNK_SIZE_TOKENS}
-                           THEN range(1, n - {CHUNK_SIZE_TOKENS} + 2,
-                                      {CHUNK_STRIDE_TOKENS})
-                           ELSE [1] END) AS s
-        FROM toks
-    ),
-    chunks AS (
-        SELECT doc_id,
-               md5(array_to_string(
-                   list_slice(t, s, s + {CHUNK_SIZE_TOKENS} - 1), ' '
-               )) AS chunk_hash
-        FROM starts
-    )
+    {_SQL_CHUNKS}
     SELECT chunk_hash,
            COUNT(*) AS n_occurrences,
            COUNT(DISTINCT doc_id) AS n_docs,

@@ -138,7 +138,9 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_verdict(approx: DataFrame, exact: DataFrame) -> DataFrame:
+def _ann_verdict(
+    approx: DataFrame, exact: DataFrame, probe: DataFrame
+) -> DataFrame:
     """Error-bound gate for an approximate top-k result: every probe
     query answered, per-query result count ≤ k, mean recall@k vs brute
     force above the floor. The raw neighbor lists stay available via
@@ -146,13 +148,15 @@ def _ann_verdict(approx: DataFrame, exact: DataFrame) -> DataFrame:
     asserted in tests/test_similarity.py; this driver-visible row is
     the oracle-checkable contract (oracle expects all-TRUE).
 
-    The probe-set size comes from the exact side INSIDE the plan
-    (brute force answers every query) — no driver-side count action at
+    The probe-set size is an aggregate over the (cheap) probe
+    DataFrame inside the plan — no driver-side count action at
     plan-build time, so `cli explain` and the plan-audit sweep stay
-    lazy."""
+    lazy — and the brute-force frame is lazily checkpointed by the
+    callers so its corpus × queries join runs once, not once per
+    consumer."""
     per_q = sim.recall_at_k(approx, exact, KNN_K)
-    n_queries = exact.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    n_queries = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries")
     )
     return (
         approx.groupBy("query_id")
@@ -203,7 +207,8 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     approx = sim.lsh_topk(emb, q, KNN_K, EMBED_DIM)
-    return _ann_verdict(approx, sim.brute_force_topk(emb, q, KNN_K))
+    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    return _ann_verdict(approx, exact, q)
 
 
 def label_centroids(emb: DataFrame) -> DataFrame:
@@ -244,7 +249,8 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = label_centroids(emb)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     approx = sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
-    return _ann_verdict(approx, sim.brute_force_topk(emb, q, KNN_K))
+    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    return _ann_verdict(approx, exact, q)
 
 
 @register(
@@ -375,7 +381,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    exact = sim.brute_force_topk(emb, q, KNN_K)
+    # consumed once per method — lazy checkpoint runs the corpus ×
+    # queries join once
+    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
     methods = {
         "ivf": sim.ivf_topk(emb, q, label_centroids(emb), KNN_K, n_probe=2),
         "lsh": sim.lsh_topk(emb, q, KNN_K, EMBED_DIM),

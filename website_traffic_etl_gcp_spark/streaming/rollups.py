@@ -95,12 +95,15 @@ def _ensure_link(link: str, src: str) -> None:
     """Idempotent symlink that also REFRESHES: two sf_dirs can share a
     basename (e.g. pytest tmp dirs), so a cached link pointing at a
     different — possibly deleted — target must be re-pointed, not
-    silently reused."""
-    if os.path.islink(link):
-        if os.readlink(link) == src:
-            return
-        os.remove(link)
-    os.symlink(src, link)
+    silently reused. The refresh is an atomic os.replace of a temp
+    link (a remove+create window would 404 a concurrent reader, and a
+    concurrent creator would crash the second symlink call); it also
+    handles the path pre-existing as a regular file."""
+    if os.path.islink(link) and os.readlink(link) == src:
+        return
+    tmp = f"{link}.tmp.{uuid.uuid4().hex[:8]}"
+    os.symlink(src, tmp)
+    os.replace(tmp, link)
 
 
 def stream_source_dir(sf_dir: str, name: str = "events") -> str:
