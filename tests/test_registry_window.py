@@ -55,15 +55,18 @@ NEEDS_EVIDENCE_R4 = (
     "multimodal_resize_dims",
     "multimodal_audio_chunks",
     "dedup_keep_list",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "doc_chunk_windows",
+    "chunk_boilerplate_report",
 )
 
 SECTION_REPRESENTATIVES = (
     "etl_traffic_transform",  # §2A
     "q1_pricing_summary",  # §2B
-    "sessionize_events",  # §2C
-    "dedup_minhash_lsh",  # §2D
+    "event_type_hourly",  # §2C
     "dedup_simhash",  # §2D — banding changed in round 4
-    "knn_bruteforce_cosine",  # §2E
+    "knn_lsh_bucketed",  # §2E
     "value_percentiles_approx",  # §2E2
     "multimodal_resize_dims",  # §2F
     "streaming_hourly_counts",  # §2G

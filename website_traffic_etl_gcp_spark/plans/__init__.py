@@ -84,15 +84,17 @@ _PRIORITY_ORDER = (
     "etl_traffic_daily_rolling",
     "etl_append_dedup",
     "incremental_hourly_rollup",
-    # §2B/§2C/§2D/§2E representatives; dedup_simhash banding changed
-    # in round 4 so its fresh row re-proves the new candidate path
+    # flagship relational + operators that are new or changed in
+    # round 4 (simhash banding; incremental dedup; chunking) — already
+    # multi-green unchanged queries (dedup_exact, sessionize_events,
+    # knn_bruteforce_cosine, dedup_minhash_lsh) ceded their slots
     "q1_pricing_summary",
-    "sessionize_events",
     "dedup_keep_list",  # new in round 4
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "knn_bruteforce_cosine",
+    "dedup_simhash",  # rebanded in round 4
+    "dedup_incremental_exact",  # new in round 4
+    "dedup_incremental_minhash",  # new in round 4
+    "doc_chunk_windows",  # new in round 4
+    "chunk_boilerplate_report",  # new in round 4
 )
 
 
