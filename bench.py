@@ -90,15 +90,7 @@ def _scaling_report(spark, specs) -> None:
         "SPARK_GRAFT_SF_DIR_LO",
         os.path.join(os.path.dirname(hi_dir.rstrip("/")), "sf0.01"),
     )
-    for d in (lo_dir, hi_dir):  # warm BOTH paths (file cache + codegen)
-        for spec in specs:
-            spec.builder(spark, d).write.format("noop").mode("overwrite").save()
-    # best-of-2 for the same phantom-regression reason as the headline
-    lo = _run_suite(spark, specs, lo_dir, repeats=2)
-    hi = _run_suite(spark, specs, hi_dir, repeats=2)
-    ratios = {
-        n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in lo
-    }
+
     def _sf(d: str) -> float:
         try:
             return float(d.rstrip("/").rsplit("sf", 1)[-1])
@@ -108,12 +100,23 @@ def _scaling_report(spark, specs) -> None:
                 f"data ratio; got {d!r} (set SPARK_GRAFT_SF_DIR[_LO])"
             )
 
+    # validate BEFORE the multi-minute warm+measure passes
     sf_lo, sf_hi = _sf(lo_dir), _sf(hi_dir)
     if not sf_lo or sf_hi <= sf_lo:
         raise SystemExit(
             f"--scaling needs sf_hi > sf_lo > 0; got {sf_lo} → {sf_hi}"
         )
     data_ratio = sf_hi / sf_lo
+
+    for d in (lo_dir, hi_dir):  # warm BOTH paths (file cache + codegen)
+        for spec in specs:
+            spec.builder(spark, d).write.format("noop").mode("overwrite").save()
+    # best-of-2 for the same phantom-regression reason as the headline
+    lo = _run_suite(spark, specs, lo_dir, repeats=2)
+    hi = _run_suite(spark, specs, hi_dir, repeats=2)
+    ratios = {
+        n: round(hi[n] / lo[n], 2) if lo[n] > 0 else None for n in lo
+    }
     out = {
         "sf_lo": sf_lo,
         "sf_hi": sf_hi,

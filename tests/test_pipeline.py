@@ -129,4 +129,8 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         flt.explain(True)
     plan = buf.getvalue()
-    assert "PushedFilters" in plan and "event_type" in plan
+    # the filter must be INSIDE the pushed list — 'event_type' merely
+    # appearing elsewhere (Filter node, ReadSchema) must not pass
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]*event_type", plan), plan

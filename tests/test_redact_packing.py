@@ -222,12 +222,15 @@ def test_chunk_windows_cover_every_token(spark, tmp_path):
     )
     pq.write_table(table, str(tmp_path / "documents.parquet"))
 
+    rows = (
+        REGISTRY["doc_chunk_windows"].builder(spark, str(tmp_path)).collect()
+    )
     got = {
         (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_hash"])
-        for r in REGISTRY["doc_chunk_windows"]
-        .builder(spark, str(tmp_path))
-        .collect()
+        for r in rows
     }
+    # no duplicate (doc, idx) rows hiding behind the dict collapse
+    assert len(rows) == len(got)
 
     expected = {}
     for i, n in enumerate(lengths):

@@ -101,7 +101,12 @@ def _ensure_link(link: str, src: str) -> None:
     handles the path pre-existing as a regular file."""
     if os.path.islink(link) and os.readlink(link) == src:
         return
-    tmp = f"{link}.tmp.{uuid.uuid4().hex[:8]}"
+    # leading dot: Spark file sources ignore hidden paths, so a
+    # concurrent stream listing never sees the in-flight temp link
+    tmp = os.path.join(
+        os.path.dirname(link),
+        f".{os.path.basename(link)}.tmp.{uuid.uuid4().hex[:8]}",
+    )
     os.symlink(src, tmp)
     os.replace(tmp, link)
 
