@@ -77,6 +77,48 @@ def test_append_then_truncate(spark, landing):
     assert counts3["loaded"] == 3  # truncate reset it
 
 
+def test_run_etl_single_source_scan(spark, landing, monkeypatch):
+    """The source CSV is scanned once per run: run_etl persists the
+    parsed source and the transform result, so the CSV export, the
+    warehouse writes, and both counts read the cache instead of
+    re-running the scan+parse (~4 source scans before the fix — at
+    100 TB that is 4 passes over the landing zone). The spies assert
+    the dataframes handed to the consumers carry a storage level, and
+    the caches are released by the end of the run."""
+    from website_traffic_etl_gcp_spark import pipeline
+
+    base, raw = landing
+    config = _config(base, raw)
+
+    persisted = {}
+    orig_quarantine = pipeline.traffic_ops.quarantine
+
+    def spy_quarantine(df, **kw):
+        lvl = df.storageLevel
+        persisted["raw"] = lvl.useMemory or lvl.useDisk
+        return orig_quarantine(df, **kw)
+
+    orig_save = pipeline.writers.save_csv
+
+    def spy_save(df, *a, **kw):
+        lvl = df.storageLevel
+        persisted["valid"] = lvl.useMemory or lvl.useDisk
+        return orig_save(df, *a, **kw)
+
+    monkeypatch.setattr(pipeline.traffic_ops, "quarantine", spy_quarantine)
+    monkeypatch.setattr(pipeline.writers, "save_csv", spy_save)
+
+    n_cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    counts = run_etl(spark, config, run_timestamp="20260101_000000")
+    assert counts == {"loaded": 3, "quarantined": 2}
+    assert persisted == {"raw": True, "valid": True}
+    # run_etl must release its caches (a long-lived session would
+    # otherwise accumulate a cached copy of every batch)
+    assert (
+        spark.sparkContext._jsc.getPersistentRDDs().size() == n_cached_before
+    )
+
+
 def test_validate_missing_columns(spark, tmp_path):
     p = tmp_path / "bad.csv"
     pd.DataFrame([("x",)], columns=["nottime"]).to_csv(p, index=False)

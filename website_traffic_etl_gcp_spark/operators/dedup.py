@@ -11,7 +11,7 @@ cross join (the only thing that matters at 100 TB):
   the shingle explode), banded into b keys; docs sharing a band key are
   candidates. Shuffle volume is O(docs × b), independent of pair count.
 - SimHash: 48-bit fingerprint from token-hash bit votes; near-dups =
-  pairs sharing a band byte with hamming distance ≤ r.
+  pairs sharing a 12-bit band (4 bands) with hamming distance ≤ r.
 
 All hashing goes through md5 (identical in DuckDB) so every tier is
 oracle-checkable; see plans/documents.py for the SQL twins."""

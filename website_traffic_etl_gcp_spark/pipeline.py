@@ -45,26 +45,37 @@ def run_etl(
     fixed_created = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
 
     logger.info("=== EXTRACT ===")
-    raw = extract(spark, config)
+    # persist the parsed source: valid feeds a CSV export, a warehouse
+    # write, and a count, and rejects feeds a count and a write — without
+    # the caches the CSV scan + parse would re-execute per action (~4
+    # full source scans; at 100 TB that is 4 passes over the landing
+    # zone). With raw and valid cached, the source is scanned exactly
+    # once (the first action materializes both) and every later action
+    # reads the cache.
+    raw = extract(spark, config).persist()
 
     logger.info("=== TRANSFORM ===")
-    valid = traffic_ops.transform(raw, fixed_ts=fixed_created)
+    valid = traffic_ops.transform(raw, fixed_ts=fixed_created).persist()
     rejects = traffic_ops.quarantine(raw, fixed_ts=fixed_created)
 
     logger.info("=== LOAD ===")
-    writers.backup_raw(config.input_path, config.backup_dir, ts)
-    writers.save_csv(valid, config.processed_dir, ts)
-    writers.load_to_warehouse(
-        valid, config.warehouse_path, disposition=config.write_disposition
-    )
-    n_quarantined = rejects.count()
-    if n_quarantined:
+    try:
+        writers.backup_raw(config.input_path, config.backup_dir, ts)
+        writers.save_csv(valid, config.processed_dir, ts)
         writers.load_to_warehouse(
-            rejects, f"{config.warehouse_path.rstrip('/')}_rejects", "append"
+            valid, config.warehouse_path, disposition=config.write_disposition
         )
-    # Rows loaded by THIS job (reference load.py:110 reports
-    # load_job.output_rows) — not the cumulative warehouse count, which
-    # under append disposition includes every prior run's rows.
-    n_loaded = valid.count()
+        n_quarantined = rejects.count()
+        if n_quarantined:
+            writers.load_to_warehouse(
+                rejects, f"{config.warehouse_path.rstrip('/')}_rejects", "append"
+            )
+        # Rows loaded by THIS job (reference load.py:110 reports
+        # load_job.output_rows) — not the cumulative warehouse count,
+        # which under append disposition includes every prior run's rows.
+        n_loaded = valid.count()
+    finally:
+        valid.unpersist()
+        raw.unpersist()
     logger.info("=== COMPLETE: %d rows loaded ===", n_loaded)
     return {"loaded": n_loaded, "quarantined": n_quarantined}

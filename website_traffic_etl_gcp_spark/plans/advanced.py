@@ -446,8 +446,14 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = F.col("pcts")[i]
         frac_lt = F.sum((F.col("value") < p).cast("long")).cast("double") / n
         frac_le = F.sum((F.col("value") <= p).cast("long")).cast("double") / n
+        # an all-NULL group has n=0 → eps=Inf and NULL comparisons;
+        # the bound is vacuously met, so coalesce to TRUE to match the
+        # oracle's hard-coded TRUE columns
         aggs.append(
-            ((frac_lt - F.lit(q) <= eps) & (F.lit(q) - frac_le <= eps)).alias(name)
+            F.coalesce(
+                (frac_lt - F.lit(q) <= eps) & (F.lit(q) - frac_le <= eps),
+                F.lit(True),
+            ).alias(name)
         )
     return joined.groupBy("event_type").agg(*aggs)
 

@@ -1049,7 +1049,13 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    tr_sh = ts.exploded_shingles(d.filter(F.col("source") != EVAL_SOURCE))
+    # the explode dominates cost and feeds BOTH the size aggregate and
+    # the probe join; materialize it once (same pattern as
+    # operators/dedup.py ngram_jaccard_pairs) instead of running the
+    # explode twice.
+    tr_sh = ts.exploded_shingles(
+        d.filter(F.col("source") != EVAL_SOURCE)
+    ).localCheckpoint(eager=False)
     tot = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
         tr_sh.join(F.broadcast(ev_sh), "shingle")

@@ -10,6 +10,7 @@ drop the await)."""
 
 from __future__ import annotations
 
+import glob
 import os
 import uuid
 
@@ -76,7 +77,17 @@ def read_events_stream(
 
     ensure_runtime_confs(spark)
     src = source_dir or stream_source_dir(sf_dir, "events")
-    footer_ts = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    # sniff the footer from the ACTUAL source dir (a custom source_dir
+    # may hold files with a different ts physical type than the
+    # canonical events table); fall back to the canonical table only
+    # when the dir has no parquet yet (stream started before first file)
+    candidates = sorted(
+        p
+        for p in glob.glob(os.path.join(src, "*.parquet"))
+        if not os.path.basename(p).startswith(".")
+    )
+    sniff_path = candidates[0] if candidates else table_path(sf_dir, "events")
+    footer_ts = pq.read_schema(sniff_path).field("ts").type
     surfaces_as_long = pa.types.is_integer(footer_ts) or (
         pa.types.is_timestamp(footer_ts) and footer_ts.unit == "ns"
     )
