@@ -44,3 +44,55 @@ def test_unknown_query_fails_cleanly():
     proc = _cli("query", "no_such_query")
     assert proc.returncode == 1
     assert "Unknown query" in proc.stderr + proc.stdout
+
+
+def test_run_from_env_alone(tmp_path):
+    """`run` needs no flags: config comes entirely from the environment
+    (reference __main__.py:77-94 + config.py:34-62)."""
+    import os
+
+    import pandas as pd
+
+    raw = tmp_path / "raw.csv"
+    pd.DataFrame(
+        [("15/03/2024 10:00:00", "120.5"), ("16/03/2024 11:30:00", "7.5")],
+        columns=["time", "traffic"],
+    ).to_csv(raw, index=False)
+    env = {
+        **os.environ,
+        "TRAFFIC_INPUT_PATH": str(raw),
+        "TRAFFIC_WAREHOUSE_PATH": str(tmp_path / "wh" / "traffic"),
+        "TRAFFIC_PROCESSED_DIR": str(tmp_path / "proc"),
+        "TRAFFIC_BACKUP_DIR": str(tmp_path / "bak"),
+    }
+    proc = subprocess.run(
+        [sys.executable, "-m", "website_traffic_etl_gcp_spark", "run"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "loaded=2 quarantined=0" in proc.stderr + proc.stdout
+
+
+def test_run_missing_env_fails_with_config_error():
+    """Reference config.py:44-48 error surface through the CLI."""
+    import os
+
+    env = {
+        k: v for k, v in os.environ.items() if not k.startswith("TRAFFIC_")
+    }
+    proc = subprocess.run(
+        [sys.executable, "-m", "website_traffic_etl_gcp_spark", "run"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+        env=env,
+    )
+    assert proc.returncode == 1
+    out = proc.stderr + proc.stdout
+    assert "Missing required environment variables" in out
+    assert "TRAFFIC_INPUT_PATH" in out

@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> int:
         "--truncate", action="store_true",
         help="Replace warehouse data instead of appending",
     )
+    run_p.add_argument(
+        "--env-file", default=None,
+        help=".env file to seed the environment from (reference "
+        "config.py:34-39); process env vars take precedence",
+    )
     q_p = sub.add_parser("query", help="Run a registry query by name")
     q_p.add_argument("name", help="Query name (see list-queries)")
     q_p.add_argument(
@@ -76,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "run":
         try:
-            config = load_config()
+            config = load_config(env_path=args.env_file)
         except ConfigError as e:
             logger.error("Configuration error: %s", e)
             return 1
