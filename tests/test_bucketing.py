@@ -52,3 +52,96 @@ def test_bucketed_join_has_no_exchange(spark):
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def _no_broadcast(spark):
+    """At 100 TB the corpus index is not broadcastable; force the
+    planner to choose between shuffled and bucketed joins."""
+    return spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_persisted_exact_index_probe_is_exchange_free(spark):
+    """The persisted fingerprint index (operators/dedup_index.py): the
+    probe join must not shuffle the index side — exactly ONE exchange
+    (the ingest batch moving into the index's bucket layout)."""
+    from website_traffic_etl_gcp_spark.operators import dedup_index as di
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fp = di.exact_fingerprints(docs)
+    corpus = fp.filter(F.col("doc_id") % 2 == 0)
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    table = di.index_table_name("fp_test", SF_DIR)
+    di.build_exact_index(corpus, table)
+
+    prev = _no_broadcast(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = di.probe_exact_index(spark, batch, table)
+        plan = _plan(probe)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"index side shuffled:\n{plan}"
+        # and the same probe with bucketing ignored needs one MORE
+        # exchange — proof the bucketed layout is what saves it
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        plan_off = _plan(di.probe_exact_index(spark, batch, table))
+        assert plan_off.count("Exchange hashpartitioning") == n_exchanges + 1
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # correctness: identical to the in-query index
+    expected = (
+        batch.join(
+            corpus.groupBy("fingerprint").agg(
+                F.min("doc_id").alias("canonical_id")
+            ),
+            "fingerprint",
+            "left",
+        ).count()
+    )
+    assert probe.count() == expected
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_persisted_minhash_index_probe_is_exchange_free(spark):
+    """Both corpus-side tables (band index on band_id, signatures on
+    doc_id) must join without shuffling: disabling bucketing adds
+    exactly two exchanges — one per index table."""
+    from website_traffic_etl_gcp_spark.operators import dedup as dd
+    from website_traffic_etl_gcp_spark.operators import dedup_index as di
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=False)
+    corpus = sigs.filter(F.col("doc_id") % 2 == 0)
+    batch = sigs.filter(F.col("doc_id") % 2 == 1)
+    bands_t = di.index_table_name("mhbands_test", SF_DIR)
+    sigs_t = di.index_table_name("mhsigs_test", SF_DIR)
+    di.build_minhash_index(corpus, bands_t, sigs_t)
+
+    prev = _no_broadcast(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = di.probe_minhash_index(spark, batch, bands_t, sigs_t)
+        n_on = _plan(probe).count("Exchange hashpartitioning")
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        n_off = _plan(
+            di.probe_minhash_index(spark, batch, bands_t, sigs_t)
+        ).count("Exchange hashpartitioning")
+        assert n_off == n_on + 2, (
+            f"expected both index scans exchange-free: {n_on} exchanges "
+            f"bucketed vs {n_off} unbucketed"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert probe.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")

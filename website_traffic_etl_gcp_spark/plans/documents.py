@@ -7,6 +7,8 @@ identical across engines."""
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -16,6 +18,8 @@ from ..operators import dedup as dd
 from ..operators import redact as _redact
 from ..operators import textstats as ts
 from .registry import register
+
+logger = logging.getLogger("website_traffic_etl_gcp_spark")
 
 NGRAM_JACCARD_THRESHOLD = 0.8
 
@@ -79,28 +83,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Incremental ingest dedup — the production shape: an incoming "
     "batch (odd doc ids here) is checked against the EXISTING corpus's "
     "fingerprint index (even ids) instead of re-deduping the whole "
-    "corpus per ingest. One shuffle join on fingerprint; at scale the "
-    "existing index is a bucketed table on fingerprint so ingest "
-    "batches join exchange-free (sources/bucketing.py), and the index "
-    "append is the batch's own new fingerprints.",
+    "corpus per ingest. The index is PERSISTED as a bucketed table on "
+    "fingerprint (operators/dedup_index.py, rebuild-if-missing) so the "
+    "probe join runs with no exchange on the index side — only the "
+    "batch shuffles into the bucket layout; "
+    "tests/test_bucketing.py asserts the exchange-free plan.",
 )
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    fp = d.select(
-        "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
-    )
-    existing = (
-        fp.filter(F.col("doc_id") % 2 == 0)
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("canonical_id"))
-    )
+    from ..operators import dedup_index as di
+
+    fp = di.exact_fingerprints(_docs(spark, sf_dir))
+    existing = fp.filter(F.col("doc_id") % 2 == 0)
     incoming = fp.filter(F.col("doc_id") % 2 == 1)
-    return incoming.join(existing, "fingerprint", "left").select(
-        "doc_id",
-        "fingerprint",
-        "canonical_id",
-        F.col("canonical_id").isNotNull().alias("is_dup_of_existing"),
-    )
+    try:
+        table = di.index_table_name("fp", sf_dir)
+        di.ensure_exact_index(existing, table)
+        return di.probe_exact_index(spark, incoming, table)
+    except Exception:
+        # scratch root or catalog unavailable (read-only FS, exotic
+        # session) — same results from the in-query index
+        logger.warning(
+            "persisted fingerprint index unavailable; deriving in-query",
+            exc_info=True,
+        )
+        index = existing.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("canonical_id")
+        )
+        return incoming.join(index, "fingerprint", "left").select(
+            "doc_id",
+            "fingerprint",
+            "canonical_id",
+            F.col("canonical_id").isNotNull().alias("is_dup_of_existing"),
+        )
 
 
 @register(
@@ -407,17 +421,30 @@ def _sql_incremental_minhash() -> str:
     "minhash band keys probe the existing corpus's (even ids) band "
     "index — no self-join over the whole corpus per ingest. Candidates "
     "score est_jaccard = agreeing minhash fraction (exact rational, "
-    "engine-portable). At scale the existing band index is a bucketed "
-    "table on band_key, making each ingest probe exchange-free; the "
-    "batch's own bands are appended after. "
-    "operators/dedup.py:minhash_bands.",
+    "engine-portable). The corpus band index AND signatures are "
+    "PERSISTED as bucketed tables (operators/dedup_index.py, "
+    "rebuild-if-missing: band_id for the probe, doc_id for the "
+    "scoring join), so both corpus-side joins run exchange-free; "
+    "tests/test_bucketing.py asserts the plan.",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup_index as di
+
     sigs = dd.minhash_signatures(_docs(spark, sf_dir)).localCheckpoint(
         eager=False
     )
     existing = sigs.filter(F.col("doc_id") % 2 == 0)
     incoming = sigs.filter(F.col("doc_id") % 2 == 1)
+    try:
+        bands_t = di.index_table_name("mhbands", sf_dir)
+        sigs_t = di.index_table_name("mhsigs", sf_dir)
+        di.ensure_minhash_index(existing, bands_t, sigs_t)
+        return di.probe_minhash_index(spark, incoming, bands_t, sigs_t)
+    except Exception:
+        logger.warning(
+            "persisted minhash index unavailable; deriving in-query",
+            exc_info=True,
+        )
     cand = (
         dd.minhash_bands(incoming)
         .join(

@@ -21,19 +21,30 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = DEFAULT_BUCKETS,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table.
-    Bucket count must match across tables meant to co-join."""
+    """Persist as a bucketed (and optionally sorted) table. Bucket
+    count must match across tables meant to co-join. With ``path`` the
+    table is EXTERNAL at that location (useful when the session's
+    warehouse dir may not be writable — e.g. index tables under a
+    scratch root); otherwise managed."""
+    import shutil
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # a crashed previous write can orphan the managed location
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        wh = wh[len("file:"):]
-    if wh:
-        import shutil
-
-        shutil.rmtree(f"{wh.rstrip('/')}/{table_name}", ignore_errors=True)
+    if path:
+        # a crashed previous write (or a previous process) can leave
+        # orphan files at the external location
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        # a crashed previous write can orphan the managed location
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            wh = wh[len("file:"):]
+        if wh:
+            shutil.rmtree(
+                f"{wh.rstrip('/')}/{table_name}", ignore_errors=True
+            )
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -41,6 +52,8 @@ def write_bucketed(
     )
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
