@@ -230,3 +230,62 @@ def test_salted_self_join_splits_hot_key_reducer_load(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---- substring-level span manifest -------------------------------------
+
+
+def test_span_manifest_merges_overlapping_and_keeps_islands(spark):
+    """Handcrafted chunk stream: overlapping flagged ranges merge into
+    one maximal span, disjoint ranges stay separate islands, and the
+    smallest-id doc keeps its canonical copy."""
+    rows = [
+        # hash A in docs 1,2 → doc 2 flagged at (1,32)
+        (1, 1, 32, "A"),
+        (2, 1, 32, "A"),
+        # hash B in docs 1,2 → doc 2 flagged at (25,56); overlaps A's
+        (1, 25, 32, "B"),
+        (2, 25, 32, "B"),
+        # hash D in docs 1,2 → doc 2 flagged at (201,232): new island
+        (1, 201, 32, "D"),
+        (2, 201, 32, "D"),
+        # hash C in docs 2,3 → doc 2 is FIRST (keeps it); doc 3 flagged
+        (2, 101, 32, "C"),
+        (3, 7, 32, "C"),
+        # unique chunk — never flagged
+        (3, 301, 32, "E"),
+    ]
+    chunks = spark.createDataFrame(
+        rows, ["doc_id", "chunk_start", "chunk_tokens", "chunk_hash"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_tokens"], r["n_chunks"], r["reason"],
+        )
+        for r in dd.boilerplate_span_manifest(chunks, min_docs=2).collect()
+    }
+    assert got == {
+        (2, 1, 56): (56, 2, "chunk_in_ge_2_docs"),
+        (2, 201, 232): (32, 1, "chunk_in_ge_2_docs"),
+        (3, 7, 38): (32, 1, "chunk_in_ge_2_docs"),
+    }
+
+
+def test_span_manifest_planted_boilerplate_end_to_end(spark):
+    """Two docs share an identical 40-token block; the higher-id doc
+    gets ONE merged span covering the whole block (chunks at starts 1
+    and 9 overlap), the unique doc gets nothing."""
+    from website_traffic_etl_gcp_spark.plans.documents import chunk_stream
+
+    block = " ".join(f"b{i}" for i in range(40))
+    unique = " ".join(f"u{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(10, block), (20, block), (30, unique)], ["doc_id", "text"]
+    )
+    out = dd.boilerplate_span_manifest(chunk_stream(docs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["doc_id"], r["span_start"], r["span_end"],
+        r["span_tokens"], r["n_chunks"],
+    ) == (20, 1, 40, 40, 2)

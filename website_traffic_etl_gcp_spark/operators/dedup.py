@@ -396,6 +396,81 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canon_edges(e1.unionByName(e2))
 
 
+def boilerplate_span_manifest(
+    chunks: DataFrame, min_docs: int = 2
+) -> DataFrame:
+    """Substring-level dedup manifest (Lee et al., "Deduplicating
+    Training Data" shape): WHICH token spans of WHICH doc to cut, not
+    just which docs to drop.
+
+    Input: a chunk stream (doc_id, chunk_start, chunk_tokens,
+    chunk_hash). A chunk is boilerplate when its hash occurs in
+    ≥ ``min_docs`` distinct docs; the doc with the smallest id keeps
+    its copy (the canonical occurrence — removing every copy would
+    delete the text from the corpus entirely), every other doc gets
+    the chunk's token range flagged. Overlapping/adjacent flagged
+    ranges merge into MAXIMAL spans per doc via gaps-and-islands: a
+    window over (doc_id ORDER BY start) marks a new island when a
+    range starts past the running max end + 1, islands group into
+    (span_start, span_end).
+
+    Scale: one hash-groupBy for the boilerplate set, one join back
+    (hash-partitioned on chunk_hash), then per-doc windows — each
+    partition is one doc's flagged chunks, bounded by doc length, so
+    the merge never concentrates load. Returns (doc_id, span_start,
+    span_end, span_tokens, n_chunks, reason)."""
+    chunks = chunks.localCheckpoint(eager=False)  # feeds agg AND join
+    boiler = (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_hash", "first_doc_id")
+    )
+    flagged = (
+        chunks.join(boiler, "chunk_hash")
+        .filter(F.col("doc_id") != F.col("first_doc_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").alias("s"),
+            (F.col("chunk_start") + F.col("chunk_tokens") - 1).alias("e"),
+        )
+    )
+    # (doc_id, s) is unique — one chunk per start — so the ordering is
+    # total and the island numbering deterministic
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+    ).otherwise(0)
+    islands = flagged.withColumn("isl", new_island).withColumn(
+        "island",
+        F.sum("isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("bigint").alias("span_start"),
+            F.max("e").cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+            "n_chunks",
+            F.lit(f"chunk_in_ge_{min_docs}_docs").alias("reason"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Duplicate-CLUSTER formation: collapse the near-dup pair graph
     into components — the step that turns pairwise dedup output into

@@ -1264,6 +1264,7 @@ _SQL_CHUNKS = f"""
     ),
     chunks AS (
         SELECT doc_id,
+               CAST(s AS BIGINT) AS chunk_start,
                CAST((s - 1 + {CHUNK_STRIDE_TOKENS - 1})
                     // {CHUNK_STRIDE_TOKENS} AS BIGINT) AS chunk_idx,
                CAST(least(n - s + 1, {CHUNK_SIZE_TOKENS}) AS BIGINT)
@@ -1276,24 +1277,11 @@ _SQL_CHUNKS = f"""
 """
 
 
-@register(
-    "doc_chunk_windows",
-    oracle=f"""
-    {_SQL_CHUNKS}
-    SELECT doc_id, chunk_idx, chunk_tokens, chunk_hash FROM chunks
-    """,
-    tags=("documents", "packing"),
-    doc=f"Context-window chunking: each doc splits into "
-    f"{CHUNK_SIZE_TOKENS}-token windows at stride "
-    f"{CHUNK_STRIDE_TOKENS} (overlap "
-    f"{CHUNK_SIZE_TOKENS - CHUNK_STRIDE_TOKENS}); docs shorter than "
-    "one window yield a single whole-doc chunk. Map-only plan — "
-    "sequence + explode + slice, no shuffle at any SF — emitting the "
-    "chunk's token count and content hash (the dedup/join key "
-    "downstream chunk-level pipelines use).",
-)
-def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def chunk_stream(d: DataFrame) -> DataFrame:
+    """The chunk stream over any (doc_id, text) frame: one row per
+    context window with its 1-based token start position, ordinal,
+    token count, and content hash. Map-only — sequence + explode +
+    slice, no shuffle."""
     toks = F.split(normalize_text("text"), " ")
     base = d.select(
         "doc_id", toks.alias("t"), F.size(toks).cast("bigint").alias("n")
@@ -1314,6 +1302,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", "t", "n", F.explode(starts).alias("s"))
         .select(
             "doc_id",
+            F.col("s").cast("bigint").alias("chunk_start"),
             F.expr(
                 f"(s - 1 + {CHUNK_STRIDE_TOKENS - 1}) div "
                 f"{CHUNK_STRIDE_TOKENS}"
@@ -1332,6 +1321,26 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    {_SQL_CHUNKS}
+    SELECT doc_id, chunk_idx, chunk_tokens, chunk_hash FROM chunks
+    """,
+    tags=("documents", "packing"),
+    doc=f"Context-window chunking: each doc splits into "
+    f"{CHUNK_SIZE_TOKENS}-token windows at stride "
+    f"{CHUNK_STRIDE_TOKENS} (overlap "
+    f"{CHUNK_SIZE_TOKENS - CHUNK_STRIDE_TOKENS}); docs shorter than "
+    "one window yield a single whole-doc chunk. Map-only plan — "
+    "sequence + explode + slice, no shuffle at any SF — emitting the "
+    "chunk's token count and content hash (the dedup/join key "
+    "downstream chunk-level pipelines use).",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_stream(_docs(spark, sf_dir)).drop("chunk_start")
 
 
 @register(
@@ -1362,6 +1371,62 @@ def chunk_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "dedup_span_manifest",
+    oracle=f"""
+    {_SQL_CHUNKS},
+    boiler AS (
+        SELECT chunk_hash, MIN(doc_id) AS first_doc_id
+        FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.chunk_start AS s,
+               c.chunk_start + c.chunk_tokens - 1 AS e
+        FROM chunks c JOIN boiler b USING (chunk_hash)
+        WHERE c.doc_id <> b.first_doc_id
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM flagged
+    ),
+    grp AS (
+        SELECT doc_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
+           COUNT(*) AS n_chunks,
+           'chunk_in_ge_2_docs' AS reason
+    FROM grp GROUP BY doc_id, island
+    """,
+    bench=True,
+    tags=("documents", "dedup", "packing"),
+    doc="Substring-level dedup manifest (Lee et al. 'Deduplicating "
+    "Training Data'): per-doc (span_start, span_end, reason) token "
+    "ranges to CUT — chunks repeated across ≥2 docs, with the "
+    "smallest-id doc keeping the canonical copy, merged into maximal "
+    "spans per doc by gaps-and-islands over chunk offsets. One "
+    "hash-groupBy + one hash join + per-doc windows (partitions "
+    "bounded by doc length) — no step concentrates load at 100 TB. "
+    "operators/dedup.py:boilerplate_span_manifest.",
+)
+def dedup_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.boilerplate_span_manifest(
+        chunk_stream(_docs(spark, sf_dir)), min_docs=2
     )
 
 
