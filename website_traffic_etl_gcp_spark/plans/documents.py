@@ -722,6 +722,7 @@ _SQL_JACCARD_PAIRS = f"""
     FROM closure GROUP BY a
     """,
     tags=("documents", "dedup"),
+    bench=True,
     doc="Duplicate-cluster formation: connected components over the "
     "jaccard near-dup pair graph via alternating large-star/small-star "
     "(O(log n) rounds regardless of component diameter; lineage "
@@ -771,6 +772,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM assigned f JOIN sizes s USING (cluster_id)
     """,
     tags=("documents", "dedup"),
+    bench=True,
     doc="The dedup pipeline's end deliverable — a removal MANIFEST over "
     "the whole corpus: every doc's cluster id (singletons are their own "
     "cluster), the cluster size, and the keep verdict (canonical = "
