@@ -49,10 +49,14 @@ def _check_regressions(timings: dict[str, float], sf: float) -> list[str]:
                 )
     for w in warnings:
         print(w, file=sys.stderr)
+    if baseline and baseline.get("sf") != sf:
+        # an off-SF run (e.g. a local sf1 deep-dive) must not clobber
+        # the recorded best-fold at the canonical bench SF
+        return warnings
     merged = {
         name: min(t, best.get(name, t))
         for name, t in timings.items()
-    } if baseline.get("sf") == sf else dict(timings)
+    }
     with open(BASELINE_PATH, "w") as f:
         json.dump({"sf": sf, "best": merged}, f, indent=1, sort_keys=True)
     return warnings

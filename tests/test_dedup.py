@@ -289,3 +289,62 @@ def test_span_manifest_planted_boilerplate_end_to_end(spark):
         r["doc_id"], r["span_start"], r["span_end"],
         r["span_tokens"], r["n_chunks"],
     ) == (20, 1, 40, 40, 2)
+
+
+def test_apply_span_manifest_cuts_exactly_the_flagged_spans(spark):
+    """Planted boilerplate end-to-end through the APPLY step: the
+    flagged doc's cleaned hash equals md5 of its text with the block
+    removed; the canonical and unique docs pass through unchanged."""
+    import hashlib
+
+    from website_traffic_etl_gcp_spark.plans.documents import chunk_stream
+
+    block = " ".join(f"b{i}" for i in range(40))
+    tail = " ".join(f"t{i}" for i in range(25))
+    unique = " ".join(f"u{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(10, block), (20, block + " " + tail), (30, unique)],
+        ["doc_id", "text"],
+    )
+    manifest = dd.boilerplate_span_manifest(chunk_stream(docs))
+    got = {
+        r["doc_id"]: r
+        for r in dd.apply_span_manifest(docs, manifest).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert set(got) == {10, 20, 30}
+    # canonical keeper: untouched
+    assert (got[10]["n_spans"], got[10]["n_removed"]) == (0, 0)
+    assert got[10]["cleaned_hash"] == md5(block)
+    # flagged doc: only its 1-32 chunk hash-matches doc 10 (the later
+    # chunks shift into the tail and differ), so exactly tokens 1-32
+    # are cut and b32..b39 + the tail survive
+    r = got[20]
+    assert (r["n_tokens"], r["n_spans"], r["n_removed"], r["n_kept"]) == (
+        65, 1, 32, 33,
+    )
+    kept = " ".join(f"b{i}" for i in range(32, 40)) + " " + tail
+    assert r["cleaned_hash"] == md5(kept)
+    # unique doc: untouched
+    assert got[30]["n_removed"] == 0 and got[30]["cleaned_hash"] == md5(unique)
+
+
+def test_apply_span_manifest_fully_cut_doc_hashes_empty(spark):
+    """A doc whose every token is flagged yields n_kept=0 and the md5
+    of the empty string — it stays visible in the accounting instead
+    of vanishing."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z")], ["doc_id", "text"]
+    )
+    manifest = spark.createDataFrame(
+        [(1, 1, 6)], ["doc_id", "span_start", "span_end"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dd.apply_span_manifest(docs, manifest).collect()
+    }
+    assert (got[1]["n_kept"], got[1]["n_removed"]) == (0, 6)
+    assert got[1]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+    assert got[2]["n_removed"] == 0

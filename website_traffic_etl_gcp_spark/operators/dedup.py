@@ -539,3 +539,56 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         "cluster_id", F.col("doc_id")
     )
     return non_roots.unionByName(roots)
+
+
+def apply_span_manifest(docs: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Execute a span-removal manifest: cut the flagged token ranges
+    out of each doc and emit the cleaned-corpus accounting row —
+    (doc_id, n_tokens, n_spans, n_removed, n_kept, cleaned_hash) with
+    cleaned_hash = md5 of the kept tokens re-joined on single spaces.
+    The write-side half of Lee et al. substring dedup:
+    ``boilerplate_span_manifest`` decides WHAT to cut, this applies it.
+
+    ``manifest`` rows are (doc_id, span_start, span_end) 1-based
+    inclusive token ranges, already merged to maximal disjoint spans
+    per doc (the manifest contract). Docs with no manifest rows pass
+    through unchanged (n_removed = 0).
+
+    Scale: spans aggregate to one small array per flagged doc (one
+    shuffle on doc_id), hash-join back to the corpus, then the cut is
+    a higher-order ``filter`` over the token array with an ``exists``
+    probe into the per-doc span list — map-only JVM expressions, no
+    explode of the corpus, no Python."""
+    from ..functions.texthash import word_tokens
+
+    spans = manifest.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("spans"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    toks = docs.select("doc_id", word_tokens("text").alias("t"))
+    joined = toks.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce("spans", F.array()).alias("spans"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+    )
+    # kept token <=> its 1-based position is outside every span
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        "n_spans",
+        (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_hash"),
+    )

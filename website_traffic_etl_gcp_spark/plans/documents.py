@@ -1711,3 +1711,223 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.col("__n") * 4 / CMS_W).cast("bigint")
         ).alias("within_ok"),
     )
+
+
+# ---- span-manifest APPLY (the write side of substring dedup) -----------
+
+# shared gaps-and-islands fragment: chunk stream → merged maximal spans
+# per doc (identical to the dedup_span_manifest oracle's derivation)
+_SQL_SPANS = f"""
+    boiler AS (
+        SELECT chunk_hash, MIN(doc_id) AS first_doc_id
+        FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.chunk_start AS s,
+               c.chunk_start + c.chunk_tokens - 1 AS e
+        FROM chunks c JOIN boiler b USING (chunk_hash)
+        WHERE c.doc_id <> b.first_doc_id
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM flagged
+    ),
+    grp AS (
+        SELECT doc_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+        FROM grp GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "dedup_span_apply",
+    oracle=f"""
+    {_SQL_CHUNKS},
+    {_SQL_SPANS},
+    tokpos AS (
+        SELECT doc_id, n, unnest(t) AS tok,
+               CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+        FROM toks
+    ),
+    keptagg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
+        FROM tokpos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = p.doc_id
+              AND p.pos BETWEEN s.span_start AND s.span_end
+        )
+        GROUP BY doc_id
+    ),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(t.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.cleaned_hash, md5('')) AS cleaned_hash
+    FROM toks t
+    LEFT JOIN keptagg k USING (doc_id)
+    LEFT JOIN nsp USING (doc_id)
+    """,
+    tags=("documents", "dedup", "packing"),
+    doc="Span-manifest APPLY — the write side of Lee-et-al substring "
+    "dedup: cuts every manifest span out of its doc and emits the "
+    "cleaned-corpus accounting row (token counts before/after, spans "
+    "applied, md5 of the kept tokens re-joined on spaces — the hash "
+    "pins the exact cleaned text without shipping it). Spans "
+    "aggregate to one small per-doc array (one shuffle), hash-join "
+    "back to the corpus, then the cut is a higher-order filter + "
+    "exists probe — no corpus explode, no Python. "
+    "operators/dedup.py:apply_span_manifest.",
+)
+def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    manifest = dd.boilerplate_span_manifest(chunk_stream(d), min_docs=2)
+    return dd.apply_span_manifest(d, manifest)
+
+
+# ---- training-mix planning and shard export ----------------------------
+
+MIX_BUDGET_TOKENS = 20_000
+# target mixture by language, parts-per-million (sums to 1e6)
+MIX_WEIGHTS_PPM = {"en": 500_000, "zh": 200_000, "de": 100_000,
+                   "fr": 100_000, "es": 100_000}
+
+_SQL_MIX_W = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS_PPM.items()
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "data_mix_plan",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(norm, ' '))) AS BIGINT)
+                   AS actual_tokens
+        FROM ({_SQL_DOCS_NORM}) GROUP BY lang
+    ),
+    w AS (SELECT *, CAST({_SQL_MIX_W} AS BIGINT) AS weight_ppm FROM tok)
+    SELECT lang, n_docs, actual_tokens, weight_ppm,
+           CAST(({MIX_BUDGET_TOKENS} * weight_ppm) // 1000000 AS BIGINT)
+               AS target_tokens,
+           CAST(LEAST(actual_tokens,
+                      ({MIX_BUDGET_TOKENS} * weight_ppm) // 1000000)
+                AS BIGINT) AS planned_tokens,
+           CAST(LEAST(actual_tokens,
+                      ({MIX_BUDGET_TOKENS} * weight_ppm) // 1000000)
+                AS DOUBLE) / CAST(actual_tokens AS DOUBLE) AS sample_rate
+    FROM w
+    """,
+    tags=("documents", "sampling"),
+    doc=f"Training-mixture plan: per-language token inventory vs a "
+    f"{MIX_BUDGET_TOKENS}-token budget split by fixed ppm weights — "
+    "the sampling-rate table a mixture-weighted pretraining run feeds "
+    "its per-source samplers (rate = min(1, target/actual); a "
+    "language short of its target is taken whole, never upsampled). "
+    "Integer ppm weights and integer-division targets keep every "
+    "column engine-exact; the rate is one double division. One "
+    "map-side-combinable groupBy over the corpus — no second pass, "
+    "no driver math.",
+)
+def data_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import word_tokens
+
+    d = _docs(spark, sf_dir)
+    inv = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(word_tokens("text")))
+        .cast("bigint")
+        .alias("actual_tokens"),
+    )
+    w_expr = "CAST(" + _SQL_MIX_W + " AS BIGINT)"
+    inv = inv.withColumn("weight_ppm", F.expr(w_expr))
+    target = F.expr(
+        f"({MIX_BUDGET_TOKENS} * weight_ppm) div 1000000"
+    ).cast("bigint")
+    planned = F.least(F.col("actual_tokens"), target).cast("bigint")
+    return inv.select(
+        "lang",
+        "n_docs",
+        "actual_tokens",
+        "weight_ppm",
+        target.alias("target_tokens"),
+        planned.alias("planned_tokens"),
+        (
+            planned.cast("double") / F.col("actual_tokens").cast("double")
+        ).alias("sample_rate"),
+    )
+
+
+N_EXPORT_SHARDS = 32
+_EXPORT_CHECKSUM_MOD = 1_000_000_007
+
+
+@register(
+    "export_training_shards",
+    oracle=f"""
+    SELECT ({_MD5L.format(x="CAST(doc_id AS VARCHAR)")})
+               % {N_EXPORT_SHARDS} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(({_MD5L.format(x="CAST(doc_id AS VARCHAR)")})
+                    % {_EXPORT_CHECKSUM_MOD}) AS BIGINT)
+               AS membership_checksum
+    FROM ({_SQL_DOCS_NORM})
+    GROUP BY 1
+    """,
+    tags=("documents", "sampling", "sinks"),
+    doc=f"Deterministic training-shard assignment: shard = "
+    f"md5(doc_id) mod {N_EXPORT_SHARDS} — the content-independent "
+    "global shuffle a tokenizer-writer export uses so every worker "
+    "can recompute any doc's shard without coordination, with "
+    "per-shard row/token fill stats (shard balance is what you "
+    "monitor before a 100 TB export) and a mod-p membership checksum "
+    "that pins WHICH docs landed in each shard, not just how many. "
+    "One hash-groupBy, map-side combinable; the physical write is "
+    "repartition(shard_id) + partitionBy — same key, no extra "
+    "shuffle.",
+)
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import md5_long, word_tokens
+
+    d = _docs(spark, sf_dir)
+    h = md5_long(F.col("doc_id").cast("string"))
+    return (
+        d.select(
+            (h % N_EXPORT_SHARDS).alias("shard_id"),
+            F.col("doc_id"),
+            F.size(word_tokens("text")).cast("bigint").alias("n_tok"),
+            (h % _EXPORT_CHECKSUM_MOD).alias("hmod"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("hmod").cast("bigint").alias("membership_checksum"),
+        )
+    )

@@ -1,6 +1,10 @@
 """§2E — Embedding similarity queries.
 
-Query set = every 50th vector (bounded probe set → broadcastable).
+Query set = every 50th vector with vec_id ≤ QUERY_MOD × PROBE_MAX — a
+bounded, FIXED-size probe set (≤ PROBE_MAX + 1 probes at any SF, so
+it broadcasts and the workload stays O(corpus) as data grows; an
+uncapped every-50th set made brute force quadratic — probes × corpus
+both scaling — which benchmarked the probe generator, not the index).
 Cosines rounded to 6dp before ranking/threshold on BOTH engines so
 float ulp differences can't flip an ordering."""
 
@@ -16,7 +20,21 @@ from .registry import register
 
 KNN_K = 5
 QUERY_MOD = 50
+PROBE_MAX = 40  # probe ids ≤ QUERY_MOD × PROBE_MAX — fixed-size set
 EMBED_DIM = 64
+
+_PROBE_PRED = (
+    f"vec_id % {QUERY_MOD} = 0 AND vec_id <= {QUERY_MOD * PROBE_MAX}"
+)
+
+
+def _probe_filter(emb: DataFrame) -> DataFrame:
+    return emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") <= QUERY_MOD * PROBE_MAX)
+    )
+
+
 COSINE_DEDUP_THRESHOLD = 0.4
 
 # Both ANN indexes clear this comfortably (measured mean recall@5:
@@ -54,6 +72,7 @@ def _emb(spark, sf_dir) -> DataFrame:
         FROM embeddings q
         JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id % {QUERY_MOD} = 0
+          AND q.vec_id <= {QUERY_MOD * PROBE_MAX}
     ) WHERE rank <= {KNN_K}
     """,
     tags=("embeddings", "similarity"),
@@ -64,7 +83,7 @@ def _emb(spark, sf_dir) -> DataFrame:
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q = _probe_filter(emb)
     return sim.brute_force_topk(emb, q, KNN_K)
 
 
@@ -187,7 +206,7 @@ _ANN_VERDICT_ORACLE = f"""
            TRUE AS coverage_ok,
            TRUE AS k_bound_ok,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    FROM embeddings WHERE {_PROBE_PRED}
     """
 
 
@@ -205,7 +224,7 @@ _ANN_VERDICT_ORACLE = f"""
 )
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q = _probe_filter(emb)
     approx = sim.lsh_topk(emb, q, KNN_K, EMBED_DIM)
     exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
     return _ann_verdict(approx, exact, q)
@@ -247,7 +266,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = label_centroids(emb)
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q = _probe_filter(emb)
     approx = sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
     exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
     return _ann_verdict(approx, exact, q)
@@ -362,10 +381,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ivf' AS method,
            COUNT(*) AS n_queries,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    FROM embeddings WHERE {_PROBE_PRED}
     UNION ALL
     SELECT 'lsh', COUNT(*), TRUE
-    FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    FROM embeddings WHERE {_PROBE_PRED}
     """,
     tags=("embeddings", "similarity"),
     doc="ANN quality gate: recall@k of the IVF and LSH indexes against "
@@ -380,7 +399,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q = _probe_filter(emb)
     # consumed once per method — lazy checkpoint runs the corpus ×
     # queries join once
     exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
