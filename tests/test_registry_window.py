@@ -15,6 +15,9 @@ WINDOW = 50
 
 # round-5 changes — each needs a fresh driver-visible green row
 CHANGED_R5 = (
+    "dedup_span_apply",  # new query
+    "data_mix_plan",  # new query
+    "export_training_shards",  # new query
     "dedup_span_manifest",  # new query
     "dedup_incremental_exact",  # persisted bucketed index
     "dedup_incremental_minhash",  # persisted bucketed index

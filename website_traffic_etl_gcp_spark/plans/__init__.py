@@ -29,12 +29,19 @@ from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 # plus (b) everything round 5 changed: the 6 streaming queries
 # (read_events_stream schema sniff), the incremental dedup pair
 # (persisted bucketed indexes), the chunk family (chunk_stream
-# refactor) with the NEW dedup_span_manifest, and
-# value_percentiles_approx (null-group coalesce), plus (c) 14
+# refactor) with the NEW dedup_span_manifest / dedup_span_apply /
+# data_mix_plan / export_training_shards, and
+# value_percentiles_approx (null-group coalesce), plus (c) 11
 # representatives re-confirming every SURVEY §2 section. The other
 # green rows date from rounds 3-4 and sit just past the window.
 _PRIORITY_ORDER = (
     # ---- round-5 new/changed ----
+    "dedup_span_apply",  # NEW in round 5
+    "data_mix_plan",  # NEW in round 5
+    "export_training_shards",  # NEW in round 5
+    # (the ANN probe-set cap is a no-op below sf0.1 — vec_id max 499
+    # < the 2000 cap at sf0.01 — so the r4 green rows stay valid and
+    # the knn family doesn't need window slots)
     "dedup_span_manifest",  # NEW in round 5
     "dedup_incremental_exact",  # persisted bucketed index r5
     "dedup_incremental_minhash",  # persisted bucketed index r5
@@ -79,11 +86,9 @@ _PRIORITY_ORDER = (
     # ---- representatives (already green; re-confirm each section) ----
     # §2A — reference ETL parity (the north star)
     "etl_traffic_transform",
-    "etl_append_dedup",
     # §2B — relational
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q9_nation_profit",
     # §2C — events
     "sessionize_events",
     "funnel_conversion",
@@ -92,7 +97,6 @@ _PRIORITY_ORDER = (
     "dedup_keep_list",
     # §2E — ANN
     "knn_bruteforce_cosine",
-    "knn_lsh_bucketed",
     # §2E2 — advanced
     "asof_last_event_before_order",
     "salted_event_value_sum",
