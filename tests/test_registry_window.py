@@ -17,6 +17,7 @@ WINDOW = 50
 CHANGED_R5 = (
     "dedup_span_apply",  # new query
     "data_mix_plan",  # new query
+    "data_mix_sample",  # new query
     "export_training_shards",  # new query
     "dedup_span_manifest",  # new query
     "dedup_incremental_exact",  # persisted bucketed index

@@ -38,6 +38,7 @@ _PRIORITY_ORDER = (
     # ---- round-5 new/changed ----
     "dedup_span_apply",  # NEW in round 5
     "data_mix_plan",  # NEW in round 5
+    "data_mix_sample",  # NEW in round 5
     "export_training_shards",  # NEW in round 5
     # (the ANN probe-set cap is a no-op below sf0.1 — vec_id max 499
     # < the 2000 cap at sf0.01 — so the r4 green rows stay valid and
@@ -92,7 +93,6 @@ _PRIORITY_ORDER = (
     # §2C — events
     "sessionize_events",
     "funnel_conversion",
-    "retention_cohorts",
     # §2D — keep-list rides with the cluster rework
     "dedup_keep_list",
     # §2E — ANN

@@ -1931,3 +1931,99 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hmod").cast("bigint").alias("membership_checksum"),
         )
     )
+
+
+@register(
+    "data_mix_sample",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok,
+               {_MD5L.format(x="CAST(doc_id AS VARCHAR) || ':mix'")}
+                   % 1000000 AS coin
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    inv AS (
+        SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS actual_tokens
+        FROM tok GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang,
+               CAST(LEAST(actual_tokens * 1000000,
+                          ({MIX_BUDGET_TOKENS} * CAST({_SQL_MIX_W} AS BIGINT)
+                           // 1000000) * 1000000)
+                    // actual_tokens AS BIGINT) AS rate_ppm
+        FROM inv
+    )
+    SELECT t.lang, r.rate_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+           CAST(SUM(CASE WHEN t.coin < r.rate_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN t.coin < r.rate_ppm THEN t.n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN t.coin < r.rate_ppm
+                         THEN t.doc_id % {_EXPORT_CHECKSUM_MOD}
+                         ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM tok t JOIN rates r USING (lang)
+    GROUP BY 1, 2
+    """,
+    tags=("documents", "sampling"),
+    doc="Mixture-sampling APPLY: each doc flips a deterministic coin — "
+    "md5(doc_id || ':mix') mod 1e6 vs its language's integer-ppm rate "
+    "from the data_mix_plan inventory — so any worker on any cluster "
+    "reproduces the exact same subset with no coordination and no RNG "
+    "state (the property content-addressed sampling needs at 100 TB: "
+    "re-runs, resumes, and audits all agree). Emits per-language "
+    "kept-vs-in counts, kept tokens, and a mod-p checksum pinning "
+    "WHICH docs survived. Integer-exact throughout; one groupBy for "
+    "the inventory, a broadcast-size rate join, one aggregating pass.",
+)
+def data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import md5_long, word_tokens
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size(word_tokens("text")).cast("bigint").alias("n_tok"),
+        (
+            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+            % 1_000_000
+        ).alias("coin"),
+    ).localCheckpoint(eager=False)  # feeds inventory AND sampling pass
+    inv = tok.groupBy("lang").agg(
+        F.sum("n_tok").cast("bigint").alias("actual_tokens")
+    )
+    target = F.expr(
+        f"({MIX_BUDGET_TOKENS} * CAST({_SQL_MIX_W} AS BIGINT)) "
+        f"div 1000000"
+    )
+    rates = inv.select(
+        "lang",
+        F.expr(
+            f"least(actual_tokens * 1000000, "
+            f"(({MIX_BUDGET_TOKENS} * CAST({_SQL_MIX_W} AS BIGINT)) "
+            f"div 1000000) * 1000000) div actual_tokens"
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    kept = F.col("coin") < F.col("rate_ppm")
+    return (
+        tok.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "rate_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_in"),
+            F.sum(kept.cast("bigint")).cast("bigint").alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(
+                F.when(
+                    kept, F.col("doc_id") % _EXPORT_CHECKSUM_MOD
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+    )
