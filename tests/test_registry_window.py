@@ -19,6 +19,7 @@ CHANGED_R5 = (
     "data_mix_plan",  # new query
     "data_mix_sample",  # new query
     "export_training_shards",  # new query
+    "dedup_semantic_cells",  # new query
     "dedup_span_manifest",  # new query
     "dedup_incremental_exact",  # persisted bucketed index
     "dedup_incremental_minhash",  # persisted bucketed index

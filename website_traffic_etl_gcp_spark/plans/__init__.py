@@ -40,6 +40,7 @@ _PRIORITY_ORDER = (
     "data_mix_plan",  # NEW in round 5
     "data_mix_sample",  # NEW in round 5
     "export_training_shards",  # NEW in round 5
+    "dedup_semantic_cells",  # NEW in round 5
     # (the ANN probe-set cap is a no-op below sf0.1 — vec_id max 499
     # < the 2000 cap at sf0.01 — so the r4 green rows stay valid and
     # the knn family doesn't need window slots)
@@ -89,7 +90,6 @@ _PRIORITY_ORDER = (
     "etl_traffic_transform",
     # §2B — relational
     "q1_pricing_summary",
-    "q3_shipping_priority",
     # §2C — events
     "sessionize_events",
     "funnel_conversion",

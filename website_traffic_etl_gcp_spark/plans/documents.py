@@ -1784,6 +1784,7 @@ _SQL_SPANS = f"""
     LEFT JOIN keptagg k USING (doc_id)
     LEFT JOIN nsp USING (doc_id)
     """,
+    bench=True,
     tags=("documents", "dedup", "packing"),
     doc="Span-manifest APPLY — the write side of Lee-et-al substring "
     "dedup: cuts every manifest span out of its doc and emits the "
@@ -1967,6 +1968,7 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tok t JOIN rates r USING (lang)
     GROUP BY 1, 2
     """,
+    bench=True,
     tags=("documents", "sampling"),
     doc="Mixture-sampling APPLY: each doc flips a deterministic coin — "
     "md5(doc_id || ':mix') mod 1e6 vs its language's integer-ppm rate "

@@ -457,3 +457,141 @@ def kmeans_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_cells") <= 8).alias("partition_ok"),
         (F.col("i4") <= F.col("i1")).alias("inertia_monotone"),
     )
+
+
+SEMDEDUP_TAU = 0.4
+
+_SQL_CENT_CELLS = """
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0)
+                             AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS cval
+        FROM (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS dim,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    ),
+    cells AS (
+        SELECT label AS cell_id, list(cval ORDER BY dim) AS centroid
+        FROM cent GROUP BY label
+    )
+"""
+
+
+def _quantized_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean vectors with the 1e-9 integer-quantized sum
+    (exactly ``centroid_by_label``'s trick), so the centroids — and
+    everything assigned with them — are bit-identical across shuffle
+    orders and engines. The plain-double ``label_centroids`` is fine
+    for error-bound verdicts; an exact-oracle query needs this one."""
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    c = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1e9).cast("bigint")
+            ).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("cval")
+    )
+    return (
+        c.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias(
+                "pairs"
+            )
+        )
+        .select(
+            F.col("label").alias("cell_id"),
+            F.expr("transform(pairs, p -> p.cval)").alias("centroid"),
+        )
+    )
+
+
+@register(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH {_SQL_CENT_CELLS},
+    asg AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.embedding', 'c.centroid')}
+                                DESC, c.cell_id
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN cells c
+        ) WHERE rnk = 1
+    ),
+    dup AS (
+        SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+        FROM asg a JOIN asg b
+          ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+        GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.cell_id,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+           d.dup_of IS NOT NULL AS is_semantic_dup
+    FROM asg s LEFT JOIN dup d USING (vec_id)
+    """,
+    tags=("embeddings", "dedup", "clustering"),
+    doc=f"SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster "
+    "the corpus into coarse cells (deterministic quantized label-mean "
+    "centroids, nearest-by-cosine assignment), then within each cell "
+    f"flag any vector with a cosine-≥{SEMDEDUP_TAU} neighbor of "
+    "smaller id as a semantic duplicate of the smallest such neighbor "
+    "— keep-smallest, one verdict row per vector. Pair generation is "
+    "bounded per cell; in production the cell count scales with the "
+    "corpus (k ≈ n/cell_cap) so within-cell pairwork stays "
+    "O(n × cell_cap), never global-quadratic. Assignment is one "
+    "broadcast of k centroids + a window rank; the whole computation "
+    "(centroids included) is integer-quantized deterministic, so the "
+    "oracle recomputes it EXACTLY rather than error-bounding it.",
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cells = _quantized_centroids(emb)
+    cos_cell = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id")
+    )
+    asg = (
+        emb.crossJoin(F.broadcast(cells))
+        .select(
+            "vec_id", "embedding", "cell_id", cos_cell.alias("cell_cos")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("cell_cos", "rnk")
+        .localCheckpoint(eager=False)  # feeds both self-join sides
+    )
+    a = asg.select(
+        F.col("cell_id").alias("ca"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = asg.select(
+        F.col("cell_id").alias("cb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    pair_cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
+        .filter(pair_cos >= SEMDEDUP_TAU)
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.min("vb").alias("dup_of"))
+    )
+    return asg.drop("embedding").join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        # -1 sentinel, not NULL: a nullable int column round-trips as
+        # float through the driver's pandas compare
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+        F.col("dup_of").isNotNull().alias("is_semantic_dup"),
+    )
