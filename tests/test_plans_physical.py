@@ -176,3 +176,40 @@ def test_chunk_windows_is_map_only(spark):
     # sequence + explode + slice: chunking must not shuffle at any SF
     plan = _plan(spark, "doc_chunk_windows")
     assert "Exchange" not in plan, "doc_chunk_windows plans a shuffle"
+
+
+def test_mix_sample_broadcasts_rates(spark):
+    # the per-language rate table is k rows — it must broadcast, and
+    # the corpus scan must not read the text-independent columns twice
+    plan = _plan(spark, "data_mix_sample")
+    assert "BroadcastHashJoin" in plan, "rate join not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_export_shards_single_shuffle(spark):
+    # shard stats are one hash-groupBy: exactly one exchange, keyed on
+    # the shard id, with a partial_ aggregate before it (map-side combine)
+    plan = _plan(spark, "export_training_shards")
+    assert plan.count("+- Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_span_apply_no_cartesian_and_pruned_scan(spark):
+    plan = _plan(spark, "dedup_span_apply")
+    assert "CartesianProduct" not in plan
+    # the corpus-side scans need only doc_id + text
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "text" in line:
+            assert "lang" not in line and "source" not in line
+            break
+    else:
+        raise AssertionError("no documents ReadSchema found")
+
+
+def test_semantic_cells_joins_on_cell_never_cartesian(spark):
+    # the within-cell self-join and verdict join are keyed joins; the
+    # centroid broadcast sits behind the assignment's lazy checkpoint,
+    # so this plan must show only keyed joins and no cartesian product
+    plan = _plan(spark, "dedup_semantic_cells")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
