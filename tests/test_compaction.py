@@ -160,3 +160,43 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     assert got_day.filter(F.col("event_id") == victim).count() == 0
     # total = everything except the one deleted event
     assert back.count() == ev.count() - 1
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    """The shard writer produces one directory per (non-empty) shard
+    with exactly ONE parquet file each, assignment = md5(doc_id) mod n
+    (recomputable by any worker), and a second export is identical."""
+    import hashlib
+    from pathlib import Path
+
+    from website_traffic_etl_gcp_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_in = docs.count()
+    out = str(tmp_path / "shards")
+    back = write_training_shards(docs, out, n_shards=8)
+    assert back.count() == n_in
+
+    shard_dirs = sorted(
+        p for p in Path(out).iterdir() if p.name.startswith("shard_id=")
+    )
+    assert shard_dirs, "no shard directories written"
+    for d in shard_dirs:
+        files = [f for f in d.iterdir() if f.suffix == ".parquet"]
+        assert len(files) == 1, f"{d.name}: {len(files)} files, want 1"
+
+    def expect_shard(doc_id: int) -> int:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 8
+
+    for r in back.select("doc_id", "shard_id").collect():
+        assert r["shard_id"] == expect_shard(r["doc_id"])
+
+    # re-export reproduces the exact same membership
+    out2 = str(tmp_path / "shards2")
+    back2 = write_training_shards(docs, out2, n_shards=8)
+    a = {(r["doc_id"], r["shard_id"]) for r in back.select("doc_id", "shard_id").collect()}
+    b = {(r["doc_id"], r["shard_id"]) for r in back2.select("doc_id", "shard_id").collect()}
+    assert a == b

@@ -254,3 +254,39 @@ def compact_table(
         "files_after": files_after,
         "bytes_total": bytes_total,
     }
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Materialize the deterministic training-shard layout: shard =
+    md5(id) mod ``n_shards`` (the same content-independent assignment
+    ``export_training_shards`` reports on), written as one partition
+    directory per shard with exactly one file each.
+
+    The repartition and the partitionBy use the SAME key, so the write
+    adds no second shuffle beyond the single hash exchange — and each
+    output task owns exactly one shard, so a shard is one parquet file
+    a downstream dataloader can stream sequentially. Any worker can
+    recompute any row's shard with no coordination; re-exports are
+    byte-stable.
+
+    Returns the written frame re-read from ``out_dir`` (schema now
+    carries shard_id as a partition column)."""
+    from ..functions.texthash import md5_long
+
+    spark = df.sparkSession
+    sharded = df.withColumn(
+        "shard_id",
+        (md5_long(F.col(id_col).cast("string")) % n_shards).cast("int"),
+    )
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)
