@@ -96,3 +96,24 @@ def test_run_missing_env_fails_with_config_error():
     out = proc.stderr + proc.stdout
     assert "Missing required environment variables" in out
     assert "TRAFFIC_INPUT_PATH" in out
+
+
+def test_export_shards_cli(tmp_path):
+    out = str(tmp_path / "shards")
+    proc = _cli(
+        "export-shards", "/root/testdata/sf0.001/documents.parquet", out,
+        "--n-shards", "8",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "shards:" in proc.stdout
+    dirs = [p for p in Path(out).iterdir() if p.name.startswith("shard_id=")]
+    assert dirs
+
+
+def test_export_shards_bad_id_col(tmp_path):
+    proc = _cli(
+        "export-shards", "/root/testdata/sf0.001/documents.parquet",
+        str(tmp_path / "x"), "--id-col", "nope",
+    )
+    assert proc.returncode == 1
+    assert "id column" in proc.stderr + proc.stdout

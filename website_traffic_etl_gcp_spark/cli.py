@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
         "--sort-within-by", default="",
         help="Comma-separated columns to cluster within files",
     )
+    x_p = sub.add_parser(
+        "export-shards",
+        help="Write a table as deterministic md5-mod training shards",
+    )
+    x_p.add_argument("table_path", help="Parquet table to shard")
+    x_p.add_argument("out_dir", help="Destination directory")
+    x_p.add_argument("--id-col", default="doc_id")
+    x_p.add_argument("--n-shards", type=int, default=32)
     args = parser.parse_args(argv)
 
     if args.command == "run":
@@ -173,6 +181,32 @@ def main(argv: list[str] | None = None) -> int:
             f"files: {stats['files_before']} -> {stats['files_after']} "
             f"({stats['bytes_total']} bytes)"
         )
+        return 0
+
+    if args.command == "export-shards":
+        from pathlib import Path
+
+        from .sources.writers import write_training_shards
+
+        if not Path(args.table_path).exists():
+            logger.error("Not a table path: %s", args.table_path)
+            return 1
+        spark = get_spark("export-shards")
+        df = spark.read.parquet(args.table_path)
+        if args.id_col not in df.columns:
+            logger.error(
+                "id column %r not in table (columns: %s)",
+                args.id_col, ", ".join(df.columns),
+            )
+            return 1
+        back = write_training_shards(
+            df, args.out_dir, id_col=args.id_col, n_shards=args.n_shards
+        )
+        n_dirs = sum(
+            1 for p in Path(args.out_dir).iterdir()
+            if p.name.startswith("shard_id=")
+        )
+        print(f"rows: {back.count()}  shards: {n_dirs}/{args.n_shards}")
         return 0
 
     parser.print_help()
