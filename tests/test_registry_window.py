@@ -20,6 +20,7 @@ CHANGED_R5 = (
     "data_mix_sample",  # new query
     "export_training_shards",  # new query
     "dedup_semantic_cells",  # new query
+    "session_bounce_rate",  # new query
     "dedup_span_manifest",  # new query
     "dedup_incremental_exact",  # persisted bucketed index
     "dedup_incremental_minhash",  # persisted bucketed index

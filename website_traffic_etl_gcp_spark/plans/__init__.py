@@ -41,6 +41,7 @@ _PRIORITY_ORDER = (
     "data_mix_sample",  # NEW in round 5
     "export_training_shards",  # NEW in round 5
     "dedup_semantic_cells",  # NEW in round 5
+    "session_bounce_rate",  # NEW in round 5
     # (the ANN probe-set cap is a no-op below sf0.1 — vec_id max 499
     # < the 2000 cap at sf0.01 — so the r4 green rows stay valid and
     # the knn family doesn't need window slots)
@@ -92,7 +93,6 @@ _PRIORITY_ORDER = (
     "q1_pricing_summary",
     # §2C — events
     "sessionize_events",
-    "funnel_conversion",
     # §2D — keep-list rides with the cluster rework
     "dedup_keep_list",
     # §2E — ANN

@@ -718,3 +718,64 @@ def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", step(1), step(2), step(3)).alias("path")
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register(
+    "session_bounce_rate",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > {DEFAULT_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM tagged
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               strftime(MIN(ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total
+    FROM sess GROUP BY 1
+    """,
+    tags=("events", "window"),
+    doc="Daily bounce rate — the canonical website-traffic KPI: a "
+    "session is a bounce when it contains exactly one event; sessions "
+    "attribute to the day they start. Built on the same 30-min-gap "
+    "sessionization as sessionize_events (one user_id shuffle), then "
+    "one day-keyed rollup; the rate is exact-int counts divided once "
+    "at the end (engine-deterministic).",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(_ev(spark, sf_dir))
+    day = F.substring("session_start", 1, 10)
+    bounce = (F.col("n_events") == 1).cast("bigint")
+    return (
+        sess.select(day.alias("day"), bounce.alias("is_bounce"), "n_events")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("is_bounce").cast("bigint").alias("n_bounces"),
+            (
+                F.sum("is_bounce").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("bounce_rate"),
+            F.sum("n_events").cast("bigint").alias("n_events_total"),
+        )
+    )
