@@ -1,0 +1,131 @@
+"""Planted-case tests for winnowing fingerprints and content-defined
+chunking: the winnowing guarantee (shared spans >= w+K-1 tokens share a
+fingerprint), CDC's insertion-robust re-synchronization (the property
+fixed-stride chunking lacks), and the leakage-safe split invariant
+(identical content -> identical split)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.operators import fingerprint as fpr
+
+# deterministic "words" so the doc is long enough for several chunks
+_WORDS = [f"w{i * 7919 % 1000:03d}" for i in range(120)]
+LONG_A = " ".join(_WORDS)
+# one token inserted near the start — everything after must re-sync
+LONG_B = " ".join(_WORDS[:5] + ["zzz"] + _WORDS[5:])
+SHARED_SPAN = " ".join(_WORDS[50:70])  # 20 shared tokens
+DOC_WITH_SPAN = "totally unrelated prefix words here " + SHARED_SPAN
+FAR = (
+    "completely different content about spark query engines and "
+    "distributed columnar execution with vectorized operators at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, LONG_A),
+        (1, LONG_A.upper()),  # exact dup after normalization
+        (2, DOC_WITH_SPAN),  # shares a 20-token span with 0
+        (3, FAR),
+        (4, "tiny"),  # shorter than a shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _hashes_by_doc(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["doc_id"], set()).add(r["sel_hash"])
+    return out
+
+
+def test_winnow_identical_docs_identical_fingerprints(docs):
+    by_doc = _hashes_by_doc(fpr.winnow_fingerprints(docs))
+    assert by_doc[0] == by_doc[1]
+
+
+def test_winnow_guarantee_shared_span_shares_fingerprint(docs):
+    # 20-token shared span >> w + K - 1 = 6 tokens -> must overlap
+    by_doc = _hashes_by_doc(fpr.winnow_fingerprints(docs))
+    assert by_doc[0] & by_doc[2]
+    assert not (by_doc[0] & by_doc[3])
+
+
+def test_winnow_selects_a_strict_sample(docs):
+    # density ~ 2/(w+1); assert well below 1 and at least 1 per window
+    m = len(_WORDS) - 2  # shingle count of doc 0
+    n_sel = len(_hashes_by_doc(fpr.winnow_fingerprints(docs))[0])
+    assert m // fpr.WINNOW_WINDOW <= n_sel < m // 2 + 1
+
+
+def test_winnow_short_doc_yields_single_fingerprint(docs):
+    by_doc = _hashes_by_doc(fpr.winnow_fingerprints(docs))
+    assert len(by_doc[4]) == 1
+
+
+def test_cdc_chunks_tile_the_token_stream(docs):
+    rows = (
+        fpr.cdc_chunks(docs)
+        .filter(F.col("doc_id") == 0)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert rows[0]["start_pos"] == 1
+    assert rows[-1]["end_pos"] == len(_WORDS)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_pos"] == prev["end_pos"] + 1
+    assert sum(r["n_tokens"] for r in rows) == len(_WORDS)
+
+
+def test_cdc_resynchronizes_after_insertion(spark):
+    two = spark.createDataFrame(
+        [(0, LONG_A), (1, LONG_B)], ["doc_id", "text"]
+    )
+    rows = fpr.cdc_chunks(two).collect()
+    hashes = {0: set(), 1: set()}
+    counts = {0: 0, 1: 0}
+    for r in rows:
+        hashes[r["doc_id"]].add(r["chunk_hash"])
+        counts[r["doc_id"]] += 1
+    shared = hashes[0] & hashes[1]
+    # the insertion perturbs only the chunk(s) containing it; the
+    # boundary scheme re-syncs so most chunks hash identically
+    assert len(shared) >= counts[0] // 2
+    # a fixed-stride chunker would shift EVERY window after token 5 —
+    # the whole point of content-defined boundaries
+    assert hashes[0] != hashes[1]
+
+
+def test_cdc_expected_chunk_length_near_divisor(docs):
+    rows = fpr.cdc_chunks(docs).filter(F.col("doc_id") == 0).collect()
+    avg = sum(r["n_tokens"] for r in rows) / len(rows)
+    # geometric with mean ~CDC_DIVISOR; loose band, deterministic data
+    assert 2 <= avg <= fpr.CDC_DIVISOR * 4
+
+
+def test_leakage_safe_split_dups_share_split(spark):
+    from website_traffic_etl_gcp_spark.plans.documents import (
+        leakage_safe_split,
+    )
+
+    # build a docs table with an exact-dup pair differing only in case
+    rows = [(i, f"document number {i} body text", "en", "s", 1) for i in range(50)]
+    rows.append((900, rows[7][1].upper(), "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: (r["split"], r["fingerprint"])
+            for r in leakage_safe_split(spark, d).collect()
+        }
+    assert out[7] == out[900]  # same content -> same split, always
+    splits = {s for s, _ in out.values()}
+    assert splits <= {"train", "val", "test"} and "train" in splits

@@ -15,6 +15,10 @@ WINDOW = 50
 
 # round-5 changes — each needs a fresh driver-visible green row
 CHANGED_R5 = (
+    "doc_winnow_fingerprints",  # new query
+    "dedup_winnow_pairs",  # new query
+    "doc_cdc_chunks",  # new query
+    "leakage_safe_split",  # new query
     "dedup_span_apply",  # new query
     "data_mix_plan",  # new query
     "data_mix_sample",  # new query
@@ -33,7 +37,9 @@ CHANGED_R5 = (
     "streaming_dedup_ingest",
     "streaming_view_attribution",
     "streaming_segment_revenue",
-    "streaming_sliding_2h",
+    # streaming_sliding_2h yielded its slot: r4-green, and the r5
+    # source-dir sniff is latent for canonical callers — the five
+    # windowed family members re-verify the shared path
 )
 
 # green rows dating from round 1 — no row may stay >2 rounds stale
@@ -64,11 +70,12 @@ STALE_R1 = (
     "customer_balance_deciles",
 )
 
+# §2A/§2B reps (etl_traffic_transform, q1_pricing_summary) and the
+# §2D rep dedup_keep_list are r4-green — they yielded their window
+# slots to the four new round-5 queries; §2D stays covered by the
+# whole dedup family above.
 SECTION_REPRESENTATIVES = (
-    "etl_traffic_transform",  # §2A
-    "q1_pricing_summary",  # §2B
     "sessionize_events",  # §2C
-    "dedup_keep_list",  # §2D
     "knn_bruteforce_cosine",  # §2E
     "asof_last_event_before_order",  # §2E2
     "multimodal_metadata",  # §2F

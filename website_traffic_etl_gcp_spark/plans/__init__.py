@@ -36,6 +36,10 @@ from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 # green rows date from rounds 3-4 and sit just past the window.
 _PRIORITY_ORDER = (
     # ---- round-5 new/changed ----
+    "doc_winnow_fingerprints",  # NEW in round 5
+    "dedup_winnow_pairs",  # NEW in round 5
+    "doc_cdc_chunks",  # NEW in round 5
+    "leakage_safe_split",  # NEW in round 5
     "dedup_span_apply",  # NEW in round 5
     "data_mix_plan",  # NEW in round 5
     "data_mix_sample",  # NEW in round 5
@@ -57,7 +61,8 @@ _PRIORITY_ORDER = (
     "streaming_dedup_ingest",
     "streaming_view_attribution",
     "streaming_segment_revenue",
-    "streaming_sliding_2h",
+    # (streaming_sliding_2h: r4-green and the r5 source-dir sniff is
+    # latent for canonical callers — five family members re-verify it)
     # ---- r1-stale cohort (rotate back in; several reworked since) ----
     # §2D — documents/text
     "dedup_exact",
@@ -86,15 +91,12 @@ _PRIORITY_ORDER = (
     "salted_orderstatus_revenue",
     "order_cube_status_priority",
     "customer_balance_deciles",
-    # ---- representatives (already green; re-confirm each section) ----
-    # §2A — reference ETL parity (the north star)
-    "etl_traffic_transform",
-    # §2B — relational
-    "q1_pricing_summary",
+    # ---- representatives (r3-green rows that must not go 2 rounds
+    # stale; §2A/§2B/§2D reps etl_traffic_transform, q1_pricing_summary
+    # and dedup_keep_list are r4-green, so they yield their slots to
+    # the four new round-5 queries) ----
     # §2C — events
     "sessionize_events",
-    # §2D — keep-list rides with the cluster rework
-    "dedup_keep_list",
     # §2E — ANN
     "knn_bruteforce_cosine",
     # §2E2 — advanced

@@ -2029,3 +2029,203 @@ def data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_checksum"),
         )
     )
+
+
+# ---- sampled fingerprints: winnowing + content-defined chunks ----------
+
+from ..operators import fingerprint as fpr  # noqa: E402
+
+_SQL_POS_SH = f"""
+    SELECT doc_id, CAST(unnest(range(1, m + 1)) AS BIGINT) AS pos, sh, m
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {ts.SHINGLE_K}
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [norm] END AS sh,
+               CAST(len(sh) AS BIGINT) AS m
+        FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks
+              FROM ({_SQL_DOCS_NORM}))
+    )
+"""
+
+_SQL_WINNOW = f"""
+    WITH psh AS ({_SQL_POS_SH}),
+    enc AS (
+        SELECT doc_id, pos, m,
+               CAST(('0x' || substr(md5(sh[pos]), 1,
+                    {fpr.WINNOW_HASH_HEX})) AS BIGINT) * {1 << 24}
+               + ({(1 << 24) - 1} - pos) AS combined
+        FROM psh
+    ),
+    win AS (
+        SELECT doc_id, pos, m,
+               MIN(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {fpr.WINNOW_WINDOW - 1} PRECEDING
+                   AND CURRENT ROW) AS winmin
+        FROM enc
+    ),
+    winnow AS (
+        SELECT DISTINCT doc_id,
+               CAST({(1 << 24) - 1} - (winmin % {1 << 24}) AS BIGINT)
+                   AS sel_pos,
+               CAST(winmin // {1 << 24} AS BIGINT) AS sel_hash
+        FROM win WHERE pos >= least({fpr.WINNOW_WINDOW}, m)
+    )
+"""
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    {_SQL_WINNOW}
+    SELECT doc_id, sel_pos, sel_hash FROM winnow
+    """,
+    tags=("documents", "dedup", "fingerprint"),
+    doc="Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): "
+    "each 4-shingle window keeps its minimum 36-bit shingle hash "
+    "(rightmost on ties, folded into one int64 min — no struct "
+    "comparator, stays in codegen). Selects ~2/(w+1) of shingles yet "
+    "guarantees any shared span of >= w+K-1 = 6 tokens shares a "
+    "fingerprint. One explode + doc-partitioned windows — shuffle "
+    "O(shingles). operators/fingerprint.py:winnow_fingerprints.",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fpr.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+WINNOW_MAX_DF = 64
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    {_SQL_WINNOW},
+    post AS (
+        SELECT sel_hash, doc_id FROM winnow GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT sel_hash, doc_id,
+               COUNT(*) OVER (PARTITION BY sel_hash) AS df
+        FROM post
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM (SELECT * FROM capped WHERE df <= {WINNOW_MAX_DF}) a
+    JOIN (SELECT * FROM capped WHERE df <= {WINNOW_MAX_DF}) b
+      ON a.sel_hash = b.sel_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tags=("documents", "dedup", "fingerprint"),
+    bench=True,
+    doc="Winnowing-based overlap detector: inverted index over the "
+    "SELECTED fingerprints only (~1/3 of shingle volume vs the "
+    f"Jaccard tier), document-frequency cap {WINNOW_MAX_DF} drops "
+    "boilerplate posting lists, pairs need >= "
+    f"{WINNOW_MIN_SHARED} shared fingerprints. Candidate volume "
+    "O(selected x df_cap) — never all-pairs; the window-count df "
+    "follows the dedup_jaccard_dfcap pattern.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = fpr.winnow_fingerprints(_docs(spark, sf_dir))
+    post = fp.select("sel_hash", "doc_id").distinct()
+    wdf = Window.partitionBy("sel_hash")
+    capped = post.withColumn("df", F.count(F.lit(1)).over(wdf)).filter(
+        F.col("df") <= WINNOW_MAX_DF
+    )
+    a = capped.select(
+        F.col("sel_hash"), F.col("doc_id").alias("doc_a")
+    )
+    b = capped.select(
+        F.col("sel_hash"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, "sel_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+@register(
+    "doc_cdc_chunks",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos, t
+        FROM (SELECT doc_id, string_split(norm, ' ') AS t
+              FROM ({_SQL_DOCS_NORM}))
+    ),
+    cuts AS (
+        SELECT doc_id, pos, t[pos] AS token,
+               CASE WHEN pos >= {ts.SHINGLE_K} AND
+                    CAST(('0x' || substr(md5(array_to_string(
+                        list_slice(t, pos - {ts.SHINGLE_K - 1}, pos), ' '
+                    )), 1, 15)) AS BIGINT) % {fpr.CDC_DIVISOR} = 0
+                    THEN 1 ELSE 0 END AS cut
+        FROM tk
+    ),
+    cidx AS (
+        SELECT doc_id, pos, token,
+               COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS chunk_idx
+        FROM cuts
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+           COUNT(*) AS n_tokens,
+           md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+    FROM cidx GROUP BY 1, 2
+    """,
+    tags=("documents", "dedup", "packing"),
+    doc="Content-defined chunking (gear/rolling-hash, the LBFS/rsync "
+    "family): cut after any token whose trailing 3-token window "
+    f"hashes to 0 mod {fpr.CDC_DIVISOR} — boundaries depend only on "
+    "local content, so an insertion reshapes one chunk and the "
+    "stream re-synchronizes, unlike fixed-stride doc_chunk_windows "
+    "where every later hash shifts. Chunk hashes are the "
+    "insertion-robust cross-doc dup key. One explode + shared "
+    "doc-partitioned windows + one groupBy — shuffle O(tokens). "
+    "operators/fingerprint.py:cdc_chunks.",
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fpr.cdc_chunks(_docs(spark, sf_dir))
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    SELECT doc_id, fingerprint,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, md5(norm) AS fingerprint,
+               CAST(('0x' || substr(md5(md5(norm)), 1, 15)) AS BIGINT)
+                   % 100 AS b
+        FROM ({_SQL_DOCS_NORM})
+    )
+    """,
+    tags=("documents", "sampling"),
+    doc="Leakage-safe train/val/test split (80/10/10): the split "
+    "bucket is hashed from the CONTENT fingerprint, not the doc id, "
+    "so exact duplicates always land in the same split and can never "
+    "leak train content into holdout (compose with dedup_keep_list "
+    "for near-dup safety). Deterministic, coordination-free, map-only "
+    "— no shuffle at any scale.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import md5_long as _md5l
+
+    fp = F.md5(normalize_text("text"))
+    b = _md5l(fp) % 100
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
