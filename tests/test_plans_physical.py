@@ -213,3 +213,45 @@ def test_semantic_cells_joins_on_cell_never_cartesian(spark):
     plan = _plan(spark, "dedup_semantic_cells")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_leakage_safe_split_is_map_only(spark):
+    # split assignment is pure per-row hashing: no Exchange, and the
+    # scan reads only doc_id + text
+    plan = _plan(spark, "leakage_safe_split")
+    assert "Exchange" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "lang" not in line and "source" not in line
+            break
+    else:
+        raise AssertionError("no documents ReadSchema found")
+
+
+def test_winnow_fingerprints_single_doc_partitioning(spark):
+    # one explode feeding doc_id-partitioned windows + the final
+    # distinct: every exchange must be keyed (hash), never a cartesian
+    # or a broadcast of the corpus
+    plan = _plan(spark, "doc_winnow_fingerprints")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_winnow_pairs_keyed_join_no_cartesian(spark):
+    # posting-list self-join must be keyed on sel_hash with the df cap
+    # applied before the join
+    plan = _plan(spark, "dedup_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(sel_hash" in plan
+
+
+def test_cdc_chunks_shares_doc_sort(spark):
+    # lag windows + running cut-count + chunk groupBy: the window pair
+    # shares ONE doc_id exchange; the only other exchange is the
+    # (doc_id, chunk_idx) aggregation
+    plan = _plan(spark, "doc_cdc_chunks")
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"expected <=2 shuffles, saw {n_exchanges}:\n{plan}"
