@@ -117,3 +117,23 @@ def test_export_shards_bad_id_col(tmp_path):
     )
     assert proc.returncode == 1
     assert "id column" in proc.stderr + proc.stdout
+
+
+def test_export_splits_cli(tmp_path):
+    out = str(tmp_path / "splits")
+    proc = _cli(
+        "export-splits", "/root/testdata/sf0.001/documents.parquet", out,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "train:" in proc.stdout
+    dirs = {p.name for p in Path(out).iterdir() if p.name.startswith("split=")}
+    assert "split=train" in dirs
+
+
+def test_export_splits_bad_text_col(tmp_path):
+    proc = _cli(
+        "export-splits", "/root/testdata/sf0.001/documents.parquet",
+        str(tmp_path / "x"), "--text-col", "nope",
+    )
+    assert proc.returncode == 1
+    assert "text column" in proc.stderr + proc.stdout

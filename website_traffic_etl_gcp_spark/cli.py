@@ -85,6 +85,21 @@ def main(argv: list[str] | None = None) -> int:
     x_p.add_argument("out_dir", help="Destination directory")
     x_p.add_argument("--id-col", default="doc_id")
     x_p.add_argument("--n-shards", type=int, default=32)
+    s_p = sub.add_parser(
+        "export-splits",
+        help="Write a corpus as leakage-safe train/val/test partitions",
+    )
+    s_p.add_argument("table_path", help="Parquet corpus to split")
+    s_p.add_argument("out_dir", help="Destination directory")
+    s_p.add_argument("--text-col", default="text")
+    s_p.add_argument(
+        "--train-pct", type=int, default=80,
+        help="Train percentage (default 80)",
+    )
+    s_p.add_argument(
+        "--val-pct", type=int, default=10,
+        help="Val percentage (default 10; test gets the remainder)",
+    )
     args = parser.parse_args(argv)
 
     if args.command == "run":
@@ -207,6 +222,34 @@ def main(argv: list[str] | None = None) -> int:
             if p.name.startswith("shard_id=")
         )
         print(f"rows: {back.count()}  shards: {n_dirs}/{args.n_shards}")
+        return 0
+
+    if args.command == "export-splits":
+        from pathlib import Path
+
+        from .sources.writers import write_split_datasets
+
+        if not Path(args.table_path).exists():
+            logger.error("Not a table path: %s", args.table_path)
+            return 1
+        spark = get_spark("export-splits")
+        df = spark.read.parquet(args.table_path)
+        if args.text_col not in df.columns:
+            logger.error(
+                "text column %r not in table (columns: %s)",
+                args.text_col, ", ".join(df.columns),
+            )
+            return 1
+        back = write_split_datasets(
+            df,
+            args.out_dir,
+            text_col=args.text_col,
+            fractions=(args.train_pct, args.val_pct),
+        )
+        for row in (
+            back.groupBy("split").count().orderBy("split").collect()
+        ):
+            print(f"{row['split']}: {row['count']} rows")
         return 0
 
     parser.print_help()

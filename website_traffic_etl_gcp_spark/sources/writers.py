@@ -290,3 +290,48 @@ def write_training_shards(
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir)
+
+
+def write_split_datasets(
+    df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    fractions: tuple[int, int] = (80, 10),
+) -> DataFrame:
+    """Materialize the leakage-safe train/val/test layout: the split
+    bucket is hashed from the CONTENT fingerprint (md5 of normalized
+    text), so identical documents always land in the same split — the
+    invariant ``plans/documents.py:leakage_safe_split`` reports on.
+    ``fractions`` = (train%, val%); test gets the remainder.
+
+    One hash exchange keyed on split (three reducers own one
+    directory each); partition dirs ``split=train|val|test`` are the
+    layout a dataloader mounts directly.  Map-side the assignment is
+    pure per-row hashing — any worker recomputes any row's split with
+    no coordination, and re-exports are byte-stable.
+
+    Returns the written frame re-read from ``out_dir`` (split becomes
+    a partition column)."""
+    from ..functions.texthash import md5_long, normalize_text
+
+    train_pct, val_pct = fractions
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct < 100):
+        raise ValueError(
+            f"fractions must satisfy 0 < train, 0 <= val, "
+            f"train + val < 100; got {fractions}"
+        )
+    spark = df.sparkSession
+    b = md5_long(F.md5(normalize_text(text_col))) % 100
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    (
+        df.withColumn("split", split)
+        .repartition("split")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)
