@@ -59,6 +59,12 @@ SF1_QUERIES = [
     "embedding_quantize_int8",
     "value_histogram_by_type",
     "customer_balance_deciles",
+    # round-5 fingerprint family: window-min / boundary SQL is linear
+    # in tokens, tractable at sf1
+    "doc_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "doc_cdc_chunks",
+    "leakage_safe_split",
 ]
 
 TABLES = (

@@ -504,26 +504,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     def _is_star_set(e: DataFrame) -> bool:
         # stars (canonical orientation forces root = star minimum) are
         # exactly the fixed points: every hi carries ONE edge and no
-        # edge target is itself a source — two cheap aggregates, no
-        # extra confirmation round
+        # edge target is itself a source. Both witnesses ride ONE
+        # Spark job (union + limit 1) — the loop's per-round action
+        # count dominates wall-clock on high-latency schedulers, so
+        # probing twice per round was measurably the bottleneck.
         multi_parent = (
-            e.groupBy("hi").count().filter(F.col("count") > 1).limit(1).count()
+            e.groupBy("hi")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .select(F.lit(1).alias("witness"))
         )
-        if multi_parent:
-            return False
         chained = (
             e.alias("x")
             .join(e.alias("y"), F.col("x.lo") == F.col("y.hi"))
             .limit(1)
-            .count()
+            .select(F.lit(1).alias("witness"))
         )
-        return chained == 0
+        return multi_parent.unionByName(chained).limit(1).count() == 0
 
     converged = _is_star_set(edges)
     for _ in range(max_iter):
         if converged:
             break
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy checkpoint: materializes inside the convergence probe's
+        # job (still truncating lineage for the NEXT round) instead of
+        # paying a dedicated eager-materialization job per round
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         converged = _is_star_set(edges)
     if not converged:
         raise RuntimeError(
