@@ -64,6 +64,7 @@ SF1_QUERIES = [
     "doc_winnow_fingerprints",
     "dedup_winnow_pairs",
     "doc_cdc_chunks",
+    "dedup_cdc_span_manifest",
     "leakage_safe_split",
 ]
 

@@ -129,3 +129,39 @@ def test_leakage_safe_split_dups_share_split(spark):
     assert out[7] == out[900]  # same content -> same split, always
     splits = {s for s, _ in out.values()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_cdc_span_manifest_catches_shifted_duplicate(spark):
+    """A long passage shared between two docs at DIFFERENT token
+    offsets must be flagged by the CDC-based manifest — the case
+    fixed-stride chunking misses by construction."""
+    import tempfile
+
+    from website_traffic_etl_gcp_spark.plans.documents import (
+        dedup_cdc_span_manifest,
+    )
+
+    passage = " ".join(_WORDS[20:100])  # 80 shared tokens
+    rows = [
+        (0, "alpha beta " + passage, "en", "s", 1),  # offset 3
+        (1, "one two three four five six seven " + passage, "en", "s", 1),
+        (2, FAR, "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        manifest = dedup_cdc_span_manifest(spark, d).collect()
+    # doc 0 is canonical (smallest id); doc 1 gets the cut spans
+    by_doc = {}
+    for r in manifest:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # canonical copy kept
+    assert 2 not in by_doc  # unrelated doc untouched
+    assert 1 in by_doc, "shifted duplicate passage not flagged"
+    flagged_tokens = sum(r["span_tokens"] for r in by_doc[1])
+    # interior CDC chunks of the 80-token passage re-sync despite the
+    # 4-token offset shift; edge chunks may differ — expect a
+    # substantial but not total cut
+    assert flagged_tokens >= 16

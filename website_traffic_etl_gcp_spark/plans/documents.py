@@ -2149,9 +2149,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_cdc_chunks",
-    oracle=f"""
+_SQL_CDC_CHUNKS = f"""
     WITH tk AS (
         SELECT doc_id, CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos, t
         FROM (SELECT doc_id, string_split(norm, ' ') AS t
@@ -2172,12 +2170,23 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0) AS chunk_idx
         FROM cuts
+    ),
+    cdc AS (
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+               COUNT(*) AS n_tokens,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+        FROM cidx GROUP BY 1, 2
     )
-    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-           MIN(pos) AS start_pos, MAX(pos) AS end_pos,
-           COUNT(*) AS n_tokens,
-           md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
-    FROM cidx GROUP BY 1, 2
+"""
+
+
+@register(
+    "doc_cdc_chunks",
+    oracle=f"""
+    {_SQL_CDC_CHUNKS}
+    SELECT doc_id, chunk_idx, start_pos, end_pos, n_tokens, chunk_hash
+    FROM cdc
     """,
     tags=("documents", "dedup", "packing"),
     doc="Content-defined chunking (gear/rolling-hash, the LBFS/rsync "
@@ -2229,3 +2238,61 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@register(
+    "dedup_cdc_span_manifest",
+    oracle=f"""
+    {_SQL_CDC_CHUNKS},
+    boiler AS (
+        SELECT chunk_hash, MIN(doc_id) AS first_doc_id
+        FROM cdc GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.start_pos AS s, c.end_pos AS e
+        FROM cdc c JOIN boiler b USING (chunk_hash)
+        WHERE c.doc_id <> b.first_doc_id
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM flagged
+    ),
+    grp AS (
+        SELECT doc_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
+           COUNT(*) AS n_chunks,
+           'chunk_in_ge_2_docs' AS reason
+    FROM grp GROUP BY doc_id, island
+    """,
+    tags=("documents", "dedup", "packing"),
+    doc="Substring-dedup span manifest over CONTENT-DEFINED chunks: "
+    "the Lee-et-al cut list (doc_id, span_start, span_end, reason) "
+    "built from CDC chunk hashes instead of fixed-stride windows, so "
+    "a duplicated passage is flagged even when an edit shifted its "
+    "token offsets between docs — the variant fixed-stride "
+    "dedup_span_manifest misses by construction. Same island-merge "
+    "operator (operators/dedup.py:boilerplate_span_manifest); CDC "
+    "chunks tile each doc, so flagged runs merge into maximal spans.",
+)
+def dedup_cdc_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = fpr.cdc_chunks(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("start_pos").alias("chunk_start"),
+        F.col("n_tokens").alias("chunk_tokens"),
+        "chunk_hash",
+    )
+    return dd.boilerplate_span_manifest(chunks)

@@ -41,9 +41,9 @@ def _t(spark, sf_dir, name) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST({_SQL_REV} AS DECIMAL(18,4))
-                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST({_SQL_REV} AS DECIMAL(18,4))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
@@ -72,8 +72,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(_rev()).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # money sums rounded to cents BEFORE the double cast: the
+            # exact decimal is identical in both engines, but a scale-6
+            # sum at sf>=1 carries 17 significant digits and DuckDB's
+            # decimal->double path double-rounds the last ULP; at cent
+            # scale the mantissa fits 2^53 and the cast is exact
+            F.round(F.sum(_rev()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             dec_avg("l_quantity").alias("avg_qty"),
             dec_avg("l_extendedprice").alias("avg_price"),
             dec_avg("l_discount").alias("avg_disc"),
