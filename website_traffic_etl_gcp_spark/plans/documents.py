@@ -2296,3 +2296,85 @@ def dedup_cdc_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_hash",
     )
     return dd.boilerplate_span_manifest(chunks)
+
+
+@register(
+    "dedup_cdc_span_apply",
+    oracle=f"""
+    {_SQL_CDC_CHUNKS},
+    boiler AS (
+        SELECT chunk_hash, MIN(doc_id) AS first_doc_id
+        FROM cdc GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.start_pos AS s, c.end_pos AS e
+        FROM cdc c JOIN boiler b USING (chunk_hash)
+        WHERE c.doc_id <> b.first_doc_id
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM flagged
+    ),
+    grp AS (
+        SELECT doc_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+        FROM grp GROUP BY doc_id, island
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cidx GROUP BY 1
+    ),
+    keptagg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS cleaned_hash
+        FROM cidx p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = p.doc_id
+              AND p.pos BETWEEN s.span_start AND s.span_end
+        )
+        GROUP BY doc_id
+    ),
+    nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1)
+    SELECT d.doc_id,
+           d.n AS n_tokens,
+           CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(d.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.cleaned_hash, md5('')) AS cleaned_hash
+    FROM doclen d
+    LEFT JOIN keptagg k USING (doc_id)
+    LEFT JOIN nsp USING (doc_id)
+    """,
+    tags=("documents", "dedup", "packing"),
+    doc="APPLY step for the CDC span manifest: cuts every "
+    "insertion-robust duplicate span out of its doc and emits the "
+    "cleaned-corpus accounting row (token counts before/after, spans "
+    "applied, md5 of the kept tokens — pins the exact cleaned text "
+    "without shipping it). Same generic span executor as the "
+    "fixed-stride variant (operators/dedup.py:apply_span_manifest): "
+    "spans aggregate per doc, hash-join back, higher-order filter + "
+    "exists probe — no corpus explode, no Python.",
+)
+def dedup_cdc_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    chunks = fpr.cdc_chunks(d).select(
+        "doc_id",
+        F.col("start_pos").alias("chunk_start"),
+        F.col("n_tokens").alias("chunk_tokens"),
+        "chunk_hash",
+    )
+    manifest = dd.boilerplate_span_manifest(chunks, min_docs=2)
+    return dd.apply_span_manifest(d, manifest)
