@@ -255,3 +255,19 @@ def test_cdc_chunks_shares_doc_sort(spark):
 
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, f"expected <=2 shuffles, saw {n_exchanges}:\n{plan}"
+
+
+def test_cdc_span_manifest_no_cartesian_keyed_joins(spark):
+    # boilerplate set joins back on chunk_hash; island merge is a
+    # per-doc window — keyed exchanges only
+    plan = _plan(spark, "dedup_cdc_span_manifest")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(chunk_hash" in plan
+
+
+def test_cdc_span_apply_no_corpus_explode_on_probe(spark):
+    # the cut is a higher-order filter + exists probe: no cartesian,
+    # and the final join back to docs is keyed on doc_id
+    plan = _plan(spark, "dedup_cdc_span_apply")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -240,3 +240,65 @@ def test_snapshot_diff_identity(spark):
     )
     rows = {r["status"]: r["n_rows"] for r in diff_summary(ev, ev, ["event_id"]).collect()}
     assert rows == {"unchanged": ev.count()}
+
+
+# ---- winnowing guarantee + CDC tiling (operators/fingerprint.py) -------
+
+_VOCAB = [f"v{i:02d}" for i in range(40)]
+_rand_doc = st.lists(
+    st.sampled_from(_VOCAB), min_size=10, max_size=60
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc=_rand_doc, start=st.integers(min_value=0, max_value=40),
+       prefix=st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8))
+def test_winnow_guarantee_property(spark, doc, start, prefix):
+    """Any span of >= WINNOW_WINDOW + SHINGLE_K - 1 tokens shared
+    between two docs must contribute >= 1 common selected fingerprint
+    — the Schleimer et al. guarantee, on arbitrary token streams."""
+    from website_traffic_etl_gcp_spark.operators import fingerprint as fpr
+
+    span_len = fpr.WINNOW_WINDOW + 3 - 1  # w + K - 1 = 6
+    start = min(start, max(len(doc) - span_len, 0))
+    span = doc[start : start + span_len]
+    if len(span) < span_len:
+        span = (span * span_len)[:span_len]
+        doc = doc[:start] + span + doc[start + span_len :]
+    other = prefix + span
+    df = spark.createDataFrame(
+        [(0, " ".join(doc)), (1, " ".join(other))], ["doc_id", "text"]
+    )
+    sel = {0: set(), 1: set()}
+    for r in fpr.winnow_fingerprints(df).collect():
+        sel[r["doc_id"]].add(r["sel_hash"])
+    assert sel[0] & sel[1], (
+        f"shared {span_len}-token span selected no common fingerprint: "
+        f"doc={doc} other={other}"
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc=_rand_doc)
+def test_cdc_chunks_partition_property(spark, doc):
+    """CDC chunks must tile the token stream exactly: contiguous,
+    non-overlapping, covering 1..n, for arbitrary token streams."""
+    from website_traffic_etl_gcp_spark.operators import fingerprint as fpr
+
+    df = spark.createDataFrame([(0, " ".join(doc))], ["doc_id", "text"])
+    rows = sorted(
+        fpr.cdc_chunks(df).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert rows[0]["start_pos"] == 1
+    assert rows[-1]["end_pos"] == len(doc)
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_pos"] == a["end_pos"] + 1
+    assert sum(r["n_tokens"] for r in rows) == len(doc)
