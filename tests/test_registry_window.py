@@ -20,6 +20,7 @@ CHANGED_R5 = (
     "doc_cdc_chunks",  # new query
     "dedup_cdc_span_manifest",  # new query
     "dedup_cdc_span_apply",  # new query
+    "knn_pq_rerank",  # new query
     "leakage_safe_split",  # new query
     "dedup_span_apply",  # new query
     "data_mix_plan",  # new query
@@ -36,11 +37,11 @@ CHANGED_R5 = (
     "decontaminate_eval_overlap",  # explode checkpoint
     "streaming_hourly_counts",  # read_events_stream sniff
     "streaming_sessionize",
-    "streaming_dedup_ingest",
-    # streaming_view_attribution + streaming_segment_revenue +
-    # streaming_sliding_2h yielded their slots: r4-green, and the r5
-    # source-dir sniff is latent for canonical callers — the three
-    # windowed family members re-verify the shared path
+    # streaming_dedup_ingest, streaming_view_attribution,
+    # streaming_segment_revenue and streaming_sliding_2h yielded
+    # their slots: r4-green, and the r5 source-dir sniff is latent
+    # for canonical callers — the two windowed family members
+    # re-verify the shared path
 )
 
 # green rows dating from round 1 — no row may stay >2 rounds stale

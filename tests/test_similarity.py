@@ -137,3 +137,84 @@ def test_recall_raw_values_beat_floor(spark):
             ).alias("mean_recall")
         ).collect()[0]
         assert agg["mean_recall"] >= pe.RECALL_FLOOR
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Every vector gets exactly PQ_M codes in [1, PQ_K]; encoding is
+    deterministic across runs (exact-decimal means + struct-min ties)."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators import pq
+    from website_traffic_etl_gcp_spark.plans import embeddings as pe
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = pq.train_codebooks(emb, pe.EMBED_DIM)
+    enc = pq.pq_encode(emb, cents, pe.EMBED_DIM)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == pq.PQ_M
+        assert all(1 <= c <= pq.PQ_K for c in r["codes"])
+        assert r["sq_err"] >= 0.0
+    again = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq.pq_encode(
+            emb, pq.train_codebooks(emb, pe.EMBED_DIM), pe.EMBED_DIM
+        ).collect()
+    }
+    first = {r["vec_id"]: tuple(r["codes"]) for r in rows}
+    assert first == again
+
+
+def test_pq_rerank_recall_clears_floor_with_margin(spark):
+    """Raw recall@k of the ADC+rerank pipeline — the load-bearing
+    value behind knn_pq_rerank's error-bound oracle (measured
+    0.62-0.80 across SFs; assert well above the 0.3 gate)."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators import pq
+    from website_traffic_etl_gcp_spark.plans import embeddings as pe
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % pe.QUERY_MOD == 0)
+    cents = pq.train_codebooks(emb, pe.EMBED_DIM)
+    exact = sim.brute_force_topk(emb, q, pe.KNN_K)
+    approx = pq.adc_rerank_topk(emb, q, cents, pe.EMBED_DIM, pe.KNN_K)
+    agg = (
+        sim.recall_at_k(approx, exact, pe.KNN_K)
+        .agg(
+            (
+                F.sum("n_hits").cast("double")
+                / (F.count(F.lit(1)) * pe.KNN_K).cast("double")
+            ).alias("mean_recall")
+        )
+        .collect()[0]
+    )
+    assert agg["mean_recall"] >= 0.5  # gate is 0.3; demand real margin
+
+
+def test_pq_rerank_subset_of_shortlist_and_no_self(spark):
+    """Reranked top-k must come from the ADC shortlist and never
+    contain the query itself (mirrors brute_force_topk's contract)."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators import pq
+    from website_traffic_etl_gcp_spark.plans import embeddings as pe
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % pe.QUERY_MOD == 0)
+    cents = pq.train_codebooks(emb, pe.EMBED_DIM)
+    short = {
+        (r["query_id"], r["cand_id"])
+        for r in pq.adc_topk(
+            emb, q, cents, pe.EMBED_DIM, pe.KNN_K * pq.RERANK_MULT
+        ).collect()
+    }
+    rer = pq.adc_rerank_topk(emb, q, cents, pe.EMBED_DIM, pe.KNN_K).collect()
+    assert rer
+    for r in rer:
+        assert (r["query_id"], r["cand_id"]) in short
+        assert r["cand_id"] != r["query_id"]

