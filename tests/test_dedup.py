@@ -348,3 +348,32 @@ def test_apply_span_manifest_fully_cut_doc_hashes_empty(spark):
     assert (got[1]["n_kept"], got[1]["n_removed"]) == (0, 6)
     assert got[1]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
     assert got[2]["n_removed"] == 0
+
+
+def test_incremental_cluster_merge_equals_full_recompute(spark):
+    """Star state from a prior corpus + only the new batch's pairs must
+    re-converge to the same components as a full recompute — including
+    a batch doc BRIDGING two previously separate clusters."""
+    prior = spark.createDataFrame(
+        [(0, 2), (4, 6)], ["doc_a", "doc_b"]
+    )  # two even-doc clusters {0,2} and {4,6}
+    star = dd.connected_components(prior)
+    star_edges = star.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    batch = spark.createDataFrame(
+        [(1, 2), (1, 4), (7, 9)], ["doc_a", "doc_b"]
+    )  # odd doc 1 bridges both clusters; {7,9} is a fresh component
+    merged = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(
+            star_edges.unionByName(batch)
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(prior.unionByName(batch)).collect()
+    }
+    assert merged == full
+    assert merged[6] == 0  # the bridge united everything at root 0
+    assert merged[9] == 7

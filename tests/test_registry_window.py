@@ -21,6 +21,7 @@ CHANGED_R5 = (
     "dedup_cdc_span_manifest",  # new query
     "dedup_cdc_span_apply",  # new query
     "knn_pq_rerank",  # new query
+    "dedup_incremental_clusters",  # new query
     "leakage_safe_split",  # new query
     "dedup_span_apply",  # new query
     "data_mix_plan",  # new query

@@ -42,6 +42,7 @@ _PRIORITY_ORDER = (
     "dedup_cdc_span_manifest",  # NEW in round 5
     "dedup_cdc_span_apply",  # NEW in round 5
     "knn_pq_rerank",  # NEW in round 5
+    "dedup_incremental_clusters",  # NEW in round 5
     "leakage_safe_split",  # NEW in round 5
     "dedup_span_apply",  # NEW in round 5
     "data_mix_plan",  # NEW in round 5
@@ -103,9 +104,11 @@ _PRIORITY_ORDER = (
     "knn_bruteforce_cosine",
     # §2E2 — advanced
     "asof_last_event_before_order",
-    "salted_event_value_sum",
     # §2F — multimodal
     "multimodal_metadata",
+    # (salted_event_value_sum: r3-green, position 51 — yields the last
+    # slot to dedup_incremental_clusters this round, rotates in r6)
+    "salted_event_value_sum",
 )
 
 

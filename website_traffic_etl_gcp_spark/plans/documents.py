@@ -2378,3 +2378,57 @@ def dedup_cdc_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     manifest = dd.boilerplate_span_manifest(chunks, min_docs=2)
     return dd.apply_span_manifest(d, manifest)
+
+
+@register(
+    "dedup_incremental_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(a, b) AS (
+        SELECT doc_a, doc_a FROM edges
+        UNION
+        SELECT c.a, e.doc_b
+        FROM closure c JOIN edges e ON c.b = e.doc_a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id
+    FROM closure GROUP BY a
+    """,
+    tags=("documents", "dedup"),
+    doc="Incremental cluster maintenance — the ingest-time shape of "
+    "duplicate-cluster formation: the PRIOR corpus's pair graph "
+    "(even doc ids here) is already collapsed to its star state "
+    "(doc -> cluster root, what a production system persists), and a "
+    "new batch contributes only the pairs that touch it; components "
+    "re-converge over star edges + batch pairs WITHOUT re-walking "
+    "the old pair graph — the star input is within one round of the "
+    "fixed point, so the merge converges in O(log batch) rounds. The "
+    "oracle is the FULL-corpus transitive closure, so the hash match "
+    "PROVES merge == full recompute (the same mergeability contract "
+    "incremental_hourly_rollup pins for rollups). "
+    "operators/dedup.py:connected_components.",
+)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    pairs = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    ).localCheckpoint(eager=False)
+    prior = pairs.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+    )
+    batch = pairs.filter(
+        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
+    )
+    # the persisted state: one star edge per non-root doc
+    star = dd.connected_components(prior)
+    star_edges = star.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    return dd.connected_components(
+        star_edges.unionByName(batch.select("doc_a", "doc_b"))
+    )
