@@ -65,7 +65,9 @@ SF1_QUERIES = [
     "dedup_winnow_pairs",
     "doc_cdc_chunks",
     "dedup_cdc_span_manifest",
+    "dedup_cdc_span_apply",
     "leakage_safe_split",
+    "knn_pq_rerank",
 ]
 
 TABLES = (

@@ -2278,6 +2278,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            'chunk_in_ge_2_docs' AS reason
     FROM grp GROUP BY doc_id, island
     """,
+    bench=True,
     tags=("documents", "dedup", "packing"),
     doc="Substring-dedup span manifest over CONTENT-DEFINED chunks: "
     "the Lee-et-al cut list (doc_id, span_start, span_end, reason) "
