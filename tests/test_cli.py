@@ -137,3 +137,12 @@ def test_export_splits_bad_text_col(tmp_path):
     )
     assert proc.returncode == 1
     assert "text column" in proc.stderr + proc.stdout
+
+
+def test_export_splits_rejects_bad_percentages(tmp_path):
+    proc = _cli(
+        "export-splits", "/root/testdata/sf0.001/documents.parquet",
+        str(tmp_path / "x"), "--train-pct", "90", "--val-pct", "10",
+    )
+    assert proc.returncode == 1
+    assert "percentages" in proc.stderr + proc.stdout

@@ -232,6 +232,17 @@ def main(argv: list[str] | None = None) -> int:
         if not Path(args.table_path).exists():
             logger.error("Not a table path: %s", args.table_path)
             return 1
+        if not (
+            0 < args.train_pct
+            and 0 <= args.val_pct
+            and args.train_pct + args.val_pct < 100
+        ):
+            logger.error(
+                "percentages must satisfy 0 < train, 0 <= val, "
+                "train + val < 100 (test gets the remainder); got "
+                "train=%d val=%d", args.train_pct, args.val_pct,
+            )
+            return 1
         spark = get_spark("export-splits")
         df = spark.read.parquet(args.table_path)
         if args.text_col not in df.columns:

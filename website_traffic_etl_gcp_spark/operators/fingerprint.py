@@ -75,14 +75,22 @@ def positional_shingles(
         F.posexplode(F.split("norm", " ")).alias("pos0", "token"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos0")
+    # K-generic gram build: lead columns derived from SHINGLE_K so a
+    # change to the shared spec constant can't desync the gram width
+    # from the length filter / multiplicity arithmetic below
+    leads = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, SHINGLE_K)
+    ]
     grams = (
-        tok.withColumn("l1", F.lead("token", 1).over(w))
-        .withColumn("l2", F.lead("token", 2).over(w))
-        .filter(F.col("l2").isNotNull())
+        tok.select(
+            "doc_id", "n_tok", "pos0", F.concat_ws(" ", *leads).alias("shingle"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
         .select(
             "doc_id",
             (F.col("pos0") + 1).cast("bigint").alias("pos"),
-            F.concat_ws(" ", "token", "l1", "l2").alias("shingle"),
+            "shingle",
             (F.col("n_tok") - SHINGLE_K + 1).cast("bigint").alias("m"),
         )
     )

@@ -131,17 +131,29 @@ def train_codebooks(
     the codebook as a small DataFrame (m, cell, centroid) — M×k rows,
     broadcastable everywhere downstream.  Only D×k doubles cross the
     driver per iteration."""
+    from pyspark.sql import Window
+
     spark = emb.sparkSession
     sub = subvectors(emb, dim, m, id_col, vec_col).localCheckpoint(
         eager=False
     )
+    # seed = the k smallest ids per subspace, renumbered to dense
+    # cells 1..k — correct for ANY id distribution (sparse, 1-based,
+    # non-integer ordering), not just dense 0-based ids
+    wk = Window.partitionBy("m").orderBy(id_col)
     init = (
-        sub.filter(F.col(id_col) < k)
-        .select(
-            "m", (F.col(id_col) + 1).cast("bigint").alias("cell"), "sub"
-        )
+        sub.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("m", F.col("rn").cast("bigint").alias("cell"), "sub")
         .collect()
     )
+    if len(init) < m * k:
+        # downstream ADC table layout assumes exactly k cells per
+        # subspace — fail loudly instead of silently mis-indexing
+        raise ValueError(
+            f"PQ training needs at least k={k} vectors; corpus has "
+            f"{len(init) // m if m else 0}"
+        )
     cents = [(r["m"], r["cell"], [float(x) for x in r["sub"]]) for r in init]
 
     for _ in range(n_iter):

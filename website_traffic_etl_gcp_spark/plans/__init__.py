@@ -58,7 +58,10 @@ _PRIORITY_ORDER = (
     "dedup_incremental_minhash",  # persisted bucketed index r5
     "doc_chunk_windows",  # chunk_stream refactor r5
     "chunk_boilerplate_report",  # chunk_stream refactor r5
-    "value_percentiles_approx",  # null-group coalesce r5
+    "q1_pricing_summary",  # money-sum cent rounding r5 (values changed)
+    # (value_percentiles_approx's r5 null-group coalesce is VACUOUS on
+    # the test data — no all-null group — so its r4-green row stays
+    # valid and it yields its slot to q1's non-vacuous change)
     # §2G — streaming (read_events_stream source-dir sniff r5)
     "streaming_hourly_counts",
     "streaming_sessionize",
@@ -95,9 +98,10 @@ _PRIORITY_ORDER = (
     "order_cube_status_priority",
     "customer_balance_deciles",
     # ---- representatives (r3-green rows that must not go 2 rounds
-    # stale; §2A/§2B/§2D reps etl_traffic_transform, q1_pricing_summary
-    # and dedup_keep_list are r4-green, so they yield their slots to
-    # the four new round-5 queries) ----
+    # stale; §2A/§2D reps etl_traffic_transform and dedup_keep_list
+    # are r4-green, so they yield their slots to the new round-5
+    # queries; q1_pricing_summary sits in the changed block above
+    # because its money-sum rounding changed values this round) ----
     # §2C — events
     "sessionize_events",
     # §2E — ANN

@@ -2040,8 +2040,11 @@ _SQL_POS_SH = f"""
     FROM (
         SELECT doc_id,
                CASE WHEN len(toks) >= {ts.SHINGLE_K}
-                    THEN list_transform(range(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    THEN list_transform(
+                         range(1, len(toks) - {ts.SHINGLE_K} + 2),
+                         i -> array_to_string(
+                             list_slice(toks, i, i + {ts.SHINGLE_K} - 1),
+                             ' '))
                     ELSE [norm] END AS sh,
                CAST(len(sh) AS BIGINT) AS m
         FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks

@@ -304,11 +304,14 @@ def write_split_datasets(
     invariant ``plans/documents.py:leakage_safe_split`` reports on.
     ``fractions`` = (train%, val%); test gets the remainder.
 
-    One hash exchange keyed on split (three reducers own one
-    directory each); partition dirs ``split=train|val|test`` are the
-    layout a dataloader mounts directly.  Map-side the assignment is
-    pure per-row hashing — any worker recomputes any row's split with
-    no coordination, and re-exports are byte-stable.
+    One hash exchange keyed on (split, 32-way content-hash salt), so
+    each split's data spreads over ~32 writer tasks instead of
+    funneling 80% of the corpus through a single train reducer —
+    the same fan-out discipline as ``write_training_shards``.
+    Partition dirs ``split=train|val|test`` are the layout a
+    dataloader mounts directly.  Map-side the assignment is pure
+    per-row hashing — any worker recomputes any row's split with no
+    coordination, and re-exports are byte-stable.
 
     Returns the written frame re-read from ``out_dir`` (split becomes
     a partition column)."""
@@ -321,15 +324,18 @@ def write_split_datasets(
             f"train + val < 100; got {fractions}"
         )
     spark = df.sparkSession
-    b = md5_long(F.md5(normalize_text(text_col))) % 100
+    fp_long = md5_long(F.md5(normalize_text(text_col)))
+    b = fp_long % 100
     split = (
         F.when(b < train_pct, F.lit("train"))
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # 32-way salt from the same hash, jointly uniform with the bucket
+    salt = F.floor((fp_long % 3200) / 100).cast("int")
     (
         df.withColumn("split", split)
-        .repartition("split")
+        .repartition(96, F.col("split"), salt)
         .write.mode("overwrite")
         .partitionBy("split")
         .parquet(out_dir)
