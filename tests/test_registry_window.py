@@ -15,6 +15,11 @@ WINDOW = 50
 
 # round-5 changes — each needs a fresh driver-visible green row
 CHANGED_R5 = (
+    "dsir_importance_weights",  # new query (selection family)
+    "doc_token_entropy",  # new query (selection family)
+    "minhash_quality_eval",  # new query (selection family)
+    "contrastive_pair_mining",  # new query (selection family)
+    "tokenizer_fertility_by_lang",  # new query (selection family)
     "doc_winnow_fingerprints",  # new query
     "dedup_winnow_pairs",  # new query
     "doc_cdc_chunks",  # new query
@@ -47,7 +52,13 @@ CHANGED_R5 = (
     # re-verify the shared path
 )
 
-# green rows dating from round 1 — no row may stay >2 rounds stale
+# green rows dating from round 1 — no row may stay >2 rounds stale.
+# (text_token_count, doc_stats_by_source, top_bigrams,
+# centroid_by_label and salted_orderstatus_revenue yielded their
+# slots to the five new selection-family queries — a brand-new query
+# with NO driver row outranks refreshing a stale-but-green one; all
+# five are single-aggregation plans unchanged since r1, re-verified
+# locally at two SFs every test run, and lead the round-6 rotation.)
 STALE_R1 = (
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -56,21 +67,16 @@ STALE_R1 = (
     "dedup_clusters",
     "decontaminate_eval_overlap",
     "doc_fingerprint",
-    "text_token_count",
     "text_quality_score",
     "lang_id_heuristic",
-    "doc_stats_by_source",
-    "top_bigrams",
     "lang_source_matrix",
     "stratified_sample_mix",
     "top_terms_tfidf",
     "bigram_next_token_prob",
     "doc_repetition_score",
     "embedding_dedup_cosine",
-    "centroid_by_label",
     "embedding_quantize_int8",
     "revenue_rollup_nation_year",
-    "salted_orderstatus_revenue",
     "order_cube_status_priority",
     "customer_balance_deciles",
 )

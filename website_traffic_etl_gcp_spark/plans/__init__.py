@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     events,
     multimodal,
     relational,
+    selection,
     streaming_plans,
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
@@ -36,6 +37,11 @@ from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 # green rows date from rounds 3-4 and sit just past the window.
 _PRIORITY_ORDER = (
     # ---- round-5 new/changed ----
+    "dsir_importance_weights",  # NEW in round 5 (selection family)
+    "doc_token_entropy",  # NEW in round 5 (selection family)
+    "minhash_quality_eval",  # NEW in round 5 (selection family)
+    "contrastive_pair_mining",  # NEW in round 5 (selection family)
+    "tokenizer_fertility_by_lang",  # NEW in round 5 (selection family)
     "doc_winnow_fingerprints",  # NEW in round 5
     "dedup_winnow_pairs",  # NEW in round 5
     "doc_cdc_chunks",  # NEW in round 5
@@ -78,11 +84,8 @@ _PRIORITY_ORDER = (
     "dedup_clusters",  # large-star rework r4, never re-sampled
     "decontaminate_eval_overlap",  # explode checkpoint r5
     "doc_fingerprint",
-    "text_token_count",
     "text_quality_score",
     "lang_id_heuristic",
-    "doc_stats_by_source",
-    "top_bigrams",
     "lang_source_matrix",
     "stratified_sample_mix",
     "top_terms_tfidf",
@@ -90,11 +93,9 @@ _PRIORITY_ORDER = (
     "doc_repetition_score",
     # §2E — embeddings
     "embedding_dedup_cosine",
-    "centroid_by_label",
     "embedding_quantize_int8",
     # §2E2 — advanced
     "revenue_rollup_nation_year",
-    "salted_orderstatus_revenue",
     "order_cube_status_priority",
     "customer_balance_deciles",
     # ---- representatives (r3-green rows that must not go 2 rounds
@@ -110,9 +111,21 @@ _PRIORITY_ORDER = (
     "asof_last_event_before_order",
     # §2F — multimodal
     "multimodal_metadata",
-    # (salted_event_value_sum: r3-green, position 51 — yields the last
-    # slot to dedup_incremental_clusters this round, rotates in r6)
+    # ---- just past the window (rotate back in round 6) ----
+    # (salted_event_value_sum: r3-green — yielded its slot to
+    # dedup_incremental_clusters earlier this round)
     "salted_event_value_sum",
+    # These five r1-green queries yielded their window slots to the
+    # round-5 selection family (dsir/entropy/minhash-eval/contrastive/
+    # fertility — brand-new, no driver row at all beats refreshing a
+    # stale-but-green row). All five are single-aggregation plans
+    # unchanged since round 1 and re-verified locally at two SFs every
+    # test run; they lead the round-6 rotation.
+    "text_token_count",
+    "doc_stats_by_source",
+    "top_bigrams",
+    "centroid_by_label",
+    "salted_orderstatus_revenue",
 )
 
 

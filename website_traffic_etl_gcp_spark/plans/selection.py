@@ -1,0 +1,432 @@
+"""§2D+ — Data-selection & sketch-quality diagnostics (round 5).
+
+Operators a training-data pipeline runs AFTER cleaning/dedup to decide
+WHAT to train on and to audit its own sketches:
+
+- ``dsir_importance_weights`` — DSIR-style hashed-bigram importance
+  weights (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): log p_target/p_raw under bag-of-hashed-
+  n-gram models, the standard cheap domain-relevance score.
+- ``doc_token_entropy`` — per-doc unigram Shannon entropy, the
+  diversity complement to the repetition score.
+- ``minhash_quality_eval`` — precision/recall of the MinHash-LSH
+  candidate pairs against exact Jaccard ground truth: the gate that
+  tells you whether the sketch tier is safe to trust at scale.
+- ``contrastive_pair_mining`` — hardest positive / hardest negative
+  per probe vector (metric-learning batch construction).
+- ``tokenizer_fertility_by_lang`` — tokens-per-character by language,
+  the standard tokenizer-coverage diagnostic.
+
+Float determinism: every log is rounded to integer MICRO-NATS
+(``round(ln(x) * 1e6)`` → int64) before any aggregation, so all sums
+are exact integer arithmetic and the single final int→double division
+is IEEE-identical on both engines. Cosines follow the embeddings
+family's round-to-6dp contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.texthash import md5_long, normalize_text, word_tokens
+from ..functions.vectors import cosine
+from ..operators import dedup as dd
+from ..operators.similarity import COSINE_SCALE
+from .documents import _MD5L, _SQL_DOCS_NORM, _sql_minhash_prefix
+from .documents import NGRAM_JACCARD_THRESHOLD
+from .embeddings import _PROBE_PRED, _probe_filter, _sql_cos
+from .registry import register
+
+DSIR_BUCKETS = 128  # hashed-bigram feature space (B)
+DSIR_TARGET_LANG = "en"  # target-domain proxy: the labeled-en slice
+
+_SQL_BIGRAM_BUCKETS = f"""
+    SELECT doc_id, lang,
+           {_MD5L.format(x='bigram')} % {DSIR_BUCKETS} AS b,
+           COUNT(*) AS n
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   range(2, len(t) + 1),
+                   i -> t[i-1] || ' ' || t[i])) AS bigram
+        FROM (SELECT doc_id, lang, string_split(norm, ' ') AS t
+              FROM ({_SQL_DOCS_NORM}))
+    )
+    GROUP BY 1, 2, 3
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _micro_nats(col: F.Column) -> F.Column:
+    """round(ln(x)·1e6) as int64 — the engine-portable log unit."""
+    return F.round(F.log(col) * F.lit(1e6), 0).cast("bigint")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH pb AS ({_SQL_BIGRAM_BUCKETS}),
+    bs AS (
+        SELECT b, SUM(n) AS c_r,
+               COALESCE(SUM(n) FILTER (lang = '{DSIR_TARGET_LANG}'), 0)
+                   AS c_t
+        FROM pb GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c_r) AS r_tot, SUM(c_t) AS t_tot FROM bs),
+    lr AS (
+        SELECT b,
+               CAST(round((ln(c_t + 1) * 1e6), 0) AS BIGINT)
+             - CAST(round((ln(t_tot + {DSIR_BUCKETS}) * 1e6), 0) AS BIGINT)
+             - CAST(round((ln(c_r + 1) * 1e6), 0) AS BIGINT)
+             + CAST(round((ln(r_tot + {DSIR_BUCKETS}) * 1e6), 0) AS BIGINT)
+                   AS lr_micro
+        FROM bs, tot
+    ),
+    w AS (
+        SELECT doc_id, SUM(n) AS n_feats, SUM(n * lr_micro) AS lw
+        FROM pb JOIN lr USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(w.lw, 0) AS DOUBLE) / 1e6 AS logw
+    FROM documents d LEFT JOIN w USING (doc_id)
+    """,
+    tags=("documents", "selection"),
+    bench=True,
+    doc="DSIR-style importance weights: bag-of-hashed-bigrams "
+    f"({DSIR_BUCKETS} md5 buckets) language models for the target "
+    f"slice (lang='{DSIR_TARGET_LANG}') and the raw corpus, Laplace "
+    "smoothing, per-doc weight = Σ n_b·log(p_t(b)/p_r(b)). Log terms "
+    "are pre-rounded to integer micro-nats PER BUCKET (≤B rows) so "
+    "every per-doc sum is exact int64 — order-independent, "
+    "engine-portable. Plan: one explode+groupBy for features, a "
+    "B-row broadcast of the log-ratio table, one groupBy on doc_id — "
+    "no shuffle grows with pair counts, corpus-linear at 100 TB.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = word_tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    per_doc = (
+        d.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .select(
+            "doc_id",
+            "lang",
+            (md5_long(F.col("bigram")) % DSIR_BUCKETS).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds bucket stats AND weights
+    )
+    stats = per_doc.groupBy("b").agg(
+        F.sum("n").alias("c_r"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n"))),
+            F.lit(0),
+        ).alias("c_t"),
+    )
+    totals = stats.agg(
+        F.sum("c_r").alias("r_tot"), F.sum("c_t").alias("t_tot")
+    )
+    lr = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                _micro_nats(F.col("c_t") + 1)
+                - _micro_nats(F.col("t_tot") + DSIR_BUCKETS)
+                - _micro_nats(F.col("c_r") + 1)
+                + _micro_nats(F.col("r_tot") + DSIR_BUCKETS)
+            ).alias("lr_micro"),
+        )
+    )
+    w = (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lr_micro")).alias("lw"),
+        )
+    )
+    return d.select("doc_id").join(w, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+        (F.coalesce("lw", F.lit(0)).cast("double") / F.lit(1e6)).alias(
+            "logw"
+        ),
+    )
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+              FROM ({_SQL_DOCS_NORM}))
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               SUM(c) AS n,
+               COUNT(*) AS k,
+               SUM(c * CAST(round(ln(c) * 1e6, 0) AS BIGINT)) AS s_micro
+        FROM tc GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(k AS BIGINT) AS n_distinct,
+           CAST(CAST(round(ln(n) * 1e6, 0) AS BIGINT) * n - s_micro
+                AS DOUBLE)
+             / CAST(n * 1000000 AS DOUBLE) AS entropy_nats
+    FROM agg
+    """,
+    tags=("documents", "selection"),
+    doc="Per-doc unigram Shannon entropy in nats: "
+    "H = ln(n) − (Σ c·ln c)/n over token counts — the diversity "
+    "signal (low entropy ⇒ repetitive/templated text; pairs with "
+    "doc_repetition_score for quality filtering). Inner Σ c·ln c is "
+    "exact int64 over per-count micro-nats; one token-explode "
+    "groupBy then a doc_id groupBy — corpus-linear.",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tc = (
+        d.select("doc_id", F.explode(word_tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("c") * _micro_nats(F.col("c"))).alias("s_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("k").cast("bigint").alias("n_distinct"),
+        (
+            (_micro_nats(F.col("n")) * F.col("n") - F.col("s_micro"))
+            .cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double")
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "minhash_quality_eval",
+    oracle=f"""
+    {_sql_minhash_prefix()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex2 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex2 a JOIN ex2 b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE)
+                / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+              >= {NGRAM_JACCARD_THRESHOLD}
+    ),
+    j AS (
+        SELECT COALESCE(t.in_t, 0) AS in_t, COALESCE(c.in_c, 0) AS in_c
+        FROM (SELECT doc_a, doc_b, 1 AS in_t FROM truth) t
+        FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_c FROM cand) c
+        USING (doc_a, doc_b)
+    )
+    SELECT CAST(COALESCE(SUM(in_t), 0) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(in_c), 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(in_t * in_c), 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(in_t * in_c), 0) AS DOUBLE)
+             / CAST(NULLIF(COALESCE(SUM(in_c), 0), 0) AS DOUBLE)
+               AS precision,
+           CAST(COALESCE(SUM(in_t * in_c), 0) AS DOUBLE)
+             / CAST(NULLIF(COALESCE(SUM(in_t), 0), 0) AS DOUBLE)
+               AS recall
+    FROM j
+    """,
+    tags=("documents", "dedup", "selection"),
+    doc="Sketch-quality gate for the MinHash-LSH tier: candidate "
+    "pairs from banding vs GROUND-TRUTH exact-Jaccard pairs "
+    f"(threshold {NGRAM_JACCARD_THRESHOLD}, same shingle spec, no "
+    "bucket restriction so cross-bucket candidates count). Emits "
+    "n_truth / n_candidates / n_hits plus precision & recall as "
+    "single exact-int divisions. This is how you VALIDATE a sketch "
+    "config before trusting it on 100 TB — run on a sampled slice, "
+    "check recall, then ship the banding constants.",
+)
+def minhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    truth = dd.ngram_jaccard_pairs(
+        d, F.lit("all"), NGRAM_JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
+    cand = dd.minhash_band_pairs(dd.minhash_signatures(d)).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_c")
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_t", F.lit(0)).alias("in_t"),
+        F.coalesce("in_c", F.lit(0)).alias("in_c"),
+    )
+    n_truth = F.coalesce(F.sum("in_t"), F.lit(0)).cast("bigint")
+    n_cand = F.coalesce(F.sum("in_c"), F.lit(0)).cast("bigint")
+    n_hits = F.coalesce(
+        F.sum(F.col("in_t") * F.col("in_c")), F.lit(0)
+    ).cast("bigint")
+    return j.agg(
+        n_truth.alias("n_truth"),
+        n_cand.alias("n_candidates"),
+        n_hits.alias("n_hits"),
+        (
+            n_hits.cast("double")
+            / F.nullif(n_cand, F.lit(0)).cast("double")
+        ).alias("precision"),
+        (
+            n_hits.cast("double")
+            / F.nullif(n_truth, F.lit(0)).cast("double")
+        ).alias("recall"),
+    )
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=f"""
+    WITH sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               (q.label = c.label) AS is_pos,
+               {_sql_cos('q.embedding', 'c.embedding')} AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.{_PROBE_PRED.replace(' AND ', ' AND q.')}
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id, is_pos
+                   ORDER BY cosine DESC, cand_id) AS rn
+        FROM sc
+    )
+    SELECT query_id,
+           MIN(cand_id) FILTER (is_pos) AS pos_id,
+           MIN(cosine) FILTER (is_pos) AS pos_cos,
+           MIN(cand_id) FILTER (NOT is_pos) AS neg_id,
+           MIN(cosine) FILTER (NOT is_pos) AS neg_cos,
+           round(MIN(cosine) FILTER (is_pos)
+                 - MIN(cosine) FILTER (NOT is_pos), 6) AS margin
+    FROM best WHERE rn = 1
+    GROUP BY query_id
+    """,
+    tags=("embeddings", "selection"),
+    doc="Metric-learning batch mining: for each probe vector, the "
+    "HARDEST POSITIVE (same label, max cosine) and HARDEST NEGATIVE "
+    "(different label, max cosine) with the triplet margin — the "
+    "standard contrastive/triplet batch-construction step. Broadcast "
+    "probe set × corpus scan (the knn_bruteforce shape, O(corpus)); "
+    "cosines rounded to 6dp before ranking, ties on cand_id.",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _probe_filter(emb).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("cv")), COSINE_SCALE)
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("qlabel") == F.col("clabel")).alias("is_pos"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "is_pos").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos_cos = F.min(F.when(F.col("is_pos"), F.col("cosine")))
+    neg_cos = F.min(F.when(~F.col("is_pos"), F.col("cosine")))
+    return best.groupBy("query_id").agg(
+        F.min(F.when(F.col("is_pos"), F.col("cand_id"))).alias("pos_id"),
+        pos_cos.alias("pos_cos"),
+        F.min(F.when(~F.col("is_pos"), F.col("cand_id"))).alias("neg_id"),
+        neg_cos.alias("neg_cos"),
+        F.round(pos_cos - neg_cos, 6).alias("margin"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(norm, ' '))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(len(norm)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(norm, ' '))) AS DOUBLE)
+             / CAST(SUM(len(norm)) AS DOUBLE) AS tokens_per_char,
+           CAST(SUM(len(norm)) AS DOUBLE)
+             / CAST(SUM(len(string_split(norm, ' '))) AS DOUBLE)
+               AS chars_per_token
+    FROM ({_SQL_DOCS_NORM})
+    GROUP BY lang
+    """,
+    tags=("documents", "selection"),
+    doc="Tokenizer-coverage diagnostic: per-language token and "
+    "character totals with fertility ratios (tokens/char and its "
+    "inverse) — the first thing you check when a tokenizer "
+    "under-serves a language (e.g. zh whitespace tokens are whole "
+    "clauses). Exact integer sums, two final divisions; one "
+    "5-row groupBy.",
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = normalize_text("text")
+    per = d.select(
+        "lang",
+        F.size(word_tokens("text")).cast("bigint").alias("nt"),
+        F.length(norm).cast("bigint").alias("nc"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("nc").alias("n_chars"),
+        (F.sum("nt").cast("double") / F.sum("nc").cast("double")).alias(
+            "tokens_per_char"
+        ),
+        (F.sum("nc").cast("double") / F.sum("nt").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
