@@ -264,6 +264,11 @@ def simhash_fingerprints(
     fingerprint from vote signs. One explode + one groupBy with
     SIMHASH_BITS sum expressions — a single shuffle regardless of
     corpus size."""
+    # NOT widened (functions/partitioning.py): the distinct-token
+    # explode feeds a map-side-combining groupBy whose partial
+    # aggregation collapses the stream before the shuffle — the
+    # fan-out's own shuffle costs more than the narrow map stage
+    # (A/B at sf1: 3.7 s plain vs 4.4 s widened)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(

@@ -64,7 +64,11 @@ def positional_shingles(
     shorter than ``SHINGLE_K`` tokens.  Unlike
     ``textstats.exploded_shingles`` this keeps positions and
     multiplicity — winnowing needs the full positional stream."""
-    base = df.select(
+    from ..functions.partitioning import widen_narrow_input
+
+    # fan a narrow scan out before the normalize/split/explode map
+    # stage (no-op on wide inputs; see functions/partitioning.py)
+    base = widen_narrow_input(df).select(
         F.col(id_col).alias("doc_id"),
         normalize_text(text_col).alias("norm"),
     ).withColumn("n_tok", F.size(F.split("norm", " ")))
@@ -169,7 +173,9 @@ def cdc_chunks(
     (doc_id, chunk_idx) rebuilds chunk text via a sorted struct
     collect.  Shuffle O(tokens); chunks are ~CDC_DIVISOR tokens so
     per-group state is tiny."""
-    base = df.select(
+    from ..functions.partitioning import widen_narrow_input
+
+    base = widen_narrow_input(df).select(
         F.col(id_col).alias("doc_id"),
         normalize_text(text_col).alias("norm"),
     )

@@ -72,8 +72,14 @@ def exploded_shingles(
     slower per row, while this shape is one narrow explode + one
     window shuffle on doc_id — the layout every downstream dedup tier
     (inverted index, minhash groupBy) wants anyway."""
+    from ..functions.partitioning import widen_narrow_input
+
     extra = extra or {}
     keep = ["doc_id", *extra.keys()]
+    # fan a narrow scan out BEFORE the normalize/split/explode — the
+    # expensive map stage otherwise runs on the scan's 1-2 split
+    # partitions (no-op on wide inputs; see functions/partitioning.py)
+    df = widen_narrow_input(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *[v.alias(k) for k, v in extra.items()],

@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vectors import cosine
 from ..operators import similarity as sim
 from .registry import register
 
@@ -103,16 +102,27 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket plays when no label exists).",
 )
 def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    from ..functions.partitioning import widen_narrow_input
+    from ..functions.vectors import dot, norm
+
+    # norms once per vector, not per joined pair (same op order as
+    # cosine() — bit-identical results); scan fanned out for the
+    # within-label self-join
+    emb = widen_narrow_input(_emb(spark, sf_dir)).withColumn(
+        "__vn", norm(F.col("embedding"))
+    )
     a = emb.select(
         F.col("label").alias("la"), F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
+        F.col("embedding").alias("ea"), F.col("__vn").alias("na"),
     )
     b = emb.select(
         F.col("label").alias("lb"), F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
+        F.col("embedding").alias("eb"), F.col("__vn").alias("nb"),
     )
-    cos = F.round(cosine(F.col("ea"), F.col("eb")), sim.COSINE_SCALE)
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+        sim.COSINE_SCALE,
+    )
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -554,16 +564,35 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
     "oracle recomputes it EXACTLY rather than error-bounding it.",
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    cells = _quantized_centroids(emb)
-    cos_cell = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    from ..functions.partitioning import widen_narrow_input
+    from ..functions.vectors import dot, norm
+
+    # norms precomputed ONCE per vector/centroid and carried through
+    # the joins — same float ops in the same order as cosine(), but
+    # evaluated per row instead of per joined pair; the scan is fanned
+    # out so the within-cell pairwork uses every core
+    emb = widen_narrow_input(_emb(spark, sf_dir)).withColumn(
+        "__vn", norm(F.col("embedding"))
+    )
+    cells = _quantized_centroids(emb).withColumn(
+        "__cn", norm(F.col("centroid"))
+    )
+    cos_cell = F.round(
+        dot(F.col("embedding"), F.col("centroid"))
+        / (F.col("__vn") * F.col("__cn")),
+        6,
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cell_cos").desc(), F.col("cell_id")
     )
     asg = (
         emb.crossJoin(F.broadcast(cells))
         .select(
-            "vec_id", "embedding", "cell_id", cos_cell.alias("cell_cos")
+            "vec_id",
+            "embedding",
+            "__vn",
+            "cell_id",
+            cos_cell.alias("cell_cos"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
@@ -574,13 +603,17 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("__vn").alias("na"),
     )
     b = asg.select(
         F.col("cell_id").alias("cb"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("__vn").alias("nb"),
     )
-    pair_cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    pair_cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
     dup = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
         .filter(pair_cos >= SEMDEDUP_TAU)

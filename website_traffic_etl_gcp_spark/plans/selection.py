@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.texthash import md5_long, normalize_text, word_tokens
-from ..functions.vectors import cosine
 from ..operators import dedup as dd
 from ..operators.similarity import COSINE_SCALE
 from .documents import _MD5L, _SQL_DOCS_NORM, _sql_minhash_prefix
@@ -120,8 +119,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    from ..functions.partitioning import widen_narrow_input
+
     per_doc = (
-        d.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        widen_narrow_input(d)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
         .select(
             "doc_id",
             "lang",
@@ -203,9 +205,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupBy then a doc_id groupBy — corpus-linear.",
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import widen_narrow_input
+
     d = _docs(spark, sf_dir)
     tc = (
-        d.select("doc_id", F.explode(word_tokens("text")).alias("token"))
+        widen_narrow_input(d)
+        .select("doc_id", F.explode(word_tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -347,18 +352,28 @@ def minhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosines rounded to 6dp before ranking, ties on cand_id.",
 )
 def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import widen_narrow_input
+    from ..functions.vectors import dot, norm
+
+    # norms once per side, not per joined pair (bit-identical to
+    # cosine() — same op order); corpus side fanned out below
     emb = load_table(spark, sf_dir, "embeddings")
     q = _probe_filter(emb).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("nq"),
         F.col("label").alias("qlabel"),
     )
-    c = emb.select(
+    c = widen_narrow_input(emb).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("nc"),
         F.col("label").alias("clabel"),
     )
-    cos = F.round(cosine(F.col("qv"), F.col("cv")), COSINE_SCALE)
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+        COSINE_SCALE,
+    )
     scored = (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select(
