@@ -134,3 +134,22 @@ def test_fertility_exact_on_planted_docs(spark, tmp_path):
     assert en["n_docs"] == 2 and en["n_tokens"] == 5 and en["n_chars"] == 22
     assert en["tokens_per_char"] == 5 / 22
     assert out["es"]["chars_per_token"] == 3.0
+
+
+def test_degree_stats_consistent_with_pairs(spark):
+    from website_traffic_etl_gcp_spark.operators import dedup as dd
+    from website_traffic_etl_gcp_spark.plans.documents import (
+        JACCARD_MAX_DF,
+        NGRAM_JACCARD_THRESHOLD,
+    )
+
+    rows = REGISTRY["dup_graph_degree_stats"].builder(spark, SF_DIR).collect()
+    assert rows, "sf0.001 plants near-dup pairs"
+    d = load_table(spark, SF_DIR, "documents")
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    n_pairs = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    ).count()
+    # handshake: sum(degree × count) = 2 × |pairs|; shares sum to 1
+    assert sum(r["degree"] * r["n_docs"] for r in rows) == 2 * n_pairs
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9

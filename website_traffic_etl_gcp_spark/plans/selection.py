@@ -33,8 +33,9 @@ from ..catalog import load_table
 from ..functions.texthash import md5_long, normalize_text, word_tokens
 from ..operators import dedup as dd
 from ..operators.similarity import COSINE_SCALE
-from .documents import _MD5L, _SQL_DOCS_NORM, _sql_minhash_prefix
-from .documents import NGRAM_JACCARD_THRESHOLD
+from .documents import _MD5L, _SQL_DOCS_NORM, _SQL_JACCARD_PAIRS
+from .documents import _sql_minhash_prefix
+from .documents import JACCARD_MAX_DF, NGRAM_JACCARD_THRESHOLD
 from .embeddings import _PROBE_PRED, _probe_filter, _sql_cos
 from .registry import register
 
@@ -444,4 +445,59 @@ def tokenizer_fertility_by_lang(
         (F.sum("nc").cast("double") / F.sum("nt").cast("double")).alias(
             "chars_per_token"
         ),
+    )
+
+
+@register(
+    "dup_graph_degree_stats",
+    oracle=f"""
+    WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+    deg AS (
+        SELECT doc_id, COUNT(*) AS degree
+        FROM (SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_graph_docs FROM deg)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(MAX(tot.n_graph_docs) AS DOUBLE) AS share
+    FROM deg, tot
+    GROUP BY degree
+    """,
+    tags=("documents", "dedup", "selection"),
+    doc="Near-dup GRAPH diagnostics: the degree distribution of the "
+    "df-capped Jaccard pair graph — (degree, doc count, share of "
+    "graph members). The skew early-warning for cluster formation: a "
+    "heavy tail here means boilerplate floods that will hot-spot the "
+    "connected-components shuffle (mitigate via salting / df-cap "
+    "tightening) BEFORE burning cluster rounds on them. Two tiny "
+    "aggregations over the pair list; the one-row total broadcasts.",
+)
+def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    pairs = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tot = deg.agg(F.count(F.lit(1)).alias("n_graph_docs"))
+    return (
+        deg.groupBy(F.col("degree").cast("bigint").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_graph_docs").cast("double")
+            ).alias("share"),
+        )
     )
