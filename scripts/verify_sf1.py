@@ -68,6 +68,14 @@ SF1_QUERIES = [
     "dedup_cdc_span_apply",
     "leakage_safe_split",
     "knn_pq_rerank",
+    # round-5 selection family: feature/token explodes are linear in
+    # corpus tokens, tractable at sf1 (the pair-generating
+    # minhash_quality_eval / dup_graph_degree_stats oracles stay
+    # test-SF only, same as the other dedup-pair SQL twins)
+    "dsir_importance_weights",
+    "doc_token_entropy",
+    "tokenizer_fertility_by_lang",
+    "contrastive_pair_mining",
 ]
 
 TABLES = (
