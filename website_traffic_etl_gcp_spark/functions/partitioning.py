@@ -22,13 +22,44 @@ from pyspark.sql import DataFrame
 
 WIDEN_FACTOR = 2  # partitions per core after fan-out
 
+# Don't fan out below this many (estimated) bytes per resulting
+# partition: when the input is tiny the repartition's own shuffle
+# costs more wall-clock than the parallelism buys back (measured at
+# sf0.1: +0.6 s on the jaccard tier for a 0.6 MB scan). Call sites
+# whose per-byte CPU is extreme (md5 per n-gram, per-row vector math)
+# pass a lower floor — for them even KB-sized partitions pay off
+# (DSIR at sf1: 48 s serialized vs 7 s fanned out).
+DEFAULT_MIN_PARTITION_BYTES = 32 * 1024
+CPU_HEAVY_MIN_PARTITION_BYTES = 4 * 1024
 
-def widen_narrow_input(df: DataFrame, factor: int = WIDEN_FACTOR) -> DataFrame:
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizer size estimate (file-size-derived for
+    scans) — available at plan time, no job."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def widen_narrow_input(
+    df: DataFrame,
+    factor: int = WIDEN_FACTOR,
+    min_partition_bytes: int = DEFAULT_MIN_PARTITION_BYTES,
+) -> DataFrame:
     """Round-robin repartition ``df`` up to ``cores × factor``
-    partitions iff it currently has fewer — the cheap-input /
-    expensive-map fan-out. Wide inputs pass through untouched."""
+    partitions iff it currently has fewer AND is big enough that the
+    fan-out's shuffle pays for itself — the cheap-input/expensive-map
+    fan-out. Wide or too-small inputs pass through untouched (at
+    100 TB every scan is already wide, so this never adds a
+    shuffle)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() >= target:
+        return df
+    est = _estimated_bytes(df)
+    if est is not None and est < target * min_partition_bytes:
         return df
     return df.repartition(target)

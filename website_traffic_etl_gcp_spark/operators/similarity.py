@@ -59,7 +59,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded).
     ``queries`` is broadcast — it must be the bounded side."""
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -68,7 +71,9 @@ def brute_force_topk(
     )
     # the probes × corpus scan is the hot loop — fan a narrow corpus
     # scan out to all cores first (no-op on wide inputs)
-    c = widen_narrow_input(corpus).select(
+    c = widen_narrow_input(
+        corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("nc"),
@@ -111,9 +116,14 @@ def lsh_topk(
     hamming-1 neighbor bucket when multiprobe). At scale the corpus is
     shuffled once on bucket id; each query touches |corpus| / 2^planes
     candidates in expectation."""
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
 
-    c = widen_narrow_input(corpus).select(
+    c = widen_narrow_input(
+        corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("nc"),
@@ -210,10 +220,19 @@ def ivf_topk(
     ranks exact cosine only against those cells' members. At 100 TB
     the corpus shuffles ONCE on cell_id (index build); each query
     touches |corpus| × n_probe / n_cells candidates in expectation."""
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
 
     c = assign_cells(
-        widen_narrow_input(corpus), centroids, 1, id_col, vec_col
+        widen_narrow_input(
+            corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+        ),
+        centroids,
+        1,
+        id_col,
+        vec_col,
     ).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),

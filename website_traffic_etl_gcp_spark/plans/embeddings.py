@@ -102,15 +102,19 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket plays when no label exists).",
 )
 def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
     from ..functions.vectors import dot, norm
 
     # norms once per vector, not per joined pair (same op order as
     # cosine() — bit-identical results); scan fanned out for the
     # within-label self-join
-    emb = widen_narrow_input(_emb(spark, sf_dir)).withColumn(
-        "__vn", norm(F.col("embedding"))
-    )
+    emb = widen_narrow_input(
+        _emb(spark, sf_dir),
+        min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
+    ).withColumn("__vn", norm(F.col("embedding")))
     a = emb.select(
         F.col("label").alias("la"), F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"), F.col("__vn").alias("na"),
@@ -564,16 +568,20 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
     "oracle recomputes it EXACTLY rather than error-bounding it.",
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
     from ..functions.vectors import dot, norm
 
     # norms precomputed ONCE per vector/centroid and carried through
     # the joins — same float ops in the same order as cosine(), but
     # evaluated per row instead of per joined pair; the scan is fanned
     # out so the within-cell pairwork uses every core
-    emb = widen_narrow_input(_emb(spark, sf_dir)).withColumn(
-        "__vn", norm(F.col("embedding"))
-    )
+    emb = widen_narrow_input(
+        _emb(spark, sf_dir),
+        min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
+    ).withColumn("__vn", norm(F.col("embedding")))
     cells = _quantized_centroids(emb).withColumn(
         "__cn", norm(F.col("centroid"))
     )

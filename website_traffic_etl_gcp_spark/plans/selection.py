@@ -120,10 +120,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
 
     per_doc = (
-        widen_narrow_input(d)
+        widen_narrow_input(d, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES)
         .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
         .select(
             "doc_id",
@@ -206,11 +209,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupBy then a doc_id groupBy — corpus-linear.",
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
 
     d = _docs(spark, sf_dir)
     tc = (
-        widen_narrow_input(d)
+        widen_narrow_input(d, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES)
         .select("doc_id", F.explode(word_tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -353,7 +359,10 @@ def minhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosines rounded to 6dp before ranking, ties on cand_id.",
 )
 def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.partitioning import widen_narrow_input
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
     from ..functions.vectors import dot, norm
 
     # norms once per side, not per joined pair (bit-identical to
@@ -365,7 +374,9 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(F.col("embedding")).alias("nq"),
         F.col("label").alias("qlabel"),
     )
-    c = widen_narrow_input(emb).select(
+    c = widen_narrow_input(
+        emb, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         norm(F.col("embedding")).alias("nc"),
