@@ -789,23 +789,32 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(
         d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
     )
-    clusters = dd.connected_components(pairs)
-    full = (
+    # sizes are attached to the CLUSTERS frame (only docs that appear
+    # in a pair — a small fraction of the corpus) BEFORE the corpus
+    # join, so the corpus is shuffled once (on doc_id) instead of
+    # twice (a window count over cluster_id re-shuffled the whole
+    # manifest; at 100 TB that second corpus-wide exchange dominates).
+    # Singletons never enter any join state: coalesce to size 1.
+    clusters = dd.connected_components(pairs).localCheckpoint(
+        eager=False  # feeds the size aggregate AND the corpus join
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    enriched = clusters.join(sizes, "cluster_id")
+    return (
         d.select("doc_id")
-        .join(clusters, "doc_id", "left")
+        .join(enriched, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
+                "cluster_size"
+            ),
+            (
+                F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
+            ).alias("keep"),
         )
-    )
-    # cluster size as a window count: one shuffle of the manifest,
-    # where a groupBy + join back would scan-and-shuffle it twice
-    w = Window.partitionBy("cluster_id")
-    return full.select(
-        "doc_id",
-        "cluster_id",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
 
 
