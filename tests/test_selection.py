@@ -153,3 +153,15 @@ def test_degree_stats_consistent_with_pairs(spark):
     # handshake: sum(degree × count) = 2 × |pairs|; shares sum to 1
     assert sum(r["degree"] * r["n_docs"] for r in rows) == 2 * n_pairs
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_gumbel_sample_deterministic_and_ranked(spark):
+    b = REGISTRY["dsir_gumbel_sample"].builder
+    r1 = b(spark, SF_DIR).collect()
+    r2 = b(spark, SF_DIR).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2], "must be rerun-stable"
+    assert len(r1) == min(200, load_table(spark, SF_DIR, "documents").count())
+    keys = [r["sample_key"] for r in sorted(r1, key=lambda r: r["rank"])]
+    assert keys == sorted(keys, reverse=True), "rank follows the Gumbel key"
+    ranks = sorted(r["rank"] for r in r1)
+    assert ranks == list(range(1, len(r1) + 1))

@@ -67,34 +67,42 @@ def _micro_nats(col: F.Column) -> F.Column:
     return F.round(F.log(col) * F.lit(1e6), 0).cast("bigint")
 
 
+# (doc_id, n_feats, lw) for every doc — lw = exact int64 micro-nat
+# weight. Shared by the weight report and the Gumbel resampler so the
+# two oracles can never drift apart.
+_SQL_DSIR_W = f"""
+    SELECT d.doc_id,
+           CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(w.lw, 0) AS BIGINT) AS lw
+    FROM documents d LEFT JOIN (
+        WITH pb AS ({_SQL_BIGRAM_BUCKETS}),
+        bs AS (
+            SELECT b, SUM(n) AS c_r,
+                   COALESCE(SUM(n) FILTER (lang = '{DSIR_TARGET_LANG}'), 0)
+                       AS c_t
+            FROM pb GROUP BY 1
+        ),
+        tot AS (SELECT SUM(c_r) AS r_tot, SUM(c_t) AS t_tot FROM bs),
+        lr AS (
+            SELECT b,
+                   CAST(round((ln(c_t + 1) * 1e6), 0) AS BIGINT)
+                 - CAST(round((ln(t_tot + {DSIR_BUCKETS}) * 1e6), 0) AS BIGINT)
+                 - CAST(round((ln(c_r + 1) * 1e6), 0) AS BIGINT)
+                 + CAST(round((ln(r_tot + {DSIR_BUCKETS}) * 1e6), 0) AS BIGINT)
+                       AS lr_micro
+            FROM bs, tot
+        )
+        SELECT doc_id, SUM(n) AS n_feats, SUM(n * lr_micro) AS lw
+        FROM pb JOIN lr USING (b) GROUP BY 1
+    ) w USING (doc_id)
+"""
+
+
 @register(
     "dsir_importance_weights",
     oracle=f"""
-    WITH pb AS ({_SQL_BIGRAM_BUCKETS}),
-    bs AS (
-        SELECT b, SUM(n) AS c_r,
-               COALESCE(SUM(n) FILTER (lang = '{DSIR_TARGET_LANG}'), 0)
-                   AS c_t
-        FROM pb GROUP BY 1
-    ),
-    tot AS (SELECT SUM(c_r) AS r_tot, SUM(c_t) AS t_tot FROM bs),
-    lr AS (
-        SELECT b,
-               CAST(round((ln(c_t + 1) * 1e6), 0) AS BIGINT)
-             - CAST(round((ln(t_tot + {DSIR_BUCKETS}) * 1e6), 0) AS BIGINT)
-             - CAST(round((ln(c_r + 1) * 1e6), 0) AS BIGINT)
-             + CAST(round((ln(r_tot + {DSIR_BUCKETS}) * 1e6), 0) AS BIGINT)
-                   AS lr_micro
-        FROM bs, tot
-    ),
-    w AS (
-        SELECT doc_id, SUM(n) AS n_feats, SUM(n * lr_micro) AS lw
-        FROM pb JOIN lr USING (b) GROUP BY 1
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(w.n_feats, 0) AS BIGINT) AS n_feats,
-           CAST(COALESCE(w.lw, 0) AS DOUBLE) / 1e6 AS logw
-    FROM documents d LEFT JOIN w USING (doc_id)
+    SELECT doc_id, n_feats, CAST(lw AS DOUBLE) / 1e6 AS logw
+    FROM ({_SQL_DSIR_W})
     """,
     tags=("documents", "selection"),
     bench=True,
@@ -109,6 +117,17 @@ def _micro_nats(col: F.Column) -> F.Column:
     "no shuffle grows with pair counts, corpus-linear at 100 TB.",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weight_frame(spark, sf_dir).select(
+        "doc_id",
+        "n_feats",
+        (F.col("lw").cast("double") / F.lit(1e6)).alias("logw"),
+    )
+
+
+def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, lw) for EVERY doc — lw is the exact int64
+    micro-nat importance weight (0 for bigram-less docs). Shared by
+    the weight report and the Gumbel resampler."""
     d = _docs(spark, sf_dir)
     toks = word_tokens("text")
     bigrams = F.when(
@@ -170,9 +189,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(w, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
-        (F.coalesce("lw", F.lit(0)).cast("double") / F.lit(1e6)).alias(
-            "logw"
-        ),
+        F.coalesce("lw", F.lit(0)).cast("bigint").alias("lw"),
     )
 
 
@@ -511,4 +528,71 @@ def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_graph_docs").cast("double")
             ).alias("share"),
         )
+    )
+
+
+DSIR_SAMPLE_K = 200
+DSIR_SAMPLE_SALT = ":dsir"
+
+
+@register(
+    "dsir_gumbel_sample",
+    oracle=f"""
+    WITH w AS ({_SQL_DSIR_W}),
+    keyed AS (
+        SELECT doc_id, lw,
+               lw + CAST(round(-ln(-ln(
+                        (CAST({_MD5L.format(x=f"CAST(doc_id AS VARCHAR) || '{DSIR_SAMPLE_SALT}'")}
+                              % 1000000 AS DOUBLE) + 0.5) / 1e6
+                    )) * 1e6, 0) AS BIGINT) AS key_micro
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(lw AS DOUBLE) / 1e6 AS logw,
+           CAST(key_micro AS DOUBLE) / 1e6 AS sample_key,
+           ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS rank
+    FROM keyed
+    ORDER BY key_micro DESC, doc_id
+    LIMIT {DSIR_SAMPLE_K}
+    """,
+    tags=("documents", "selection"),
+    doc=f"The DSIR APPLY step — importance RESAMPLING via the Gumbel "
+    f"top-k trick: key = logw + Gumbel(0,1) noise, take the top "
+    f"{DSIR_SAMPLE_K}; equivalent to sampling without replacement "
+    "with probability ∝ exp(logw) (Xie et al. 2023 §2.3). The noise "
+    "is a deterministic md5-coin uniform (doc_id-salted) pushed "
+    "through -ln(-ln u) and rounded to micro-nats, so keys are exact "
+    "int64 — the same draw on any engine, cluster size, or rerun. "
+    "Global top-k runs as per-partition top-k + merge (TakeOrdered), "
+    "no full sort at 100 TB.",
+)
+def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _dsir_weight_frame(spark, sf_dir)
+    u = (
+        (
+            md5_long(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(DSIR_SAMPLE_SALT),
+                )
+            )
+            % 1000000
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    g_micro = F.round(-F.log(-F.log(u)) * F.lit(1e6), 0).cast("bigint")
+    keyed = w.select(
+        "doc_id", "lw", (F.col("lw") + g_micro).alias("key_micro")
+    )
+    ranked = keyed.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id")
+    ).limit(DSIR_SAMPLE_K)
+    win = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id"))
+    return ranked.select(
+        "doc_id",
+        (F.col("lw").cast("double") / F.lit(1e6)).alias("logw"),
+        (F.col("key_micro").cast("double") / F.lit(1e6)).alias(
+            "sample_key"
+        ),
+        F.row_number().over(win).cast("bigint").alias("rank"),
     )
