@@ -145,3 +145,48 @@ def test_persisted_minhash_index_probe_is_exchange_free(spark):
     assert probe.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
     spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")
+
+
+def test_persisted_ivf_index_probe_reads_in_place(spark):
+    """The persisted IVF index (operators/ann_index.py): the probe
+    must (a) return exactly the in-query ivf_topk result and (b) do
+    ZERO corpus-side recompute — no centroid cross-join or norm
+    aggregation on the stored side of the probe plan, and no exchange
+    of the stored table (the probe batch broadcasts)."""
+    from website_traffic_etl_gcp_spark.operators import ann_index as ai
+    from website_traffic_etl_gcp_spark.operators import similarity as sim
+    from website_traffic_etl_gcp_spark.plans.embeddings import (
+        KNN_K,
+        _probe_filter,
+        label_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = label_centroids(emb).localCheckpoint()  # pin avg floats
+    q = _probe_filter(emb)
+    cells_t = ai.index_table_name("ivfcells_test", SF_DIR)
+    cents_t = ai.index_table_name("ivfcents_test", SF_DIR)
+    try:
+        ai.build_ivf_index(emb, cents, cells_t, cents_t)
+        probe = ai.probe_ivf_index(spark, q, cells_t, cents_t, KNN_K, n_probe=2)
+        expected = sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
+        got = {tuple(r) for r in probe.collect()}
+        want = {tuple(r) for r in expected.collect()}
+        assert got == want
+        plan = _plan(probe)
+        # AQE explain prints Final + Initial sections; count nodes in
+        # the executed (final) section only
+        final = plan.split("== Initial Plan ==")[0]
+        # the probe restricts candidates to the probed cells via a
+        # HASH join on the cell key: a degenerate (trivially-true)
+        # cell equality would turn the main join into a nested loop
+        # over the whole corpus (brute force in disguise)
+        assert "BroadcastHashJoin [cell_id" in final, final
+        # only ONE nested-loop join (the tiny query-side centroid
+        # assignment crossJoin); the stored table is never exchanged
+        assert final.count("BroadcastNestedLoopJoin") <= 1, final
+        assert "Exchange hashpartitioning(cell_id" not in final
+        assert "Bucketed: true" in final
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {cents_t}")

@@ -287,6 +287,43 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_persisted",
+    oracle=_ANN_VERDICT_ORACLE,
+    tags=("embeddings", "similarity"),
+    doc="IVF against a PERSISTED index — the production 'build once, "
+    "probe many' ANN shape: the corpus-wide coarse quantization "
+    "(nearest-centroid assignment + norms) is written as a bucketed "
+    "cell_id table with its centroid table (operators/ann_index.py, "
+    "rebuild-if-missing); each probe batch assigns only ITS vectors "
+    "and broadcasts against the stored table, which scans in place — "
+    "zero corpus-side recompute or exchange per query batch. Falls "
+    "back to the in-query IVF when no scratch storage is writable. "
+    "Driver-visible contract is the same error-bound verdict row as "
+    "knn_ivf_cells; oracle expects all-TRUE.",
+)
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import logging
+
+    from ..operators import ann_index as ai
+
+    emb = _emb(spark, sf_dir)
+    q = _probe_filter(emb)
+    try:
+        cells_t = ai.index_table_name("ivfcells", sf_dir)
+        cents_t = ai.index_table_name("ivfcents", sf_dir)
+        ai.ensure_ivf_index(emb, label_centroids(emb), cells_t, cents_t)
+        approx = ai.probe_ivf_index(spark, q, cells_t, cents_t, KNN_K, n_probe=2)
+    except Exception:
+        logging.getLogger("website_traffic_etl_gcp_spark").warning(
+            "persisted IVF index unavailable; deriving in-query",
+            exc_info=True,
+        )
+        approx = sim.ivf_topk(emb, q, label_centroids(emb), KNN_K, n_probe=2)
+    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    return _ann_verdict(approx, exact, q)
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     SELECT vec_id,
