@@ -20,6 +20,7 @@ CHANGED_R5 = (
     "minhash_quality_eval",  # new query (selection family)
     "contrastive_pair_mining",  # new query (selection family)
     "tokenizer_fertility_by_lang",  # new query (selection family)
+    "streaming_minhash_ingest",  # new query (streaming index probe)
     "doc_winnow_fingerprints",  # new query
     "dedup_winnow_pairs",  # new query
     "doc_cdc_chunks",  # new query
@@ -54,11 +55,12 @@ CHANGED_R5 = (
 
 # green rows dating from round 1 — no row may stay >2 rounds stale.
 # (text_token_count, doc_stats_by_source, top_bigrams,
-# centroid_by_label and salted_orderstatus_revenue yielded their
-# slots to the five new selection-family queries — a brand-new query
-# with NO driver row outranks refreshing a stale-but-green one; all
-# five are single-aggregation plans unchanged since r1, re-verified
-# locally at two SFs every test run, and lead the round-6 rotation.)
+# lang_source_matrix, centroid_by_label and salted_orderstatus_revenue
+# yielded their slots to the five new selection-family queries and the
+# streaming index probe — a brand-new query with NO driver row
+# outranks refreshing a stale-but-green one; all six are
+# single-aggregation plans unchanged since r1, re-verified locally at
+# two SFs every test run, and lead the round-6 rotation.)
 STALE_R1 = (
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -69,7 +71,6 @@ STALE_R1 = (
     "doc_fingerprint",
     "text_quality_score",
     "lang_id_heuristic",
-    "lang_source_matrix",
     "stratified_sample_mix",
     "top_terms_tfidf",
     "bigram_next_token_prob",

@@ -117,3 +117,24 @@ def test_foreachbatch_upsert_idempotent(spark, tmp_path):
     # full redelivery (fresh checkpoint, same table): a no-op
     out2 = run_upsert_ingest(spark, SF_DIR, tbl, checkpoint_dir=str(tmp_path / "c2"))
     assert out2.count() == n_original
+
+
+def test_streaming_minhash_ingest_matches_batch(spark):
+    """The streaming admission-time probe must emit EXACTLY the batch
+    incremental-minhash verdicts — same persisted index, same docs,
+    different engine path."""
+    from website_traffic_etl_gcp_spark.plans.registry import REGISTRY
+
+    stream_rows = {
+        tuple(r)
+        for r in REGISTRY["streaming_minhash_ingest"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    batch_rows = {
+        tuple(r)
+        for r in REGISTRY["dedup_incremental_minhash"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert stream_rows == batch_rows

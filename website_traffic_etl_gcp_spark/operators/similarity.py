@@ -239,11 +239,15 @@ def ivf_topk(
         F.col("__vn").alias("nc"),
         "cell_id",
     )
+    # the query-side cell column is RENAMED (qcell): both sides' cell
+    # ids descend from the same centroid attribute, and an expr-id-
+    # equal comparison makes Spark warn about (and in the table-backed
+    # case FOLD) a trivially-true predicate — see ann_index.py
     q = assign_cells(queries, centroids, n_probe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("__vn").alias("nq"),
-        "cell_id",
+        F.col("cell_id").alias("qcell"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
@@ -255,7 +259,8 @@ def ivf_topk(
     return (
         c.join(
             F.broadcast(q),
-            (c.cell_id == q.cell_id) & (F.col("cand_id") != F.col("query_id")),
+            (F.col("cell_id") == F.col("qcell"))
+            & (F.col("cand_id") != F.col("query_id")),
         )
         .select("query_id", "cand_id", _prenorm_cosine().alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))

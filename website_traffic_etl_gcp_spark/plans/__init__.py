@@ -42,6 +42,7 @@ _PRIORITY_ORDER = (
     "minhash_quality_eval",  # NEW in round 5 (selection family)
     "contrastive_pair_mining",  # NEW in round 5 (selection family)
     "tokenizer_fertility_by_lang",  # NEW in round 5 (selection family)
+    "streaming_minhash_ingest",  # NEW in round 5 (streaming index probe)
     "doc_winnow_fingerprints",  # NEW in round 5
     "dedup_winnow_pairs",  # NEW in round 5
     "doc_cdc_chunks",  # NEW in round 5
@@ -86,7 +87,6 @@ _PRIORITY_ORDER = (
     "doc_fingerprint",
     "text_quality_score",
     "lang_id_heuristic",
-    "lang_source_matrix",
     "stratified_sample_mix",
     "top_terms_tfidf",
     "bigram_next_token_prob",
@@ -115,14 +115,16 @@ _PRIORITY_ORDER = (
     # (salted_event_value_sum: r3-green — yielded its slot to
     # dedup_incremental_clusters earlier this round)
     "salted_event_value_sum",
-    # These five r1-green queries yielded their window slots to the
+    # These six r1-green queries yielded their window slots to the
     # round-5 selection family (dsir/entropy/minhash-eval/contrastive/
-    # fertility — brand-new, no driver row at all beats refreshing a
-    # stale-but-green row). All five are single-aggregation plans
-    # unchanged since round 1 and re-verified locally at two SFs every
-    # test run; they lead the round-6 rotation.
+    # fertility) and the streaming index probe — brand-new queries with
+    # no driver row at all outrank refreshing a stale-but-green one.
+    # All six are single-aggregation plans unchanged since round 1 and
+    # re-verified locally at two SFs every test run; they lead the
+    # round-6 rotation.
     "text_token_count",
     "doc_stats_by_source",
+    "lang_source_matrix",
     "top_bigrams",
     "centroid_by_label",
     "salted_orderstatus_revenue",

@@ -172,3 +172,44 @@ def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollups.streaming_sliding_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_minhash_ingest",
+    # identical semantics (and oracle) to the batch incremental
+    # minhash: the stream delivers the same docs, the same persisted
+    # index answers the probes
+    oracle=None,  # replaced below — needs the documents module's SQL
+    tags=("streaming", "dedup"),
+    doc="Streaming ADMISSION-TIME near-dup check: document files land "
+    "as a stream, and each micro-batch's minhash signatures probe the "
+    "existing corpus's PERSISTED band index (the same bucketed tables "
+    "the batch incremental query uses) via foreachBatch before "
+    "admission. Per batch the work is O(batch × bands) with zero "
+    "corpus-side shuffle or recompute — admission dedup stays "
+    "affordable when the corpus is 100 TB and the batch is megabytes. "
+    "Emits the batch incremental verdicts exactly, so the same SQL "
+    "oracle checks it. streaming/doc_ingest.py.",
+)
+def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.doc_ingest import run_streaming_minhash_ingest
+
+    return run_streaming_minhash_ingest(spark, sf_dir)
+
+
+def _attach_minhash_oracle() -> None:
+    """The oracle is the batch incremental-minhash SQL — generated in
+    plans.documents from the shared minhash spec. Attached after
+    registration to avoid a circular import at module-load order."""
+    from dataclasses import replace
+
+    from .documents import _sql_incremental_minhash
+    from .registry import REGISTRY
+
+    REGISTRY["streaming_minhash_ingest"] = replace(
+        REGISTRY["streaming_minhash_ingest"],
+        oracle=_sql_incremental_minhash(),
+    )
+
+
+_attach_minhash_oracle()
