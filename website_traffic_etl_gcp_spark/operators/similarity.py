@@ -168,6 +168,27 @@ def lsh_topk(
     )
 
 
+def pack_centroids(centroids: DataFrame) -> DataFrame:
+    """Fold the (small) (cell_id, centroid) frame into ONE row holding
+    every centroid — plus its precomputed norm — as an
+    array<struct<cell_id,centroid,cn>>. Broadcast-crossJoining this
+    single row against the corpus appends the array to each row with
+    NO row multiplication, so nearest-cell assignment becomes a pure
+    map (``transform`` + ``array_min``/``array_sort`` in codegen)
+    instead of a k×-corpus window rank — at 100 TB the window
+    formulation forced an Exchange of k× the corpus with full vector
+    payloads."""
+    return centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell_id").alias("cell_id"),
+                F.col("centroid").alias("centroid"),
+                norm(F.col("centroid")).alias("cn"),
+            )
+        ).alias("__cells")
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -177,32 +198,42 @@ def assign_cells(
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its ``n_probe``
     nearest centroids (by cosine). ``centroids`` is (cell_id,
-    centroid<array>) and is small by construction → broadcast; the
-    assignment is a narrow map over the corpus, no shuffle.
+    centroid<array>) and is small by construction → packed into a
+    single broadcast row (see ``pack_centroids``); the assignment is
+    a narrow map over the corpus — no shuffle, no row multiplication,
+    no window. Ranking is (cosine desc, cell_id asc), realized as
+    ``array_sort`` on (−cosine, cell_id) structs — identical ordering
+    under Spark's total double order.
 
     The returned frame keeps the precomputed vector norm as ``__vn``
     so the downstream exact-cosine ranking (ivf_topk) doesn't
     recompute it per candidate pair."""
     v = vectors.withColumn("__vn", norm(F.col(vec_col)))
-    cen = F.broadcast(
-        centroids.withColumn("__cn", norm(F.col("centroid")))
-    )
-    cos = F.round(
-        dot(F.col(vec_col), F.col("centroid"))
-        / (F.col("__vn") * F.col("__cn")),
-        COSINE_SCALE,
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cell_cos").desc(), F.col("cell_id")
-    )
-    return (
-        v.crossJoin(cen)
-        .select(
-            id_col, vec_col, "__vn", "cell_id", cos.alias("cell_cos")
+    packed = F.broadcast(pack_centroids(centroids))
+
+    def neg_cos(c):
+        return -F.round(
+            dot(F.col(vec_col), c["centroid"])
+            / (F.col("__vn") * c["cn"]),
+            COSINE_SCALE,
         )
-        .withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= n_probe)
-        .drop("cell_cos", "cell_rank")
+
+    scored = F.transform(
+        F.col("__cells"),
+        lambda c: F.struct(
+            neg_cos(c).alias("neg_cos"), c["cell_id"].alias("cell_id")
+        ),
+    )
+    top = F.slice(F.array_sort(scored), 1, n_probe)
+    return (
+        v.crossJoin(packed)
+        .select(id_col, vec_col, "__vn", F.explode(top).alias("__cell"))
+        .select(
+            id_col,
+            vec_col,
+            "__vn",
+            F.col("__cell")["cell_id"].alias("cell_id"),
+        )
     )
 
 

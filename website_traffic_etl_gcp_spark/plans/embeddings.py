@@ -609,41 +609,23 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         CPU_HEAVY_MIN_PARTITION_BYTES,
         widen_narrow_input,
     )
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import dot
+    from ..operators.similarity import assign_cells
 
-    # norms precomputed ONCE per vector/centroid and carried through
-    # the joins — same float ops in the same order as cosine(), but
-    # evaluated per row instead of per joined pair; the scan is fanned
-    # out so the within-cell pairwork uses every core
+    # nearest-cell assignment is the packed-centroid map-side argmin
+    # (assign_cells): zero shuffle, no row multiplication — the old
+    # window-rank form exchanged k× the corpus with vector payloads.
+    # Norms are precomputed once per vector (__vn from assign_cells)
+    # and carried through the joins; the scan is fanned out so the
+    # within-cell pairwork uses every core
     emb = widen_narrow_input(
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
-    ).withColumn("__vn", norm(F.col("embedding")))
-    cells = _quantized_centroids(emb).withColumn(
-        "__cn", norm(F.col("centroid"))
     )
-    cos_cell = F.round(
-        dot(F.col("embedding"), F.col("centroid"))
-        / (F.col("__vn") * F.col("__cn")),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_cos").desc(), F.col("cell_id")
-    )
-    asg = (
-        emb.crossJoin(F.broadcast(cells))
-        .select(
-            "vec_id",
-            "embedding",
-            "__vn",
-            "cell_id",
-            cos_cell.alias("cell_cos"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .drop("cell_cos", "rnk")
-        .localCheckpoint(eager=False)  # feeds both self-join sides
-    )
+    cells = _quantized_centroids(emb)
+    asg = assign_cells(emb, cells, 1).localCheckpoint(
+        eager=False
+    )  # feeds both self-join sides
     a = asg.select(
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),
