@@ -75,3 +75,40 @@ def test_streaming_rollup_identical_across_producers(spark, producer_dirs):
     assert len(got["micros"]) > 0
     for name, rows in got.items():
         assert rows == got["micros"], f"streaming differs for producer {name}"
+
+
+def test_custom_source_dir_sniffs_its_own_footer(spark, producer_dirs, tmp_path):
+    """read_events_stream(sf_dir, source_dir=...) must sniff the ts
+    physical type from the ACTUAL source dir, not the canonical
+    events table: here the canonical table is TIMESTAMP(MICROS) but
+    the landing dir holds TIMESTAMP(NANOS) files — a canonical-footer
+    sniff would declare a micros schema against nanos longs and
+    corrupt every timestamp by 1000×."""
+    from website_traffic_etl_gcp_spark.streaming import rollups
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    os.symlink(
+        os.path.join(producer_dirs["nanos_ts"], "events.parquet"),
+        str(land / "events.parquet"),
+    )
+    stream = rollups.read_events_stream(spark, SF_DIR, str(land))
+    got = _rows(
+        rollups.run_to_completion(rollups.hourly_counts(stream))
+    )
+    want = _rows(REGISTRY["streaming_hourly_counts"].builder(spark, SF_DIR))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_empty_source_dir_falls_back_to_canonical_schema(spark, tmp_path):
+    """A stream started before the first file lands has nothing to
+    sniff — the declared schema must fall back to the canonical
+    table's footer instead of crashing."""
+    from website_traffic_etl_gcp_spark.streaming import rollups
+
+    land = tmp_path / "empty_landing"
+    land.mkdir()
+    stream = rollups.read_events_stream(spark, SF_DIR, str(land))
+    assert stream.isStreaming
+    assert "ts" in stream.columns

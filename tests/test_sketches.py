@@ -64,3 +64,50 @@ def test_approx_percentiles_within_rank_error(spark):
             assert lo - 0.01 * n <= target <= hi + 0.01 * n, (
                 f"{etype} q={q}: value {got} rank [{lo},{hi}] vs target {target}"
             )
+
+
+def test_percentile_verdict_true_on_all_null_group(spark, tmp_path):
+    """An event_type whose every value is NULL has n=0 → eps = Inf and
+    NULL comparisons; the verdict must coalesce to TRUE (vacuously
+    met bound) to match the oracle's hard-coded TRUE — not surface
+    NULL booleans. Planted here because the shipped testdata never
+    produces such a group."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from website_traffic_etl_gcp_spark.catalog import TABLES, table_path
+
+    ev = pq.read_table(table_path(SF_DIR, "events"))
+    null_rows = ev.slice(0, 5)
+    i_type = ev.schema.get_field_index("event_type")
+    i_val = ev.schema.get_field_index("value")
+    null_rows = null_rows.set_column(
+        i_type,
+        "event_type",
+        pa.array(["__all_null__"] * 5, ev.schema.field("event_type").type),
+    )
+    null_rows = null_rows.set_column(
+        i_val,
+        "value",
+        pa.array([None] * 5, ev.schema.field("value").type),
+    )
+    d = tmp_path / "sf_nullgroup"
+    d.mkdir()
+    pq.write_table(pa.concat_tables([ev, null_rows]), str(d / "events.parquet"))
+    for t in TABLES:
+        if t != "events":
+            os.symlink(table_path(SF_DIR, t), str(d / f"{t}.parquet"))
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["value_percentiles_approx"].builder(spark, str(d)).collect()
+    }
+    planted = rows["__all_null__"]
+    assert planted["n_values"] == 0
+    assert planted["p50_ok"] is True
+    assert planted["p90_ok"] is True
+    assert planted["p99_ok"] is True
+    for r in rows.values():
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]

@@ -138,3 +138,24 @@ def test_streaming_minhash_ingest_matches_batch(spark):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_foreachbatch_write_is_idempotent_on_retry(spark, tmp_path):
+    """A retried micro-batch (at-least-once foreachBatch) re-invokes
+    _write_batch with the SAME batch_id — the keyed-overwrite write
+    must replace its own prior output, never append duplicates."""
+    from website_traffic_etl_gcp_spark.streaming.doc_ingest import _write_batch
+
+    out = str(tmp_path / "verdicts")
+    res = spark.range(5).withColumnRenamed("id", "doc_id")
+    _write_batch(res, out, 3)
+    _write_batch(res, out, 3)  # the retry
+    got = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out).count()
+    )
+    assert got == 5
+    _write_batch(res, out, 4)  # a different batch appends its own dir
+    got = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out).count()
+    )
+    assert got == 10

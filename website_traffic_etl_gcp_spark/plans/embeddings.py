@@ -313,6 +313,12 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_t = ai.index_table_name("ivfcents", sf_dir)
         ai.ensure_ivf_index(emb, label_centroids(emb), cells_t, cents_t)
         approx = ai.probe_ivf_index(spark, q, cells_t, cents_t, KNN_K, n_probe=2)
+        # the probe plan is lazy — an execution-time failure (e.g.
+        # another session rebuilding the shared index path mid-query)
+        # would otherwise surface at collect time, OUTSIDE this
+        # fallback. A cheap eager materialization validates the stored
+        # tables are actually readable before we commit to the plan.
+        approx.limit(1).collect()
     except Exception:
         logging.getLogger("website_traffic_etl_gcp_spark").warning(
             "persisted IVF index unavailable; deriving in-query",

@@ -10,10 +10,13 @@ signature table, and the corpus side never shuffles or recomputes —
 this is what makes admission-time dedup affordable when the corpus is
 100 TB and the batch is megabytes.
 
-``foreachBatch`` materializes each batch's verdicts to an append-only
-parquet result (the file sink can't run a multi-join batch plan;
-foreachBatch is the standard escape hatch), with checkpointing making
-redelivered files no-ops at the source level.
+``foreachBatch`` materializes each batch's verdicts to a
+batch_id-keyed parquet subdir with overwrite (the file sink can't run
+a multi-join batch plan; foreachBatch is the standard escape hatch).
+Checkpointing makes redelivered FILES no-ops at the source level, and
+the keyed-overwrite write makes retried BATCHES replace their own
+output — together, exactly-once verdicts under at-least-once
+execution.
 """
 
 from __future__ import annotations
@@ -43,6 +46,18 @@ def _scratch(sf_dir: str) -> str:
     )
 
 
+def _write_batch(res: DataFrame, out_path: str, batch_id: int) -> None:
+    """foreachBatch is at-least-once per batch: a retry after the
+    write but before the checkpoint commit re-runs this batch_id.
+    Writing each batch to its own batch_id-keyed subdir with overwrite
+    makes the retry REPLACE its own output instead of appending
+    duplicate verdict rows (the oracle emits DISTINCT pairs, so blind
+    append would break parity)."""
+    res.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch-{batch_id:08d}")
+    )
+
+
 def run_streaming_minhash_ingest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -69,7 +84,7 @@ def run_streaming_minhash_ingest(
         res = di.probe_minhash_index(
             batch_df.sparkSession, batch_sigs, bands_t, sigs_t
         )
-        res.write.mode("append").parquet(out_path)
+        _write_batch(res, out_path, batch_id)
 
     schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
     stream = spark.readStream.schema(schema).parquet(
@@ -83,8 +98,13 @@ def run_streaming_minhash_ingest(
     )
     try:
         q.awaitTermination()
-        return spark.read.parquet(out_path).localCheckpoint()
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_path
+        )
+        # the verdict set is small (matched pairs only) — collect and
+        # REBUILD it so the returned frame has no lineage into the
+        # scratch dir deleted below (a localCheckpoint is best-effort:
+        # evicted blocks would recompute against a deleted source)
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        # results are pinned in memory above; the per-run scratch
-        # (output + checkpoint) has no further use
         shutil.rmtree(root, ignore_errors=True)
