@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from website_traffic_etl_gcp_spark.catalog import load_table
 from website_traffic_etl_gcp_spark.operators import similarity as sim
 from website_traffic_etl_gcp_spark.plans.embeddings import EMBED_DIM, KNN_K, QUERY_MOD
+from website_traffic_etl_gcp_spark.plans.registry import REGISTRY
 
 from .conftest import SF_DIR
 
@@ -218,3 +219,54 @@ def test_pq_rerank_subset_of_shortlist_and_no_self(spark):
     for r in rer:
         assert (r["query_id"], r["cand_id"]) in short
         assert r["cand_id"] != r["query_id"]
+
+
+def test_ivf_cell_occupancy_invariants(spark):
+    """The skew diagnostic must be internally consistent on the real
+    testdata: shares sum to 1, counts sum to the corpus, every label
+    surfaces as a cell, and the label-balanced testdata has no hot
+    cell — this is the recall gate's load-balance precondition."""
+    rows = REGISTRY["ivf_cell_occupancy"].builder(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_corpus = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    assert abs(sum(r["occupancy_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert not r["is_hot"], f"cell {r['cell_id']} unexpectedly hot: {r}"
+        assert r["skew_ratio"] < 2.0
+
+
+def test_ivf_cell_occupancy_flags_planted_hot_cell(spark, tmp_path):
+    """A corpus packed 90/5/5 into three tight clusters must flag the
+    dominant cell (skew 2.7× mean) and leave the small ones cold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 8
+    vecs, labels = [], []
+    for lab, count in ((0, 90), (1, 5), (2, 5)):
+        for i in range(count):
+            base = [0.0] * dim
+            base[lab] = 1.0
+            base[(lab + 3) % dim] = 0.001 * (i % 7)  # deterministic jitter
+            vecs.append(base)
+            labels.append(lab)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    d = tmp_path / "skewed"
+    d.mkdir()
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    rows = {
+        r["cell_id"]: r
+        for r in REGISTRY["ivf_cell_occupancy"].builder(spark, str(d)).collect()
+    }
+    assert rows[0]["is_hot"] and rows[0]["n_vectors"] == 90
+    assert not rows[1]["is_hot"] and not rows[2]["is_hot"]
+    assert abs(rows[0]["skew_ratio"] - 2.7) < 1e-6

@@ -266,6 +266,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 
 @register(
     "knn_ivf_cells",
+    bench=True,
     oracle=_ANN_VERDICT_ORACLE,
     tags=("embeddings", "similarity"),
     doc="IVF approximate top-k: label-mean centroids as the coarse "
@@ -288,6 +289,7 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf_persisted",
+    bench=True,
     oracle=_ANN_VERDICT_ORACLE,
     tags=("embeddings", "similarity"),
     doc="IVF against a PERSISTED index — the production 'build once, "
@@ -388,6 +390,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_embedding_clusters",
+    bench=True,
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
            TRUE AS cells_ok,
@@ -571,6 +574,7 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
 
 @register(
     "dedup_semantic_cells",
+    bench=True,
     oracle=f"""
     WITH {_SQL_CENT_CELLS},
     asg AS (
@@ -663,8 +667,100 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# a cell holding ≥ HOT_CELL_FACTOR × the mean occupancy is a hot
+# shuffle partition at 100 TB — the IVF analog of a skewed join key
+HOT_CELL_FACTOR = 2
+
+
+@register(
+    "ivf_cell_occupancy",
+    bench=True,
+    oracle=f"""
+    WITH {_SQL_CENT_CELLS},
+    asg AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.embedding', 'c.centroid')}
+                                DESC, c.cell_id
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN cells c
+        ) WHERE rnk = 1
+    ),
+    occ AS (
+        SELECT c.cell_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_vectors
+        FROM cells c LEFT JOIN asg a ON a.cell_id = c.cell_id
+        GROUP BY c.cell_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_vectors) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM occ
+    )
+    SELECT o.cell_id, o.n_vectors,
+           ROUND(CAST(o.n_vectors AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+               AS occupancy_share,
+           ROUND(CAST(o.n_vectors * t.n_cells AS DOUBLE)
+                 / CAST(t.tot AS DOUBLE), 6) AS skew_ratio,
+           o.n_vectors * t.n_cells >= {HOT_CELL_FACTOR} * t.tot AS is_hot
+    FROM occ o CROSS JOIN tot t
+    """,
+    tags=("embeddings", "similarity", "diagnostic"),
+    doc="Per-cell occupancy report for the IVF coarse quantizer — the "
+    "embedding-tier analog of dup_graph_degree_stats: at 100 TB a hot "
+    "cell is a hot partition (every probe of that cell scans its whole "
+    "posting list, and the bucketed index write funnels it through one "
+    "reducer), so skew must be MEASURED, not assumed. Emits per cell "
+    "its vector count, corpus share, skew ratio vs the uniform mean, "
+    f"and an is_hot verdict at {HOT_CELL_FACTOR}× mean (the integer "
+    "cross-multiplied comparison is exact — no float threshold). "
+    "Empty cells surface as zero rows (dead centroids waste probe "
+    "fan-out). Assignment reuses the EXACT integer-quantized "
+    "centroids, so the oracle recomputes the whole report; the Spark "
+    "side is the zero-shuffle packed-centroid argmin plus one "
+    "cell-count groupBy of thin (cell_id) rows.",
+)
+def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cells = _quantized_centroids(emb)
+    asg = sim.assign_cells(emb, cells, 1)
+    counts = asg.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    occ = (
+        cells.select("cell_id")
+        .join(counts, "cell_id", "left")
+        .select(
+            "cell_id",
+            F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias(
+                "n_vectors"
+            ),
+        )
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").alias("tot"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("tot"), 6).alias(
+            "occupancy_share"
+        ),
+        F.round(
+            F.col("n_vectors") * F.col("n_cells") / F.col("tot"), 6
+        ).alias("skew_ratio"),
+        (
+            F.col("n_vectors") * F.col("n_cells")
+            >= F.lit(HOT_CELL_FACTOR) * F.col("tot")
+        ).alias("is_hot"),
+    )
+
+
 @register(
     "knn_pq_rerank",
+    bench=True,
     oracle=f"""
     SELECT 'pq_adc_rerank' AS method,
            (SELECT COUNT(*) FROM embeddings WHERE {_PROBE_PRED})
