@@ -32,7 +32,14 @@ REGRESSION_FACTOR = 1.5
 
 def _check_regressions(timings: dict[str, float], sf: float) -> list[str]:
     """Compare against (and fold new bests into) the recorded baseline.
-    Returns the regression warnings it printed."""
+    Returns the regression warnings it printed.
+
+    Ratios are normalized by the run's MEDIAN drift vs the best-fold:
+    ambient cross-boot variance slows every query by the same factor
+    (measured up to ~2× between VM boots), which made absolute ratios
+    flag disjoint phantom sets on consecutive same-boot runs. A real
+    plan regression moves alone, so its drift-normalized ratio still
+    exceeds the threshold while uniform slowdown cancels out."""
     baseline: dict = {}
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
@@ -40,13 +47,22 @@ def _check_regressions(timings: dict[str, float], sf: float) -> list[str]:
     best: dict[str, float] = baseline.get("best", {})
     warnings = []
     if baseline.get("sf") == sf:
-        for name, t in timings.items():
-            b = best.get(name)
-            if b is not None and t > REGRESSION_FACTOR * b:
-                warnings.append(
-                    f"REGRESSION {name}: {t:.3f}s vs best {b:.3f}s "
-                    f"({t / b:.2f}x, threshold {REGRESSION_FACTOR}x)"
-                )
+        ratios = {
+            name: t / best[name]
+            for name, t in timings.items()
+            if best.get(name)
+        }
+        if ratios:
+            ordered = sorted(ratios.values())
+            drift = max(1.0, ordered[len(ordered) // 2])
+            for name, r in ratios.items():
+                if r / drift > REGRESSION_FACTOR:
+                    warnings.append(
+                        f"REGRESSION {name}: {timings[name]:.3f}s vs best "
+                        f"{best[name]:.3f}s ({r:.2f}x raw, {r / drift:.2f}x "
+                        f"drift-normalized at boot drift {drift:.2f}x, "
+                        f"threshold {REGRESSION_FACTOR}x)"
+                    )
     for w in warnings:
         print(w, file=sys.stderr)
     if baseline and baseline.get("sf") != sf:

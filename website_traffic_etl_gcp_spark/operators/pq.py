@@ -95,27 +95,59 @@ def _sq_dist(a: str, b: str) -> F.Column:
     )
 
 
-def _assign_codes(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """(vec_id, m, code, dist): nearest codebook entry per subvector.
-    The centroid side is M×k rows — always broadcast; the argmin is a
-    struct-min groupBy (deterministic ties toward the smaller cell)."""
-    joined = sub.join(F.broadcast(cents), "m").select(
-        id_col,
-        "m",
-        "cell",
-        _sq_dist("sub", "centroid").alias("dist"),
+def _assign_codes(
+    sub: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    with_sub: bool = False,
+) -> DataFrame:
+    """(vec_id, m, code, dist): nearest codebook entry per subvector —
+    map-side argmin.  The M×k codebook is folded into one packed row
+    PER SUBSPACE (cell list as array<struct>), broadcast-joined on
+    ``m`` (no row multiplication — each (vec, m) row gains its
+    subspace's cell array), and the argmin is ``array_min`` over
+    (dist, cell) structs inside codegen: deterministic ties toward the
+    smaller cell, zero exchange of the (vec, m) rows.  The previous
+    form fanned out k× and collapsed with a groupBy — an avoidable
+    n×M-row shuffle per call (×PQ_ITERS in training).
+
+    ``with_sub`` keeps the subvector column in the output so training
+    can recompute means WITHOUT re-joining the assignment back to the
+    subvector frame (which cost two more exchanges per iteration)."""
+    packed = cents.groupBy("m").agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cells")
     )
-    best = (
-        joined.groupBy(id_col, "m")
-        .agg(F.min(F.struct("dist", "cell")).alias("best"))
-        .select(
-            id_col,
-            "m",
-            F.col("best.cell").alias("code"),
-            F.col("best.dist").alias("dist"),
+
+    def sdist(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col("sub"), c["centroid"], lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("__cells"),
+            lambda c: F.struct(
+                sdist(c).alias("dist"), c["cell"].alias("cell")
+            ),
         )
     )
-    return best
+    out_cols = [
+        id_col,
+        "m",
+        F.col("__best")["cell"].alias("code"),
+        F.col("__best")["dist"].alias("dist"),
+    ]
+    if with_sub:
+        out_cols.append(F.col("sub"))
+    return (
+        sub.join(F.broadcast(packed), "m")
+        .withColumn("__best", best)
+        .select(*out_cols)
+    )
 
 
 def train_codebooks(
@@ -164,9 +196,9 @@ def train_codebooks(
             F.col("cell").cast("bigint").alias("cell"),
             F.col("centroid").cast("array<double>").alias("centroid"),
         )
-        assigned = _assign_codes(sub, cdf, id_col)
+        assigned = _assign_codes(sub, cdf, id_col, with_sub=True)
         new = (
-            assigned.join(sub, [id_col, "m"])
+            assigned
             .select("m", F.col("code").alias("cell"),
                     F.posexplode("sub").alias("dim", "val"))
             .groupBy("m", "cell", "dim")
