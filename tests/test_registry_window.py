@@ -33,8 +33,8 @@ CHANGED_R6 = (
     "knn_recall_eval",  # uses rewritten assign_cells
     "tokenizer_fertility_by_lang",  # pluggable-tokenizer refactor
     "streaming_minhash_ingest",  # idempotent batch-keyed writes
-    "knn_lsh_bucketed",  # widen_narrow_input guard rework
-    "knn_bruteforce_cosine",  # widen_narrow_input guard rework
+    "knn_lsh_bucketed",  # widen guard rework + rounded-sign signature
+    "lsh_bucket_occupancy",  # new query (signature-space skew)
     "value_percentiles_approx",  # null-group fix now test-covered
 )
 
@@ -90,7 +90,7 @@ SECTION_REPRESENTATIVES = (
     "q3_shipping_priority",  # §2B
     "funnel_conversion",  # §2C
     "dedup_minhash_lsh",  # §2D
-    "knn_bruteforce_cosine",  # §2E
+    "lsh_bucket_occupancy",  # §2E
     "salted_event_value_sum",  # §2E2
     "multimodal_frame_sample",  # §2F
     "streaming_minhash_ingest",  # §2G

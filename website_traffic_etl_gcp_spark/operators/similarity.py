@@ -90,7 +90,12 @@ def brute_force_topk(
 
 
 def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
-    """Bucket id: sign bits of dot products with the fixed planes."""
+    """Bucket id: sign bits of dot products with the fixed planes.
+    Dots are rounded to 6dp BEFORE the sign test so the signature is
+    engine-portable (a DuckDB oracle recomputing the same literal
+    planes lands in the same bucket even at float ulp boundaries —
+    the same round-then-compare contract every cosine in this family
+    uses)."""
     planes = _plane_literals(dim)
     sig = F.lit(0)
     for i, p in enumerate(planes):
@@ -99,7 +104,9 @@ def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + F.when(F.round(d, COSINE_SCALE) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
     return sig
 
 

@@ -51,8 +51,8 @@ _PRIORITY_ORDER = (
     "knn_recall_eval",  # uses rewritten assign_cells
     "tokenizer_fertility_by_lang",  # pluggable-tokenizer refactor
     "streaming_minhash_ingest",  # idempotent batch-keyed writes
-    "knn_lsh_bucketed",  # widen_narrow_input guard rework
-    "knn_bruteforce_cosine",  # widen_narrow_input guard rework; §2E rep
+    "knn_lsh_bucketed",  # widen_narrow_input guard rework + rounded sign
+    "lsh_bucket_occupancy",  # NEW in round 6 (signature-space skew); §2E rep
     "value_percentiles_approx",  # null-group coalesce now test-covered
     # ---- (b) MUST_LEAD_R6: oldest green rows (r1 ×6, r3 ×1) ----
     "text_token_count",

@@ -758,6 +758,116 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lsh_bucket(vec: str) -> str:
+    """The LSH bucket id in DuckDB SQL with the SAME seeded planes as
+    operators/similarity.lsh_signature, inlined as double literals
+    (repr round-trips exactly, so both engines dot against identical
+    planes); round-before-sign matches the Spark side."""
+    import numpy as np
+
+    rng = np.random.default_rng(sim.LSH_SEED)
+    planes = rng.standard_normal((sim.LSH_PLANES, EMBED_DIM))
+    terms = []
+    for i, p in enumerate(planes):
+        consts = ", ".join(repr(float(x)) for x in p)
+        dot = (
+            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{consts}])[i]))"
+        )
+        terms.append(
+            f"CASE WHEN round({dot}, 6) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+# LSH buckets on near-random vectors are Poisson-occupied, so 2× mean
+# happens by chance; 4× mean is the actionable hot-bucket line
+HOT_BUCKET_FACTOR = 4
+
+
+@register(
+    "lsh_bucket_occupancy",
+    bench=True,
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               CAST({_sql_lsh_bucket('embedding')} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    buckets AS (
+        SELECT CAST(unnest(range(0, {1 << sim.LSH_PLANES})) AS BIGINT)
+            AS bucket
+    ),
+    occ AS (
+        SELECT b.bucket, CAST(COUNT(s.vec_id) AS BIGINT) AS n_vectors
+        FROM buckets b LEFT JOIN sig s ON s.bucket = b.bucket
+        GROUP BY b.bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_vectors) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM occ
+    )
+    SELECT o.bucket, o.n_vectors,
+           ROUND(CAST(o.n_vectors AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+               AS occupancy_share,
+           ROUND(CAST(o.n_vectors * t.n_buckets AS DOUBLE)
+                 / CAST(t.tot AS DOUBLE), 6) AS skew_ratio,
+           o.n_vectors * t.n_buckets >= {HOT_BUCKET_FACTOR} * t.tot
+               AS is_hot
+    FROM occ o CROSS JOIN tot t
+    """,
+    tags=("embeddings", "similarity", "diagnostic"),
+    doc="Per-bucket occupancy report for the hyperplane-LSH tier — "
+    "the companion to ivf_cell_occupancy over the SIGNATURE space: "
+    "all 2^planes buckets (empty ones included — an empty bucket is a "
+    "wasted multiprobe), each with vector count, corpus share, skew "
+    f"ratio vs the uniform mean, and is_hot at {HOT_BUCKET_FACTOR}× "
+    "mean (integer cross-multiplied, no float threshold). The oracle "
+    "recomputes the signatures from the SAME seeded hyperplanes "
+    "inlined as SQL literals, so this is an exact end-to-end check of "
+    "the LSH bucketing itself, not just the report arithmetic. Spark "
+    "side: signature is a narrow per-row map (codegen sign bits), one "
+    "bucket-count groupBy of thin rows against a literal 256-row "
+    "bucket range.",
+)
+def lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    sig = emb.select(
+        sim.lsh_signature(F.col("embedding"), EMBED_DIM)
+        .cast("bigint")
+        .alias("bucket")
+    )
+    counts = sig.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    buckets = spark.range(0, 1 << sim.LSH_PLANES).select(
+        F.col("id").alias("bucket")
+    )
+    occ = buckets.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").alias("tot"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("tot"), 6).alias(
+            "occupancy_share"
+        ),
+        F.round(
+            F.col("n_vectors") * F.col("n_buckets") / F.col("tot"), 6
+        ).alias("skew_ratio"),
+        (
+            F.col("n_vectors") * F.col("n_buckets")
+            >= F.lit(HOT_BUCKET_FACTOR) * F.col("tot")
+        ).alias("is_hot"),
+    )
+
+
 @register(
     "knn_pq_rerank",
     bench=True,
