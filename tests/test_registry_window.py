@@ -35,7 +35,7 @@ CHANGED_R6 = (
     "streaming_minhash_ingest",  # idempotent batch-keyed writes
     "knn_lsh_bucketed",  # widen guard rework + rounded-sign signature
     "lsh_bucket_occupancy",  # new query (signature-space skew)
-    "value_percentiles_approx",  # null-group fix now test-covered
+    "streaming_semdedup_ingest",  # new query (vector admission dedup)
 )
 
 # the tracked carry-over from round 5: the six r1-green queries that

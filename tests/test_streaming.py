@@ -159,3 +159,29 @@ def test_foreachbatch_write_is_idempotent_on_retry(spark, tmp_path):
         spark.read.option("recursiveFileLookup", "true").parquet(out).count()
     )
     assert got == 10
+
+
+def test_streaming_semdedup_ingest_deterministic_and_shaped(spark):
+    """Two full drains must produce identical verdicts (deterministic
+    quantized centroids + md5-free pure-math pipeline), every verdict
+    row must be an odd (incoming) vec_id, and every dup_of an even
+    (admitted) corpus id or the -1 sentinel."""
+    rows1 = sorted(
+        tuple(r)
+        for r in REGISTRY["streaming_semdedup_ingest"]
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    rows2 = sorted(
+        tuple(r)
+        for r in REGISTRY["streaming_semdedup_ingest"]
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    assert rows1 == rows2
+    assert len(rows1) > 0
+    for vec_id, cell_id, dup_of, is_dup in rows1:
+        assert vec_id % 2 == 1
+        assert (dup_of == -1) == (not is_dup)
+        if is_dup:
+            assert dup_of % 2 == 0

@@ -53,7 +53,7 @@ _PRIORITY_ORDER = (
     "streaming_minhash_ingest",  # idempotent batch-keyed writes
     "knn_lsh_bucketed",  # widen_narrow_input guard rework + rounded sign
     "lsh_bucket_occupancy",  # NEW in round 6 (signature-space skew); §2E rep
-    "value_percentiles_approx",  # null-group coalesce now test-covered
+    "streaming_semdedup_ingest",  # NEW in round 6 (vector admission dedup)
     # ---- (b) MUST_LEAD_R6: oldest green rows (r1 ×6, r3 ×1) ----
     "text_token_count",
     "doc_stats_by_source",

@@ -213,3 +213,85 @@ def _attach_minhash_oracle() -> None:
 
 
 _attach_minhash_oracle()
+
+
+def _sql_sem_ingest() -> str:
+    """Exact oracle for the streaming semantic-dedup admission check:
+    quantized centroids from the EVEN (admitted) corpus, both sides'
+    nearest-cell assignment, and min-id dup verdicts for the odd
+    (incoming) vectors — the same integer-quantized determinism as
+    dedup_semantic_cells, restricted to the incremental split."""
+    from .embeddings import SEMDEDUP_TAU, _sql_cos
+
+    cent = """
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0)
+                             AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS cval
+        FROM (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS dim,
+                   unnest(embedding) AS val
+            FROM embeddings WHERE vec_id % 2 = 0
+        )
+        GROUP BY label, dim
+    ),
+    cells AS (
+        SELECT label AS cell_id, list(cval ORDER BY dim) AS centroid
+        FROM cent GROUP BY label
+    )"""
+
+    def asg(name: str, parity: int) -> str:
+        return f"""
+    {name} AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.embedding', 'c.centroid')}
+                                DESC, c.cell_id
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN cells c
+            WHERE e.vec_id % 2 = {parity}
+        ) WHERE rnk = 1
+    )"""
+
+    return f"""
+    WITH {cent},
+    {asg('new_asg', 1)},
+    {asg('old_asg', 0)},
+    dup AS (
+        SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+        FROM new_asg a JOIN old_asg b ON a.cell_id = b.cell_id
+        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+        GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.cell_id,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of,
+           d.dup_of IS NOT NULL AS is_semantic_dup
+    FROM new_asg s LEFT JOIN dup d USING (vec_id)
+    """
+
+
+@register(
+    "streaming_semdedup_ingest",
+    oracle=_sql_sem_ingest(),
+    tags=("streaming", "embeddings", "dedup"),
+    doc="Streaming ADMISSION-TIME semantic dedup — the vector-space "
+    "twin of streaming_minhash_ingest: embedding files land as a "
+    "stream, and each micro-batch's vectors probe the admitted "
+    "corpus's PERSISTED IVF index (bucketed cell + centroid tables) "
+    "via foreachBatch before admission. Per batch: packed map-side "
+    "centroid assignment (no shuffle) + one keyed join against the "
+    "stored cell members with precomputed norms — zero corpus-side "
+    "recompute or exchange, so admission checks stay affordable when "
+    "the corpus is 100 TB. Quantized-centroid determinism makes the "
+    "oracle EXACT end to end; batch writes are batch_id-keyed "
+    "overwrites (exactly-once verdicts under at-least-once "
+    "execution). streaming/embed_ingest.py.",
+)
+def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.embed_ingest import run_streaming_semdedup_ingest
+
+    return run_streaming_semdedup_ingest(spark, sf_dir)
