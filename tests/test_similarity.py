@@ -270,3 +270,31 @@ def test_ivf_cell_occupancy_flags_planted_hot_cell(spark, tmp_path):
     assert rows[0]["is_hot"] and rows[0]["n_vectors"] == 90
     assert not rows[1]["is_hot"] and not rows[2]["is_hot"]
     assert abs(rows[0]["skew_ratio"] - 2.7) < 1e-6
+
+
+def test_packed_argmin_tie_breaks_to_lower_cell(spark):
+    """The map-side argmin must reproduce the old window ranking's
+    tie-breaking exactly: equal distance/cosine → lower cell_id wins.
+    Two identical centroids force a tie on every vector."""
+    from website_traffic_etl_gcp_spark.operators.clustering import _assign
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    cents = [(7, [0.5, 0.5]), (3, [0.5, 0.5])]  # identical → always tie
+    got = {r["vec_id"]: r["cell_id"] for r in
+           _assign(vecs, cents, "vec_id", "embedding").collect()}
+    assert got == {1: 3, 2: 3}
+
+    centroids = spark.createDataFrame(
+        [(7, [0.5, 0.5]), (3, [0.5, 0.5])], ["cell_id", "centroid"]
+    ).selectExpr("cell_id", "CAST(centroid AS array<double>) AS centroid")
+    asg = sim.assign_cells(vecs, centroids, 1)
+    got = {r["vec_id"]: r["cell_id"] for r in asg.collect()}
+    assert got == {1: 3, 2: 3}
+    # n_probe=2 returns BOTH cells, ranked lower-id first on the tie
+    both = sim.assign_cells(vecs, centroids, 2)
+    rows = sorted(
+        (r["vec_id"], r["cell_id"]) for r in both.collect()
+    )
+    assert rows == [(1, 3), (1, 7), (2, 3), (2, 7)]
