@@ -76,6 +76,22 @@ SF1_QUERIES = [
     "doc_token_entropy",
     "tokenizer_fertility_by_lang",
     "contrastive_pair_mining",
+    # round-6 additions: the occupancy diagnostics' oracles are one
+    # corpus×k (or corpus×planes) pass, the ANN/kmeans verdicts are
+    # trivial SELECTs, and the reworked semantic dedup's oracle is
+    # within-cell pairs over unit-vector CTEs — all linear-ish at sf1.
+    # (streaming_semdedup_ingest stays test-SF: its label-only cells
+    # make the oracle's odd×even pairwork quadratic in DuckDB.)
+    "ivf_cell_occupancy",
+    "lsh_bucket_occupancy",
+    "dedup_semantic_cells",
+    "kmeans_embedding_clusters",
+    "kmeans_quality_gate",
+    "knn_ivf_cells",
+    "knn_ivf_persisted",
+    "knn_recall_eval",
+    "knn_lsh_bucketed",
+    "dsir_gumbel_sample",
 ]
 
 TABLES = (
