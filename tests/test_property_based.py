@@ -302,3 +302,112 @@ def test_cdc_chunks_partition_property(spark, doc):
     for a, b in zip(rows, rows[1:]):
         assert b["start_pos"] == a["end_pos"] + 1
     assert sum(r["n_tokens"] for r in rows) == len(doc)
+
+
+_vec = st.lists(
+    st.floats(
+        min_value=-4.0,
+        max_value=4.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+def _sane(vs):
+    """Vectors whose squared norm can't underflow to 0.0 — cosine of a
+    zero/denormal-norm vector divides by zero under ANSI mode in BOTH
+    the packed and the window formulation (corpus vectors are non-zero
+    by data contract, so this is outside the operator's domain)."""
+    import math
+
+    return [
+        v for v in vs if math.sqrt(sum(x * x for x in v)) > 1e-6
+    ]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vecs=st.lists(_vec, min_size=1, max_size=8),
+    cents=st.lists(_vec, min_size=1, max_size=5),
+)
+def test_packed_argmin_matches_window_formulation(spark, vecs, cents):
+    """The map-side argmin (assign_cells / clustering._assign) must
+    agree with the r5 window-rank reference on ARBITRARY vectors and
+    centroids — same winners, same tie-breaking. Zero-norm vectors are
+    excluded (cosine undefined; corpus vectors are non-zero by data
+    contract)."""
+    from pyspark.sql import Window
+
+    from website_traffic_etl_gcp_spark.functions.vectors import dot, norm
+    from website_traffic_etl_gcp_spark.operators import similarity as sim
+    from website_traffic_etl_gcp_spark.operators.clustering import _assign
+
+    vecs = _sane(vecs)
+    cents = _sane(cents)
+    if not vecs or not cents:
+        return
+    vdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    ).selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["cell_id", "centroid"]
+    ).selectExpr("cell_id", "CAST(centroid AS array<double>) AS centroid")
+
+    # --- cosine path: assign_cells vs the r5 window-rank reference
+    got = {
+        (r["vec_id"], r["cell_id"])
+        for r in sim.assign_cells(vdf, cdf, 1).collect()
+    }
+    v = vdf.withColumn("__vn", norm(F.col("embedding")))
+    cen = cdf.withColumn("__cn", norm(F.col("centroid")))
+    cos = F.round(
+        dot(F.col("embedding"), F.col("centroid"))
+        / (F.col("__vn") * F.col("__cn")),
+        sim.COSINE_SCALE,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id")
+    )
+    want = {
+        (r["vec_id"], r["cell_id"])
+        for r in v.crossJoin(F.broadcast(cen))
+        .select("vec_id", "cell_id", cos.alias("cell_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+    # --- euclidean path: clustering._assign vs the window reference
+    cent_list = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    got_e = {
+        (r["vec_id"], r["cell_id"])
+        for r in _assign(vdf, cent_list, "vec_id", "embedding").collect()
+    }
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    we = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell_id"))
+    want_e = {
+        (r["vec_id"], r["cell_id"])
+        for r in vdf.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cell_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got_e == want_e
