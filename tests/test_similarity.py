@@ -298,3 +298,41 @@ def test_packed_argmin_tie_breaks_to_lower_cell(spark):
         (r["vec_id"], r["cell_id"]) for r in both.collect()
     )
     assert rows == [(1, 3), (1, 7), (2, 3), (2, 7)]
+
+
+def test_pq_train_sample_cap_deterministic(spark):
+    """With a tiny cap the codebooks train on the id%s sample; two
+    runs must produce identical centroids, the codebook keeps its
+    full M×k shape, and at-or-under-cap corpora are unaffected."""
+    from website_traffic_etl_gcp_spark.operators import pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = sorted(
+        (r["m"], r["cell"], tuple(r["centroid"]))
+        for r in pq.train_codebooks(
+            emb, EMBED_DIM, m=4, k=4, n_iter=2, sample_cap=64
+        ).collect()
+    )
+    b = sorted(
+        (r["m"], r["cell"], tuple(r["centroid"]))
+        for r in pq.train_codebooks(
+            emb, EMBED_DIM, m=4, k=4, n_iter=2, sample_cap=64
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 16
+    # a cap >= corpus is the identity path: equals the uncapped run
+    big = sorted(
+        (r["m"], r["cell"], tuple(r["centroid"]))
+        for r in pq.train_codebooks(
+            emb, EMBED_DIM, m=4, k=4, n_iter=2, sample_cap=10**9
+        ).collect()
+    )
+    unc = sorted(
+        (r["m"], r["cell"], tuple(r["centroid"]))
+        for r in pq.train_codebooks(
+            emb, EMBED_DIM, m=4, k=4, n_iter=2,
+            sample_cap=emb.count(),
+        ).collect()
+    )
+    assert big == unc
