@@ -604,6 +604,74 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
 SEMDEDUP_CELL_CAP = 512
 
 
+def semantic_cell_frame(
+    emb: DataFrame, stats_of: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, cell_id, unit) for the scaled semantic-dedup cells:
+    cell = cluster label refined by the low p sign-bits of the seeded
+    LSH signature, with p the smallest depth whose expected cell size
+    fits SEMDEDUP_CELL_CAP (an integer fold over [0, LSH_PLANES] —
+    no float log on either engine). A pure per-row map over ``emb``
+    (sign bits + one broadcast 1-row stats frame): zero shuffle, no
+    centroid argmin. ``unit`` is the vector L2-normalized to doubles
+    ONCE PER ROW, so downstream pair cosines are bare multiply-adds.
+
+    ``stats_of`` pins the (n, n_labels) used to derive p to a
+    DIFFERENT frame — the admission-time probe assigns incoming
+    vectors with the ADMITTED corpus's depth so both sides agree on
+    the cell scheme."""
+    from ..functions.vectors import norm
+
+    stats = (stats_of if stats_of is not None else emb).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("nl"),
+    )
+    sentinel = sim.LSH_PLANES + 1
+    p = F.least(
+        F.aggregate(
+            F.array(*[F.lit(q) for q in range(sim.LSH_PLANES + 1)]),
+            F.lit(sentinel),
+            lambda acc, q: F.when(
+                (acc == sentinel)
+                & (
+                    F.col("n")
+                    <= F.lit(SEMDEDUP_CELL_CAP)
+                    * F.col("nl")
+                    # 2^q exact in double for q ≤ 8 (shiftleft needs a
+                    # literal bit count; q is a column here)
+                    * F.pow(F.lit(2.0), q).cast("bigint")
+                ),
+                q,
+            ).otherwise(acc),
+        ),
+        F.lit(sim.LSH_PLANES),
+    ).cast("bigint")
+    sig = sim.lsh_signature(F.col("embedding"), EMBED_DIM).cast("bigint")
+    cell = (
+        F.col("label").cast("bigint") * F.lit(1 << sim.LSH_PLANES)
+        + sig.bitwiseAND(
+            F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats.withColumn("p", p)))
+        .select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("__vn"),
+            cell.alias("cell_id"),
+        )
+        .select(
+            "vec_id",
+            "cell_id",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.col("__vn"),
+            ).alias("unit"),
+        )
+    )
+
+
 def _sql_unit(v: str) -> str:
     """The L2-normalized double array of ``v`` — the oracle primitive
     matching the Spark pairwork, which normalizes each vector once
@@ -686,69 +754,14 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         CPU_HEAVY_MIN_PARTITION_BYTES,
         widen_narrow_input,
     )
-    from ..functions.vectors import norm
 
     emb = widen_narrow_input(
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
     )
-    stats = emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("label").alias("nl"),
-    )
-    # smallest plane depth whose expected cell size fits the cap —
-    # an integer fold over [0, LSH_PLANES], no float log on either
-    # engine
-    sentinel = sim.LSH_PLANES + 1
-    p = F.least(
-        F.aggregate(
-            F.array(*[F.lit(q) for q in range(sim.LSH_PLANES + 1)]),
-            F.lit(sentinel),
-            lambda acc, q: F.when(
-                (acc == sentinel)
-                & (
-                    F.col("n")
-                    <= F.lit(SEMDEDUP_CELL_CAP)
-                    * F.col("nl")
-                    # 2^q exact in double for q ≤ 8 (shiftleft needs a
-                    # literal bit count; q is a column here)
-                    * F.pow(F.lit(2.0), q).cast("bigint")
-                ),
-                q,
-            ).otherwise(acc),
-        ),
-        F.lit(sim.LSH_PLANES),
-    ).cast("bigint")
-    sig = sim.lsh_signature(F.col("embedding"), EMBED_DIM).cast("bigint")
-    cell = (
-        F.col("label").cast("bigint") * F.lit(1 << sim.LSH_PLANES)
-        + sig.bitwiseAND(
-            F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
-        )
-    )
-    # cell assignment is a per-row map over the corpus (sign bits +
-    # the broadcast 1-row stats frame) — zero shuffle, no argmin. The
-    # vector is L2-NORMALIZED to a double array ONCE PER ROW here, so
-    # the hot loop (per-pair cosine) is bare multiply-adds with no
-    # casts or divisions — measured 2× on the within-cell pairwork
-    asg = (
-        emb.crossJoin(F.broadcast(stats.withColumn("p", p)))
-        .select(
-            "vec_id",
-            "embedding",
-            norm(F.col("embedding")).alias("__vn"),
-            cell.alias("cell_id"),
-        )
-        .select(
-            "vec_id",
-            "cell_id",
-            F.transform(
-                "embedding",
-                lambda x: x.cast("double") / F.col("__vn"),
-            ).alias("unit"),
-        )
-        .localCheckpoint(eager=False)  # feeds both self-join sides
-    )
+    asg = semantic_cell_frame(emb).localCheckpoint(
+        eager=False
+    )  # feeds both self-join sides
     a = asg.select(
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),

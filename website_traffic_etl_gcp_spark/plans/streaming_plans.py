@@ -217,54 +217,50 @@ _attach_minhash_oracle()
 
 def _sql_sem_ingest() -> str:
     """Exact oracle for the streaming semantic-dedup admission check:
-    quantized centroids from the EVEN (admitted) corpus, both sides'
-    nearest-cell assignment, and min-id dup verdicts for the odd
-    (incoming) vectors — the same integer-quantized determinism as
-    dedup_semantic_cells, restricted to the incremental split."""
-    from .embeddings import SEMDEDUP_TAU, _sql_cos
-
-    cent = """
-    cent AS (
-        SELECT label, dim,
-               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0)
-                             AS BIGINT)) AS DOUBLE)
-                   / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS cval
-        FROM (
-            SELECT label,
-                   unnest(range(0, len(embedding))) AS dim,
-                   unnest(embedding) AS val
-            FROM embeddings WHERE vec_id % 2 = 0
-        )
-        GROUP BY label, dim
-    ),
-    cells AS (
-        SELECT label AS cell_id, list(cval ORDER BY dim) AS centroid
-        FROM cent GROUP BY label
-    )"""
+    the SCALED cell scheme (label × corpus-depth LSH sign-bits) with
+    depth p derived from the EVEN (admitted) corpus, both sides'
+    per-row cell assignment over unit vectors, and min-id dup
+    verdicts for the odd (incoming) vectors — the same
+    integer/rounded determinism as dedup_semantic_cells, restricted
+    to the incremental split."""
+    from ..operators.similarity import LSH_PLANES
+    from .embeddings import (
+        SEMDEDUP_CELL_CAP,
+        SEMDEDUP_TAU,
+        _sql_lsh_bucket,
+        _sql_unit,
+        _sql_unit_dot,
+    )
 
     def asg(name: str, parity: int) -> str:
         return f"""
     {name} AS (
-        SELECT vec_id, embedding, cell_id FROM (
-            SELECT e.vec_id, e.embedding, c.cell_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_sql_cos('e.embedding', 'c.centroid')}
-                                DESC, c.cell_id
-                   ) AS rnk
-            FROM embeddings e CROSS JOIN cells c
-            WHERE e.vec_id % 2 = {parity}
-        ) WHERE rnk = 1
+        SELECT e.vec_id,
+               CAST(e.label AS BIGINT) * {1 << LSH_PLANES}
+               + (CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
+                  & ((1 << pp.p) - 1)) AS cell_id,
+               {_sql_unit('e.embedding')} AS unit
+        FROM embeddings e CROSS JOIN pp
+        WHERE e.vec_id % 2 = {parity}
     )"""
 
     return f"""
-    WITH {cent},
+    WITH st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS nl
+        FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    pp AS (
+        SELECT CAST(COALESCE(MIN(q), {LSH_PLANES}) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, {LSH_PLANES + 1})) AS q) qs, st
+        WHERE st.n <= {SEMDEDUP_CELL_CAP} * st.nl * (1 << q)
+    ),
     {asg('new_asg', 1)},
     {asg('old_asg', 0)},
     dup AS (
         SELECT a.vec_id, MIN(b.vec_id) AS dup_of
         FROM new_asg a JOIN old_asg b ON a.cell_id = b.cell_id
-        WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+        WHERE {_sql_unit_dot('a.unit', 'b.unit')} >= {SEMDEDUP_TAU}
         GROUP BY a.vec_id
     )
     SELECT s.vec_id, s.cell_id,
@@ -281,15 +277,18 @@ def _sql_sem_ingest() -> str:
     doc="Streaming ADMISSION-TIME semantic dedup — the vector-space "
     "twin of streaming_minhash_ingest: embedding files land as a "
     "stream, and each micro-batch's vectors probe the admitted "
-    "corpus's PERSISTED IVF index (bucketed cell + centroid tables) "
-    "via foreachBatch before admission. Per batch: packed map-side "
-    "centroid assignment (no shuffle) + one keyed join against the "
-    "stored cell members with precomputed norms — zero corpus-side "
-    "recompute or exchange, so admission checks stay affordable when "
-    "the corpus is 100 TB. Quantized-centroid determinism makes the "
-    "oracle EXACT end to end; batch writes are batch_id-keyed "
-    "overwrites (exactly-once verdicts under at-least-once "
-    "execution). streaming/embed_ingest.py.",
+    "corpus's PERSISTED semantic-cell index (bucketed on the SCALED "
+    "cell id — label × corpus-depth LSH sign-bits, members per cell "
+    "bounded by SEMDEDUP_CELL_CAP at any corpus size) via "
+    "foreachBatch before admission. Per batch: per-row cell "
+    "computation on the incoming vectors (sign bits, zero shuffle, "
+    "no argmin) + one keyed join against a single bounded cell's "
+    "stored unit vectors — O(batch × cell_cap) regardless of corpus "
+    "size, zero corpus-side recompute or exchange. The whole scheme "
+    "is integer/rounded deterministic, so the oracle is EXACT end to "
+    "end; batch writes are batch_id-keyed overwrites (exactly-once "
+    "verdicts under at-least-once execution). "
+    "streaming/embed_ingest.py.",
 )
 def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.embed_ingest import run_streaming_semdedup_ingest

@@ -1,22 +1,25 @@
-"""Streaming EMBEDDING ingest probing the persisted IVF index —
-admission-time SEMANTIC dedup, the vector-space twin of
+"""Streaming EMBEDDING ingest probing a persisted semantic-cell
+index — admission-time SEMANTIC dedup, the vector-space twin of
 ``doc_ingest`` (which probes the MinHash band index).
 
 The production arrival path for an embedded corpus: vectors land as
 files, and each micro-batch is checked for cosine-near duplicates
-against the existing corpus BEFORE admission. Per batch the work is
-O(batch × k) centroid assignment (the packed map-side argmin — no
-shuffle) plus a keyed join against ONE cell's stored members per
-incoming vector: the corpus side reads the bucketed IVF cell table in
-place with its precomputed norms, never recomputing or reshuffling —
-which is what makes admission-time semantic dedup affordable when the
-corpus is 100 TB and the batch is megabytes.
+against the existing corpus BEFORE admission. The admitted corpus is
+stored ONCE as a bucketed table keyed by the SCALED semantic cell id
+(plans/embeddings.semantic_cell_frame: cluster label refined by
+corpus-depth LSH sign-bits, expected members per cell bounded by
+SEMDEDUP_CELL_CAP at ANY corpus size). Per batch the work is a
+per-row cell computation on the incoming vectors (sign bits — zero
+shuffle, no argmin) plus one keyed join against a single bounded
+cell's members per vector: O(batch × cell_cap) REGARDLESS of corpus
+size — with fixed-k cells the members-per-cell (and so the admission
+cost per vector) would grow linearly with the corpus.
 
 Batches write to batch_id-keyed subdirs with overwrite (exactly-once
 verdicts under at-least-once foreachBatch execution, same contract as
-doc_ingest), and the centroids are the EXACT integer-quantized
-label means, so a SQL oracle recomputes the entire pipeline —
-assignment, cell membership, and verdicts — bit-identically.
+doc_ingest), and the whole scheme — depth p, signatures, unit-vector
+cosines — is integer/rounded-deterministic, so a SQL oracle
+recomputes the entire pipeline bit-identically.
 """
 
 from __future__ import annotations
@@ -29,13 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_path
-from ..functions.vectors import dot
-from ..operators import ann_index as ai
-from ..operators import similarity as sim
+from ..operators import dedup_index as di
+from ..sources.bucketing import write_bucketed
 from .doc_ingest import _write_batch
 from .rollups import stream_source_dir
 
 __all__ = ["run_streaming_semdedup_ingest"]
+
+INDEX_BUCKETS = 8
 
 
 def _scratch(sf_dir: str) -> str:
@@ -54,20 +58,29 @@ def run_streaming_semdedup_ingest(
     """Drain the embeddings landing dir through the streaming engine,
     checking each micro-batch (the odd-vec_id "new" vectors, mirroring
     the batch incremental split) against the even-id corpus's
-    persisted IVF index. Returns (vec_id, cell_id, dup_of,
+    persisted semantic-cell index. Returns (vec_id, cell_id, dup_of,
     is_semantic_dup) — the dedup_semantic_cells verdict shape
     restricted to incoming vectors, dup candidates restricted to the
     ADMITTED corpus (a production admission check compares against
     what's already in, not against other arrivals in flight)."""
-    from ..plans.embeddings import SEMDEDUP_TAU, _quantized_centroids
+    from ..plans.embeddings import SEMDEDUP_TAU, semantic_cell_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    cells_t = ai.index_table_name("semcells", sf_dir)
-    cents_t = ai.index_table_name("semcents", sf_dir)
-    ai.ensure_ivf_index(
-        corpus, _quantized_centroids(corpus), cells_t, cents_t
-    )
+    cells_t = di.index_table_name("semcells", sf_dir)
+    if not spark.catalog.tableExists(cells_t):
+        write_bucketed(
+            semantic_cell_frame(corpus).select(
+                "cell_id",
+                F.col("vec_id").alias("cand_id"),
+                F.col("unit").alias("cu"),
+            ),
+            cells_t,
+            "cell_id",
+            n_buckets=INDEX_BUCKETS,
+            sort_col="cell_id",
+            path=di._table_path(cells_t),
+        )
 
     root = _scratch(sf_dir)
     out_path = os.path.join(root, "verdicts")
@@ -75,18 +88,22 @@ def run_streaming_semdedup_ingest(
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         incoming = batch_df.filter(F.col("vec_id") % 2 == 1)
-        # packed map-side argmin against the stored centroid table —
-        # renamed qcell so the stored-attribute equality below can't
-        # fold trivially-true (see ann_index.probe_ivf_index)
-        asg = sim.assign_cells(
-            incoming,
-            spark.table(cents_t).select("cell_id", "centroid"),
-            1,
-        ).withColumnRenamed("cell_id", "qcell")
-        members = spark.table(cells_t)  # (cell_id, cand_id, cv, nc)
+        # incoming vectors compute their own cell per row, with the
+        # depth p pinned to the ADMITTED corpus's stats so both sides
+        # agree on the cell scheme; renamed qcell so the equality
+        # below can't fold trivially-true
+        asg = semantic_cell_frame(incoming, stats_of=corpus).select(
+            "vec_id",
+            F.col("cell_id").alias("qcell"),
+            F.col("unit").alias("qu"),
+        )
+        members = batch_df.sparkSession.table(cells_t)
         pair_cos = F.round(
-            dot(F.col("embedding"), F.col("cv"))
-            / (F.col("__vn") * F.col("nc")),
+            F.aggregate(
+                F.zip_with(F.col("qu"), F.col("cu"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
             6,
         )
         dup = (
