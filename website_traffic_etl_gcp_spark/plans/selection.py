@@ -9,9 +9,11 @@ WHAT to train on and to audit its own sketches:
   n-gram models, the standard cheap domain-relevance score.
 - ``doc_token_entropy`` — per-doc unigram Shannon entropy, the
   diversity complement to the repetition score.
-- ``minhash_quality_eval`` — precision/recall of the MinHash-LSH
-  candidate pairs against exact Jaccard ground truth: the gate that
-  tells you whether the sketch tier is safe to trust at scale.
+- ``minhash_quality_eval`` / ``simhash_quality_eval`` /
+  ``winnow_quality_eval`` — precision/recall of each sketch tier's
+  candidate pairs against the SAME exact-Jaccard ground truth: the
+  gates that tell you whether a sketch tier is safe to trust at
+  scale, and how the tiers' similarity notions disagree.
 - ``contrastive_pair_mining`` — hardest positive / hardest negative
   per probe vector (metric-learning batch construction).
 - ``tokenizer_fertility_by_lang`` — tokens-per-character by language,
@@ -34,10 +36,10 @@ from ..functions.texthash import md5_long, normalize_text, word_tokens
 from ..operators import dedup as dd
 from ..operators.similarity import COSINE_SCALE
 from .documents import _MD5L, _SQL_DOCS_NORM, _SQL_JACCARD_PAIRS
-from .documents import _sql_minhash_prefix
+from .documents import _SQL_DOCS_SH, _sql_minhash_prefix
 from .documents import JACCARD_MAX_DF, NGRAM_JACCARD_THRESHOLD
 from .embeddings import _PROBE_PRED, _probe_filter, _sql_cos
-from .registry import register
+from .registry import REGISTRY, register
 
 DSIR_BUCKETS = 128  # hashed-bigram feature space (B)
 DSIR_TARGET_LANG = "en"  # target-domain proxy: the labeled-en slice
@@ -255,6 +257,86 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pr_eval(cand_sql: str) -> str:
+    """Precision/recall of a candidate-pair SELECT (any sketch tier)
+    against exact-Jaccard ground truth — the same truth CTEs as the
+    minhash gate, so the three tier evals can never drift apart."""
+    return f"""
+    WITH cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM ({cand_sql})
+    ),
+    sh AS ({_SQL_DOCS_SH}),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex2 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex2 a JOIN ex2 b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE)
+                / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+              >= {NGRAM_JACCARD_THRESHOLD}
+    ),
+    j AS (
+        SELECT COALESCE(t.in_t, 0) AS in_t, COALESCE(c.in_c, 0) AS in_c
+        FROM (SELECT doc_a, doc_b, 1 AS in_t FROM truth) t
+        FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_c FROM cand) c
+        USING (doc_a, doc_b)
+    )
+    SELECT CAST(COALESCE(SUM(in_t), 0) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(in_c), 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(in_t * in_c), 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(in_t * in_c), 0) AS DOUBLE)
+             / CAST(NULLIF(COALESCE(SUM(in_c), 0), 0) AS DOUBLE)
+               AS precision,
+           CAST(COALESCE(SUM(in_t * in_c), 0) AS DOUBLE)
+             / CAST(NULLIF(COALESCE(SUM(in_t), 0), 0) AS DOUBLE)
+               AS recall
+    FROM j
+    """
+
+
+def _pr_frame(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """(in_t, in_c) full-outer membership join → one-row P/R report.
+    ``truth``/``cand`` carry (doc_a, doc_b, in_t|in_c=1)."""
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_t", F.lit(0)).alias("in_t"),
+        F.coalesce("in_c", F.lit(0)).alias("in_c"),
+    )
+    n_truth = F.coalesce(F.sum("in_t"), F.lit(0)).cast("bigint")
+    n_cand = F.coalesce(F.sum("in_c"), F.lit(0)).cast("bigint")
+    n_hits = F.coalesce(
+        F.sum(F.col("in_t") * F.col("in_c")), F.lit(0)
+    ).cast("bigint")
+    return j.agg(
+        n_truth.alias("n_truth"),
+        n_cand.alias("n_candidates"),
+        n_hits.alias("n_hits"),
+        (
+            n_hits.cast("double")
+            / F.nullif(n_cand, F.lit(0)).cast("double")
+        ).alias("precision"),
+        (
+            n_hits.cast("double")
+            / F.nullif(n_truth, F.lit(0)).cast("double")
+        ).alias("recall"),
+    )
+
+
+def _jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard ground-truth pairs (unbucketed, full corpus) —
+    shared by every sketch-tier quality gate."""
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), F.lit("all"), NGRAM_JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
+
+
 @register(
     "minhash_quality_eval",
     oracle=f"""
@@ -311,34 +393,59 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    truth = dd.ngram_jaccard_pairs(
-        d, F.lit("all"), NGRAM_JACCARD_THRESHOLD
-    ).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
     cand = dd.minhash_band_pairs(dd.minhash_signatures(d)).select(
         "doc_a", "doc_b", F.lit(1).alias("in_c")
     )
-    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer").select(
-        F.coalesce("in_t", F.lit(0)).alias("in_t"),
-        F.coalesce("in_c", F.lit(0)).alias("in_c"),
+    return _pr_frame(_jaccard_truth(spark, sf_dir), cand)
+
+
+@register(
+    "simhash_quality_eval",
+    oracle=_sql_pr_eval(REGISTRY["dedup_simhash"].oracle),
+    tags=("documents", "dedup", "selection"),
+    doc="Sketch-quality gate for the SimHash tier: banded "
+    "hamming-radius candidate pairs vs the SAME exact-Jaccard ground "
+    "truth as the minhash gate. SimHash approximates token-set COSINE, "
+    "not Jaccard, so this eval quantifies exactly how the two notions "
+    "disagree on this corpus before anyone trusts the cheaper tier at "
+    "100 TB. Candidates reuse the registered dedup_simhash plan (one "
+    "source of truth per tier); truth is quadratic-exact, so this runs "
+    "on sampled slices, like every quality gate in this family.",
+)
+def simhash_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = (
+        REGISTRY["dedup_simhash"]
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("in_c", F.lit(1))
     )
-    n_truth = F.coalesce(F.sum("in_t"), F.lit(0)).cast("bigint")
-    n_cand = F.coalesce(F.sum("in_c"), F.lit(0)).cast("bigint")
-    n_hits = F.coalesce(
-        F.sum(F.col("in_t") * F.col("in_c")), F.lit(0)
-    ).cast("bigint")
-    return j.agg(
-        n_truth.alias("n_truth"),
-        n_cand.alias("n_candidates"),
-        n_hits.alias("n_hits"),
-        (
-            n_hits.cast("double")
-            / F.nullif(n_cand, F.lit(0)).cast("double")
-        ).alias("precision"),
-        (
-            n_hits.cast("double")
-            / F.nullif(n_truth, F.lit(0)).cast("double")
-        ).alias("recall"),
+    return _pr_frame(_jaccard_truth(spark, sf_dir), cand)
+
+
+@register(
+    "winnow_quality_eval",
+    oracle=_sql_pr_eval(REGISTRY["dedup_winnow_pairs"].oracle),
+    tags=("documents", "dedup", "selection", "fingerprint"),
+    doc="Sketch-quality gate for the winnowing tier: inverted-index "
+    "pairs over winnow-SELECTED fingerprints (~1/3 shingle volume, "
+    "df-capped, >=2 shared) vs exact-Jaccard ground truth. Winnowing "
+    "guarantees shared-SPAN detection, not Jaccard similarity — this "
+    "gate measures how much of the high-Jaccard truth the span "
+    "detector recovers (recall) and how much boilerplate noise the "
+    "df cap lets through (precision). Candidates reuse the registered "
+    "dedup_winnow_pairs plan; same P/R contract as the minhash and "
+    "simhash gates.",
+)
+def winnow_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = (
+        REGISTRY["dedup_winnow_pairs"]
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("in_c", F.lit(1))
     )
+    return _pr_frame(_jaccard_truth(spark, sf_dir), cand)
 
 
 @register(
