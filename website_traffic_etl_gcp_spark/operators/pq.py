@@ -297,23 +297,7 @@ def adc_topk(
     set); the corpus side stays O(corpus × M)."""
     from pyspark.sql import Window
 
-    qsub = subvectors(queries, dim, m, id_col, vec_col)
-    tab = (
-        qsub.join(F.broadcast(cents), "m")
-        .select(
-            F.col(id_col).alias("query_id"),
-            "m",
-            "cell",
-            _sq_dist("sub", "centroid").alias("d"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "cell", "d"))),
-                lambda s: s["d"],
-            ).alias("tab")
-        )
-    )
+    tab = _query_adc_tables(queries, cents, dim, m, id_col, vec_col)
     codes = pq_encode(emb, cents, dim, m, id_col, vec_col)
     adist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -340,6 +324,133 @@ def adc_topk(
 
 
 RERANK_MULT = 4
+
+
+def _query_adc_tables(
+    queries: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, tab) — each probe's flattened M×k ADC distance
+    table, laid out position = m·n_codes + cell (matches adc_topk)."""
+    qsub = subvectors(queries, dim, m, id_col, vec_col)
+    return (
+        qsub.join(F.broadcast(cents), "m")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            "cell",
+            _sq_dist("sub", "centroid").alias("d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cell", "d"))),
+                lambda s: s["d"],
+            ).alias("tab")
+        )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    k: int,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    rerank_mult: int = RERANK_MULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed — the billion-scale ANN shape (Jégou et al.
+    TPAMI'11 IVFADC; FAISS ``IVFPQ`` with ``by_residual=false``, i.e.
+    codes quantize the normalized vectors themselves, not per-cell
+    residuals — one shared codebook, no per-cell table rebuild):
+
+    1. the corpus lives bucketed by its nearest coarse cell (one
+       shuffle at index-build time, same index as ``ivf_topk``), each
+       vector stored as M small PQ codes;
+    2. a query probes only its ``n_probe`` nearest cells, ADC-scanning
+       the CODES of those cells' members — per query the scan touches
+       |corpus| × n_probe / n_cells code words of M bytes each, never
+       a raw vector;
+    3. the k × rerank_mult shortlist alone fetches raw vectors for an
+       exact cosine re-rank (bounded keyed join).
+
+    At 100 TB this is the only tier where BOTH the candidate count
+    (IVF) and the per-candidate cost + memory (PQ) are sub-corpus.
+    Returns (query_id, cand_id, cosine, rank) like the other tiers."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+    from .similarity import assign_cells
+
+    ccells = assign_cells(corpus, coarse, 1, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "cell_id"
+    )
+    codes = pq_encode(emb=corpus, cents=cents, dim=dim, m=m,
+                      id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes"
+    )
+    coded = ccells.join(codes, "cand_id")
+    # query side is bounded: n_probe cells + one flattened ADC table
+    # per probe — rides a single broadcast. The cell column renames to
+    # qcell (see ivf_topk's expr-id note).
+    qcells = assign_cells(queries, coarse, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("cell_id").alias("qcell")
+    )
+    tabs = _query_adc_tables(queries, cents, dim, m, id_col, vec_col)
+    qside = qcells.join(tabs, "query_id")
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("tab"),
+            (i * n_codes + F.element_at(F.col("codes"), i + 1)).cast("int"),
+        ),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("cand_id")
+    )
+    shortlist = (
+        coded.join(
+            F.broadcast(qside),
+            (F.col("cell_id") == F.col("qcell"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", F.round(adist, 6).alias("adist"))
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= k * rerank_mult)
+        .select("query_id", "cand_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        shortlist.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def adc_rerank_topk(
