@@ -721,3 +721,99 @@ def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(win).cast("bigint").alias("rank"),
     )
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    dbi AS (
+        SELECT a.doc_id, a.token AS w1, b.token AS w2, COUNT(*) AS n
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2, 3
+    ),
+    bi AS (SELECT w1, w2, SUM(n) AS c12 FROM dbi GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM bi GROUP BY 1),
+    voc AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+    lp AS (
+        SELECT w1, w2,
+               CAST(round(ln(c12 + 1) * 1e6, 0) AS BIGINT)
+             - CAST(round(ln(c1 + v) * 1e6, 0) AS BIGINT) AS lp_micro
+        FROM bi JOIN uni USING (w1), voc
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(n * lp_micro) AS DOUBLE)
+             / CAST(SUM(n) * 1000000 AS DOUBLE) AS cross_entropy_nats,
+           round(exp(CAST(-SUM(n * lp_micro) AS DOUBLE)
+             / CAST(SUM(n) * 1000000 AS DOUBLE)), 6) AS ppl
+    FROM dbi JOIN lp USING (w1, w2)
+    GROUP BY doc_id
+    """,
+    tags=("documents", "selection", "quality"),
+    doc="Model-based quality filter (the CCNet / Wikipedia-LM "
+    "perplexity proxy): per-doc cross-entropy in nats under an "
+    "add-one-smoothed bigram LM trained on the corpus itself — "
+    "p(w2|w1) = (c12+1)/(c1+V). High-perplexity docs are gibberish / "
+    "boilerplate candidates; low-perplexity docs are repetitive. "
+    "Per-(w1,w2) log-probs are integer micro-nats, per-doc sums are "
+    "exact int64 weighted by the doc's bigram counts, one final "
+    "int->double division (+ a 6dp-rounded exp for the familiar ppl "
+    "number). Scale shape: the LM table is O(distinct corpus "
+    "bigrams); docs join it on the bigram key carrying DISTINCT "
+    "per-doc bigrams with counts, never token instances — two "
+    "groupBys and one keyed join, corpus-linear. Docs with <2 tokens "
+    "have no bigrams and are absent by construction.",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    dbi = (
+        tok.withColumn("w2", F.lead("token", 1).over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", F.col("token").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bi = dbi.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = tok.agg(F.countDistinct("token").alias("v"))
+    lp = (
+        bi.join(uni, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "w1",
+            "w2",
+            (
+                _micro_nats(F.col("c12") + 1)
+                - _micro_nats(F.col("c1") + F.col("v"))
+            ).alias("lp_micro"),
+        )
+    )
+    agg = (
+        dbi.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("lp_micro")).alias("s_micro"),
+        )
+    )
+    ent = (-F.col("s_micro")).cast("double") / (
+        F.col("n_bigrams") * F.lit(1000000)
+    ).cast("double")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        ent.alias("cross_entropy_nats"),
+        F.round(F.exp(ent), 6).alias("ppl"),
+    )
