@@ -1889,6 +1889,145 @@ def data_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WATERFILL_MAX_EPOCHS = 2  # no source repeats more than 2 epochs
+WATERFILL_ROUNDS = 3  # fixed redistribution rounds (unrolled in SQL)
+WATERFILL_HI_WEIGHT = 3  # srcs 0-4 get 3× the budget pull of the rest
+
+
+def _sql_waterfill_round(prev: str) -> str:
+    """One redistribution round: unallocated budget splits across
+    UNSATURATED sources by weight (integer floor division — dust
+    carries to the next round), each capped at its epoch ceiling."""
+    return f"""
+        SELECT source, n_docs, avail, w, cap, b,
+               CAST(planned + CASE WHEN planned < cap AND wsum > 0
+                    THEN LEAST(cap - planned, (r * w) // wsum)
+                    ELSE 0 END AS BIGINT) AS planned
+        FROM (SELECT {prev}.*,
+                SUM(CASE WHEN planned < cap THEN w ELSE 0 END)
+                    OVER () AS wsum,
+                b - SUM(planned) OVER () AS r
+              FROM {prev})
+    """
+
+
+def _sql_waterfill() -> str:
+    rounds = ", ".join(
+        f"a{i + 1} AS ({_sql_waterfill_round(f'a{i}')})"
+        for i in range(WATERFILL_ROUNDS)
+    )
+    return f"""
+    WITH inv AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS avail
+        FROM ({_SQL_DOCS_NORM}) GROUP BY source
+    ),
+    base AS (
+        SELECT source, n_docs, avail,
+               CAST(CASE WHEN source IN
+                    ('src0','src1','src2','src3','src4')
+                    THEN {WATERFILL_HI_WEIGHT} ELSE 1 END AS BIGINT) AS w,
+               avail * {WATERFILL_MAX_EPOCHS} AS cap,
+               CAST(0 AS BIGINT) AS planned
+        FROM inv
+    ),
+    tot AS (SELECT SUM(avail) AS b FROM base),
+    a0 AS (SELECT base.*, b FROM base, tot),
+    {rounds}
+    SELECT source, n_docs,
+           avail AS avail_tokens, w AS weight, cap AS cap_tokens,
+           planned AS planned_tokens,
+           CAST(planned AS DOUBLE) / CAST(avail AS DOUBLE) AS epochs,
+           CAST(planned AS DOUBLE) / CAST(b AS DOUBLE) AS budget_share,
+           planned >= cap AS saturated
+    FROM a{WATERFILL_ROUNDS}
+    """
+
+
+@register(
+    "token_budget_waterfill",
+    oracle=_sql_waterfill(),
+    tags=("documents", "sampling"),
+    doc="Epoch-capped waterfilling budget planner — the piece "
+    "data_mix_plan deliberately lacks: a global token budget (one "
+    "corpus-epoch's worth) splits across sources by weight, each "
+    f"source bounded at {WATERFILL_MAX_EPOCHS} epochs of its own "
+    "inventory, and budget a saturated source can't absorb "
+    f"REDISTRIBUTES to the unsaturated ones over {WATERFILL_ROUNDS} "
+    "fixed rounds (the how-many-epochs-of-each-source planning step "
+    "behind LLaMA-style token-budget mixes, where upweighted small "
+    "sources repeat and the surplus flows to large ones). All-integer "
+    "floor-division arithmetic per round — identical dust on both "
+    "engines; the per-source table is tiny (O(n_sources)), so rounds "
+    "are broadcast scalar joins, corpus work is ONE map-side "
+    "combinable groupBy.",
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import word_tokens
+
+    d = _docs(spark, sf_dir)
+    inv = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(word_tokens("text"))).cast("bigint").alias("avail"),
+    )
+    hi = [f"src{i}" for i in range(5)]
+    base = (
+        inv.withColumn(
+            "w",
+            F.when(F.col("source").isin(hi), F.lit(WATERFILL_HI_WEIGHT))
+            .otherwise(F.lit(1))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "cap", (F.col("avail") * WATERFILL_MAX_EPOCHS).cast("bigint")
+        )
+        .withColumn("planned", F.lit(0).cast("bigint"))
+    )
+    tot = base.agg(F.sum("avail").alias("b"))
+    cur = base.crossJoin(F.broadcast(tot))
+    for _ in range(WATERFILL_ROUNDS):
+        st = cur.agg(
+            F.sum(
+                F.when(F.col("planned") < F.col("cap"), F.col("w")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("wsum"),
+            (F.max("b") - F.sum("planned")).alias("r"),
+        )
+        give = F.least(
+            F.col("cap") - F.col("planned"),
+            F.expr("(r * w) div wsum"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(st))
+            .withColumn(
+                "planned",
+                F.col("planned")
+                + F.when(
+                    (F.col("planned") < F.col("cap")) & (F.col("wsum") > 0),
+                    give,
+                ).otherwise(F.lit(0)),
+            )
+            .drop("wsum", "r")
+        )
+    return cur.select(
+        "source",
+        "n_docs",
+        F.col("avail").alias("avail_tokens"),
+        F.col("w").alias("weight"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("planned").alias("planned_tokens"),
+        (F.col("planned").cast("double") / F.col("avail").cast("double")).alias(
+            "epochs"
+        ),
+        (F.col("planned").cast("double") / F.col("b").cast("double")).alias(
+            "budget_share"
+        ),
+        (F.col("planned") >= F.col("cap")).alias("saturated"),
+    )
+
+
 N_EXPORT_SHARDS = 32
 _EXPORT_CHECKSUM_MOD = 1_000_000_007
 
