@@ -1,0 +1,130 @@
+"""Distributed PCA via one exact-integer covariance aggregation.
+
+The classic scale shape for dimensionality reduction over a 100 TB
+embedding corpus (whitening before ANN, OPQ-style rotation, variance
+audits): the ONLY corpus-wide work is accumulating the d(d+1)/2
+second-moment sums and the d first-moment sums — both map-side
+combinable groupBys whose shuffle is O(d²) rows total, independent of
+corpus size. The d×d covariance (64×64 here → 2 080 upper-triangle
+cells) collects to the driver, where the eigendecomposition is a
+trivial dense solve — exactly the bounded-driver-state pattern the PQ
+codebook trainer uses (operators/pq.py:train_codebooks).
+
+Determinism: every per-row product is floored to an integer at 1e9
+scale BEFORE aggregation, so the moment sums are exact int64 and
+partition-order independent; the covariance assembled from them is
+bit-identical on every run, hence so is numpy's eigh output. Each
+eigenvector's sign is pinned (largest-|component| entry forced
+positive) so even the ±v ambiguity is fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MOMENT_SCALE = 1_000_000_000  # 1e9 — the repo's exact-sum convention
+
+
+def moment_sums(
+    emb: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[int, list[int], dict[tuple[int, int], int]]:
+    """(n, s1[d], s11{(i,j): int for i<=j}) — exact integer moment
+    sums: s1_i = Σ floor(x_i·1e9), s11_ij = Σ floor(x_i·x_j·1e9).
+    Two aggregations; the pair explode emits d(d+1)/2 rows per vector
+    that partial aggregation collapses to d(d+1)/2 per PARTITION
+    before the (tiny) shuffle."""
+    xd = lambda c: c.cast("double")  # noqa: E731
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+    first = (
+        ex.groupBy("i")
+        .agg(
+            F.sum(F.floor(xd(F.col("x")) * MOMENT_SCALE).cast("bigint"))
+            .alias("s1"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .collect()
+    )
+    n = first[0]["n"] if first else 0
+    s1 = [0] * dim
+    for r in first:
+        s1[r["i"]] = r["s1"]
+    pairs = (
+        emb.select(
+            F.col(vec_col).alias("v"),
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i"),
+        )
+        .select(
+            "i",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("i")),
+                    lambda j: F.struct(
+                        j.alias("j"),
+                        F.floor(
+                            xd(F.element_at(F.col("v"), F.col("i") + 1))
+                            * xd(F.element_at(F.col("v"), j + 1))
+                            * MOMENT_SCALE
+                        )
+                        .cast("bigint")
+                        .alias("p"),
+                    ),
+                )
+            ).alias("jp"),
+        )
+        .select("i", F.col("jp")["j"].alias("j"), F.col("jp")["p"].alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s11"))
+        .collect()
+    )
+    s11 = {(r["i"], r["j"]): r["s11"] for r in pairs}
+    return n, s1, s11
+
+
+def covariance(
+    n: int, s1: list[int], s11: dict[tuple[int, int], int], dim: int
+):
+    """Dense symmetric covariance (numpy d×d) from the exact integer
+    moments: C_ij = (s11_ij/1e9)/n − μ_i·μ_j, μ_i = (s1_i/1e9)/n."""
+    import numpy as np
+
+    mu = np.array([(x / MOMENT_SCALE) / n for x in s1])
+    c = np.zeros((dim, dim))
+    for (i, j), v in s11.items():
+        m = (v / MOMENT_SCALE) / n
+        c[i, j] = c[j, i] = m
+    return c - np.outer(mu, mu)
+
+
+def eig_components(cov, n_components: int):
+    """(evals_desc, components[n_components × d]) — eigenvalues sorted
+    descending, each kept eigenvector sign-pinned so its
+    largest-|component| entry is positive (kills the ±v ambiguity)."""
+    import numpy as np
+
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    evecs = evecs[:, order]
+    comps = []
+    for k in range(n_components):
+        v = evecs[:, k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    return evals, np.array(comps)
+
+
+def total_variance_micro(n: int, s1: list[int], s2_diag: list[int]) -> int:
+    """Σ_i round(var_i · 1e9) as an exact int — var_i computed in the
+    EXACT double-op order the SQL oracle uses:
+    (s2/1e9)/n − ((s1/1e9)/n)·((s1/1e9)/n), half-up rounding (both
+    engines round ties away from zero; variances are ≥ 0)."""
+    import math
+
+    tot = 0
+    for s1_i, s2_i in zip(s1, s2_diag):
+        m1 = (s1_i / MOMENT_SCALE) / n
+        v = (s2_i / MOMENT_SCALE) / n - m1 * m1
+        tot += int(math.floor(v * MOMENT_SCALE + 0.5))
+    return tot
