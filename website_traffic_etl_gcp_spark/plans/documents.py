@@ -819,6 +819,106 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(a, b) AS (
+        SELECT doc_a, doc_a FROM edges
+        UNION
+        SELECT c.a, e.doc_b
+        FROM closure c JOIN edges e ON c.b = e.doc_a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a
+    ),
+    q AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    best AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size,
+               MAX(n_chars) AS qmax
+        FROM q GROUP BY 1
+    ),
+    canon AS (
+        SELECT q.cluster_id, MIN(q.doc_id) AS best_id
+        FROM q JOIN best b
+          ON q.cluster_id = b.cluster_id AND q.n_chars = b.qmax
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(b.cluster_size, 1) AS BIGINT) AS cluster_size,
+           COALESCE(cn.best_id, d.doc_id) AS best_id,
+           d.doc_id = COALESCE(cn.best_id, d.doc_id) AS keep
+    FROM documents d
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    LEFT JOIN best b ON b.cluster_id = c.cluster_id
+    LEFT JOIN canon cn ON cn.cluster_id = c.cluster_id
+    """,
+    tags=("documents", "dedup"),
+    doc="Quality-weighted removal manifest: same near-dup clusters as "
+    "dedup_keep_list, but the canonical survivor is the cluster's "
+    "BEST document — longest n_chars, ties to the smaller doc_id — "
+    "not its smallest id. This is what production dedup actually "
+    "ships (keep the richest duplicate, drop the truncated scrapes); "
+    "any per-doc quality column drops in for n_chars unchanged. The "
+    "argmax is one integer struct-max per cluster on the SMALL "
+    "clustered-docs frame (quality joined before the corpus-wide "
+    "manifest join, so the corpus still shuffles exactly once, on "
+    "doc_id — the keep_list scale shape).",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    pairs = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    clusters = dd.connected_components(pairs).localCheckpoint(
+        eager=False  # feeds the argmax aggregate AND the corpus join
+    )
+    withq = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    best = (
+        withq.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("b"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            (-F.col("b.nid")).cast("bigint").alias("best_id"),
+        )
+    )
+    enriched = clusters.join(best, "cluster_id")
+    return (
+        d.select("doc_id")
+        .join(enriched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
+                "cluster_size"
+            ),
+            F.coalesce("best_id", F.col("doc_id")).alias("best_id"),
+            (
+                F.col("doc_id") == F.coalesce("best_id", F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
     "top_terms_tfidf",
     oracle=f"""
     WITH tok AS (
