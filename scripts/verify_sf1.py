@@ -92,6 +92,17 @@ SF1_QUERIES = [
     "knn_recall_eval",
     "knn_lsh_bucketed",
     "dsir_gumbel_sample",
+    # round-6 second wave: the IVFPQ verdict's oracle is a trivial
+    # SELECT, the PCA gate's oracle is one linear moment explode, the
+    # waterfill planner's is one token groupBy + O(sources) rounds,
+    # and the LM-perplexity oracle is linear in corpus bigrams. (The
+    # simhash/winnow quality gates and dedup_keep_best stay test-SF:
+    # their exact-Jaccard / recursive-closure truth SQL is the same
+    # pairwise work excluded above.)
+    "knn_ivfpq_rerank",
+    "embedding_pca_gate",
+    "token_budget_waterfill",
+    "doc_lm_perplexity",
 ]
 
 TABLES = (
