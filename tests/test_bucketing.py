@@ -190,3 +190,52 @@ def test_persisted_ivf_index_probe_reads_in_place(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
         spark.sql(f"DROP TABLE IF EXISTS {cents_t}")
+
+
+def test_persisted_ivfpq_index_probe_reads_in_place(spark):
+    """The persisted IVF+PQ index: the probe must (a) return exactly
+    the in-query ivfpq_topk result (same coarse centroids + codebook),
+    and (b) scan the stored CODE table in place — the candidate
+    restriction is a hash join on the cell key, the stored table is
+    never exchanged on it, and the only nested loop is the tiny
+    query-side centroid-assignment crossJoin."""
+    from website_traffic_etl_gcp_spark.operators import ann_index as ai
+    from website_traffic_etl_gcp_spark.operators import pq
+    from website_traffic_etl_gcp_spark.plans.embeddings import (
+        EMBED_DIM,
+        KNN_K,
+        _probe_filter,
+        label_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = label_centroids(emb).localCheckpoint()  # pin avg floats
+    cb = pq.train_codebooks(emb, EMBED_DIM)  # driver-built: already pinned
+    q = _probe_filter(emb)
+    codes_t = ai.index_table_name("ivfpqcodes_test", SF_DIR)
+    cents_t = ai.index_table_name("ivfpqcents_test", SF_DIR)
+    pqcb_t = ai.index_table_name("ivfpqcb_test", SF_DIR)
+    try:
+        ai.build_ivfpq_index(
+            emb, cents, cb, codes_t, cents_t, pqcb_t, EMBED_DIM
+        )
+        probe = ai.probe_ivfpq_index(
+            spark, q, emb, codes_t, cents_t, pqcb_t, EMBED_DIM, KNN_K,
+            n_probe=3, rerank_mult=8,
+        )
+        expected = pq.ivfpq_topk(
+            emb, q, cents, cb, EMBED_DIM, KNN_K, n_probe=3, rerank_mult=8
+        )
+        got = {tuple(r) for r in probe.collect()}
+        want = {tuple(r) for r in expected.collect()}
+        assert got == want
+        assert got  # non-vacuous
+        plan = _plan(probe)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin [cell_id" in final, final
+        assert "Exchange hashpartitioning(cell_id" not in final
+        assert "Bucketed: true" in final
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {codes_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {cents_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {pqcb_t}")

@@ -83,6 +83,163 @@ def ensure_ivf_index(
         )
 
 
+def build_ivfpq_index(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    pq_cents: DataFrame,
+    codes_table: str,
+    cents_table: str,
+    pqcb_table: str,
+    dim: int,
+    n_buckets: int = INDEX_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF+PQ index: (cell_id, cand_id, codes) bucketed+
+    sorted on cell_id — M bytes of code per vector instead of the IVF
+    table's full raw vector + norm — plus the coarse-centroid table
+    and the M×k PQ codebook. Both corpus-wide passes (coarse
+    assignment, PQ encoding) are paid ONCE at build time; at 100 TB
+    the stored code table is ~d·8/M times smaller than the raw-vector
+    IVF table (64-dim doubles → 16 codes ≈ 4× here, more at higher
+    dim), which is the tier that stays memory-resident."""
+    from . import pq
+
+    ccells = sim.assign_cells(corpus, coarse, 1, id_col, vec_col).select(
+        "cell_id", F.col(id_col).alias("cand_id")
+    )
+    codes = pq.pq_encode(corpus, pq_cents, dim, id_col=id_col,
+                         vec_col=vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes"
+    )
+    write_bucketed(
+        ccells.join(codes, "cand_id"),
+        codes_table,
+        "cell_id",
+        n_buckets=n_buckets,
+        sort_col="cell_id",
+        path=_table_path(codes_table),
+    )
+    write_bucketed(
+        coarse,
+        cents_table,
+        "cell_id",
+        n_buckets=n_buckets,
+        sort_col="cell_id",
+        path=_table_path(cents_table),
+    )
+    write_bucketed(
+        pq_cents,
+        pqcb_table,
+        "m",
+        n_buckets=n_buckets,
+        sort_col="m",
+        path=_table_path(pqcb_table),
+    )
+
+
+def ensure_ivfpq_index(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    pq_cents: DataFrame,
+    codes_table: str,
+    cents_table: str,
+    pqcb_table: str,
+    dim: int,
+    n_buckets: int = INDEX_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    cat = corpus.sparkSession.catalog
+    if not (
+        cat.tableExists(codes_table)
+        and cat.tableExists(cents_table)
+        and cat.tableExists(pqcb_table)
+    ):
+        build_ivfpq_index(
+            corpus, coarse, pq_cents, codes_table, cents_table,
+            pqcb_table, dim, n_buckets, id_col, vec_col,
+        )
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    codes_table: str,
+    cents_table: str,
+    pqcb_table: str,
+    dim: int,
+    k: int,
+    n_probe: int = 3,
+    rerank_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ probe against the persisted tables: queries assign to
+    n_probe cells via the stored coarse centroids, build their ADC
+    tables from the stored codebook, and broadcast against the stored
+    CODE table (scans in place — zero corpus-side recompute or
+    exchange); only the k×rerank_mult shortlist fetches raw vectors
+    from ``corpus`` via a bounded keyed join for the exact re-rank."""
+    from ..functions.vectors import cosine
+    from . import pq
+
+    coarse = spark.table(cents_table)
+    pq_cents = spark.table(pqcb_table)
+    q = sim.assign_cells(queries, coarse, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("cell_id").alias("qcell"),  # rename: see probe_ivf_index
+    )
+    tabs = pq._query_adc_tables(queries, pq_cents, dim, pq.PQ_M,
+                                id_col, vec_col)
+    qside = q.join(tabs, "query_id")
+    codes = spark.table(codes_table)
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(pq.PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("tab"),
+            (i * pq.PQ_K + F.element_at(F.col("codes"), i + 1)).cast("int"),
+        ),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("cand_id")
+    )
+    shortlist = (
+        codes.join(
+            F.broadcast(qside),
+            (F.col("cell_id") == F.col("qcell"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", F.round(adist, 6).alias("adist"))
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= k * rerank_mult)
+        .select("query_id", "cand_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        shortlist.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession,
     queries: DataFrame,

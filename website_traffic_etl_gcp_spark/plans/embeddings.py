@@ -1168,3 +1168,55 @@ def embedding_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orthonormal_ok boolean, trace_match_ok boolean, "
         "explained_floor_ok boolean",
     )
+
+
+@register(
+    "knn_ivfpq_persisted",
+    oracle=_ANN_VERDICT_ORACLE,
+    tags=("embeddings", "similarity"),
+    doc="IVF+PQ against PERSISTED tables — the full billion-scale "
+    "production shape: the bucketed (cell_id, cand_id, codes) table "
+    "stores M bytes per vector (not the raw vector), built once "
+    "together with the coarse-centroid and PQ-codebook tables "
+    "(operators/ann_index.py:build_ivfpq_index, rebuild-if-missing); "
+    "probes assign only their own vectors, ADC-scan the stored codes "
+    "of their 3 probed cells in place, and fetch raw vectors only "
+    "for the k×8 shortlist's keyed re-rank join. Falls back to the "
+    "in-query ivfpq_topk when no scratch storage is writable. Same "
+    "error-bound verdict row as the other ANN tiers; oracle expects "
+    "all-TRUE.",
+)
+def knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import logging
+
+    from ..operators import ann_index as ai
+    from ..operators import pq
+
+    emb = _emb(spark, sf_dir)
+    q = _probe_filter(emb)
+    try:
+        codes_t = ai.index_table_name("ivfpqcodes", sf_dir)
+        cents_t = ai.index_table_name("ivfpqcents", sf_dir)
+        pqcb_t = ai.index_table_name("ivfpqcb", sf_dir)
+        ai.ensure_ivfpq_index(
+            emb, label_centroids(emb), pq.train_codebooks(emb, EMBED_DIM),
+            codes_t, cents_t, pqcb_t, EMBED_DIM,
+        )
+        approx = ai.probe_ivfpq_index(
+            spark, q, emb, codes_t, cents_t, pqcb_t, EMBED_DIM, KNN_K,
+            n_probe=3, rerank_mult=8,
+        )
+        # eager validation inside the try — see knn_ivf_persisted
+        approx.limit(1).collect()
+    except Exception:
+        logging.getLogger("website_traffic_etl_gcp_spark").warning(
+            "persisted IVFPQ index unavailable; deriving in-query",
+            exc_info=True,
+        )
+        approx = pq.ivfpq_topk(
+            emb, q, label_centroids(emb),
+            pq.train_codebooks(emb, EMBED_DIM), EMBED_DIM, KNN_K,
+            n_probe=3, rerank_mult=8,
+        )
+    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    return _ann_verdict(approx, exact, q)
