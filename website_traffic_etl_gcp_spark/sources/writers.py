@@ -163,6 +163,58 @@ def _swap_in(root: Path, staging: Path) -> None:
     shutil.rmtree(old)
 
 
+def write_audit_publish(
+    df: DataFrame,
+    table_path: str,
+    rules: dict,
+    unique_keys: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Write-audit-publish: stage the write, run the declarative DQ
+    expectations against the STAGED FILES (what was actually written,
+    not the input plan — a lost task or codec bug shows up here), and
+    only then atomically swap the staging directory in. On any failed
+    expectation the staging is discarded and the live table is left
+    byte-identical — readers never observe a half-written or
+    rule-violating table. This is the Iceberg/Delta WAP pattern on
+    plain parquet: the "atomic" step is a directory rename locally and
+    a manifest/metastore pointer swap on an object store (_swap_in).
+
+    ``rules`` maps rule name → violation predicate (operators/quality
+    contract); ``unique_keys`` adds a key-uniqueness expectation.
+    Returns {published, n_rows, report}; callers gate downstream jobs
+    on ``published`` rather than catching exceptions."""
+    from ..operators.quality import expect, expect_unique
+
+    spark = df.sparkSession
+    root = Path(table_path)
+    staging = root.with_name(root.name + ".__wap_staging__")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(staging))
+
+    staged = spark.read.parquet(str(staging))
+    report_df = expect(staged, rules)
+    if unique_keys:
+        report_df = report_df.unionByName(
+            expect_unique(
+                staged, list(unique_keys), "unique_" + "_".join(unique_keys)
+            )
+        )
+    report = [r.asDict() for r in report_df.collect()]
+    n_rows = report[0]["n_rows"] if report else staged.count()
+    published = all(r["passed"] for r in report)
+    if published:
+        if root.exists():
+            _swap_in(root, staging)
+        else:
+            staging.rename(root)
+    else:
+        shutil.rmtree(staging)
+    return {"published": published, "n_rows": n_rows, "report": report}
+
+
 def delete_rows(
     spark: SparkSession,
     table_path: str,
