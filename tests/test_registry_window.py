@@ -36,6 +36,15 @@ CHANGED_R6 = (
     "knn_lsh_bucketed",  # widen guard rework + rounded-sign signature
     "lsh_bucket_occupancy",  # new query (signature-space skew)
     "streaming_semdedup_ingest",  # new query (vector admission dedup)
+    # round-6 second wave — all new, each needs its first driver row
+    "simhash_quality_eval",
+    "winnow_quality_eval",
+    "knn_ivfpq_rerank",
+    "knn_ivfpq_persisted",
+    "doc_lm_perplexity",
+    "token_budget_waterfill",
+    "embedding_pca_gate",
+    "dedup_keep_best",
 )
 
 # the tracked carry-over from round 5: the six r1-green queries that
@@ -62,12 +71,6 @@ ROTATED_R3 = (
     "q8_market_share",
     "q9_nation_profit",
     "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_brand_quantity_revenue",
-    "q21_sole_late_supplier",
-    "q22_dormant_accounts",
     "top_customers_by_revenue",
     "customers_above_segment_avg",
     "returned_items_report",
@@ -77,9 +80,7 @@ ROTATED_R3 = (
     "dedup_minhash_lsh",
     "value_quantiles_by_type",
     "users_without_purchase",
-    "user_purchase_gaps",
     "approx_distinct_users_daily",
-    "event_type_pivot_daily",
     "signup_to_purchase_latency",
     "multimodal_frame_sample",
 )
@@ -110,6 +111,16 @@ MUST_LEAD_R7 = (
     "nation_revenue_yearly",
     "order_priority_counts",
     "part_type_revenue_share",
+    # r3-green queries displaced from the round-6 window by the
+    # second-wave additions (their rows turn 4 rounds stale at r7)
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_brand_quantity_revenue",
+    "q21_sole_late_supplier",
+    "q22_dormant_accounts",
+    "user_purchase_gaps",
+    "event_type_pivot_daily",
 )
 
 

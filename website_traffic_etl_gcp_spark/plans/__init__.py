@@ -54,6 +54,15 @@ _PRIORITY_ORDER = (
     "knn_lsh_bucketed",  # widen_narrow_input guard rework + rounded sign
     "lsh_bucket_occupancy",  # NEW in round 6 (signature-space skew); §2E rep
     "streaming_semdedup_ingest",  # NEW in round 6 (vector admission dedup)
+    # ---- (a2) round-6 second wave: new queries need driver rows ----
+    "simhash_quality_eval",  # NEW (P/R gate, SimHash tier)
+    "winnow_quality_eval",  # NEW (P/R gate, winnowing tier)
+    "knn_ivfpq_rerank",  # NEW (composed IVF+PQ ANN)
+    "knn_ivfpq_persisted",  # NEW (persisted bucketed code table)
+    "doc_lm_perplexity",  # NEW (bigram-LM quality filter)
+    "token_budget_waterfill",  # NEW (epoch-capped budget planner)
+    "embedding_pca_gate",  # NEW (distributed PCA audit)
+    "dedup_keep_best",  # NEW (quality-weighted manifest)
     # ---- (b) MUST_LEAD_R6: oldest green rows (r1 ×6, r3 ×1) ----
     "text_token_count",
     "doc_stats_by_source",
@@ -73,12 +82,6 @@ _PRIORITY_ORDER = (
     "q8_market_share",
     "q9_nation_profit",
     "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_brand_quantity_revenue",
-    "q21_sole_late_supplier",
-    "q22_dormant_accounts",
     "top_customers_by_revenue",
     "customers_above_segment_avg",
     "returned_items_report",
@@ -88,11 +91,13 @@ _PRIORITY_ORDER = (
     "dedup_minhash_lsh",
     "value_quantiles_by_type",
     "users_without_purchase",
-    "user_purchase_gaps",
     "approx_distinct_users_daily",
-    "event_type_pivot_daily",
     "signup_to_purchase_latency",
     "multimodal_frame_sample",
+    # (the eight r3-green queries displaced by wave (a2) — q13, q15,
+    # q18, q19, q21, q22, user_purchase_gaps, event_type_pivot_daily —
+    # are DECLARED in tests/test_registry_window.py:MUST_LEAD_R7; the
+    # round-7 window test must consume that list)
 )
 
 
