@@ -411,3 +411,50 @@ def test_packed_argmin_matches_window_formulation(spark, vecs, cents):
         .collect()
     }
     assert got_e == want_e
+
+
+_wf_sources = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=1_000_000),  # avail tokens
+        st.integers(min_value=1, max_value=5),  # weight
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(srcs=_wf_sources)
+def test_waterfill_conserves_and_caps(spark, srcs):
+    """Waterfill invariants on arbitrary inventories: never allocates
+    more than the budget, never exceeds a source's epoch cap, never
+    goes negative — and a run where nothing saturates is pure
+    proportional allocation, leaving < n_sources of floor dust."""
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.plans.documents import (
+        WATERFILL_MAX_EPOCHS,
+        waterfill_rounds,
+    )
+
+    rows = [
+        (f"s{i}", avail, w, avail * WATERFILL_MAX_EPOCHS, 0)
+        for i, (avail, w) in enumerate(srcs)
+    ]
+    base = spark.createDataFrame(
+        rows, "source string, avail bigint, w bigint, cap bigint, planned bigint"
+    )
+    b = sum(a for a, _ in srcs)
+    out = waterfill_rounds(base.withColumn("b", F.lit(b))).collect()
+    assert sum(r["planned"] for r in out) <= b
+    for r in out:
+        assert 0 <= r["planned"] <= r["cap"]
+    if all(r["planned"] < r["cap"] for r in out):
+        # nothing ever hit its cap → every round was a pure floor
+        # split; dust after the rounds is bounded by the source count
+        dust = b - sum(r["planned"] for r in out)
+        assert dust < len(out)

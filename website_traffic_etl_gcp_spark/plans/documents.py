@@ -2045,6 +2045,42 @@ def _sql_waterfill() -> str:
     """
 
 
+def waterfill_rounds(cur: DataFrame, rounds: int = WATERFILL_ROUNDS) -> DataFrame:
+    """The redistribution core, factored for property testing:
+    ``cur`` carries (…, avail, w, cap, planned, b); each round splits
+    the unallocated budget b−Σplanned across unsaturated sources by
+    weight (integer floor division), capped at each source's epoch
+    ceiling. Invariants (asserted in tests/test_property_based.py):
+    Σplanned ≤ b, planned ≤ cap, planned ≥ 0, and pure-proportional
+    runs (nothing ever saturates) leave < n_sources dust."""
+    for _ in range(rounds):
+        st = cur.agg(
+            F.sum(
+                F.when(F.col("planned") < F.col("cap"), F.col("w")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("wsum"),
+            (F.max("b") - F.sum("planned")).alias("r"),
+        )
+        give = F.least(
+            F.col("cap") - F.col("planned"),
+            F.expr("(r * w) div wsum"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(st))
+            .withColumn(
+                "planned",
+                F.col("planned")
+                + F.when(
+                    (F.col("planned") < F.col("cap")) & (F.col("wsum") > 0),
+                    give,
+                ).otherwise(F.lit(0)),
+            )
+            .drop("wsum", "r")
+        )
+    return cur
+
+
 @register(
     "token_budget_waterfill",
     oracle=_sql_waterfill(),
@@ -2085,32 +2121,7 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("planned", F.lit(0).cast("bigint"))
     )
     tot = base.agg(F.sum("avail").alias("b"))
-    cur = base.crossJoin(F.broadcast(tot))
-    for _ in range(WATERFILL_ROUNDS):
-        st = cur.agg(
-            F.sum(
-                F.when(F.col("planned") < F.col("cap"), F.col("w")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("wsum"),
-            (F.max("b") - F.sum("planned")).alias("r"),
-        )
-        give = F.least(
-            F.col("cap") - F.col("planned"),
-            F.expr("(r * w) div wsum"),
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(st))
-            .withColumn(
-                "planned",
-                F.col("planned")
-                + F.when(
-                    (F.col("planned") < F.col("cap")) & (F.col("wsum") > 0),
-                    give,
-                ).otherwise(F.lit(0)),
-            )
-            .drop("wsum", "r")
-        )
+    cur = waterfill_rounds(base.crossJoin(F.broadcast(tot)))
     return cur.select(
         "source",
         "n_docs",
