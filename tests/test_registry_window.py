@@ -44,6 +44,7 @@ CHANGED_R6 = (
     "doc_lm_perplexity",
     "token_budget_waterfill",
     "embedding_pca_gate",
+    "knn_pca_prefilter",
     "dedup_keep_best",
 )
 
@@ -79,7 +80,6 @@ ROTATED_R3 = (
     "retention_cohorts",
     "dedup_minhash_lsh",
     "value_quantiles_by_type",
-    "users_without_purchase",
     "approx_distinct_users_daily",
     "signup_to_purchase_latency",
     "multimodal_frame_sample",
@@ -121,6 +121,7 @@ MUST_LEAD_R7 = (
     "q22_dormant_accounts",
     "user_purchase_gaps",
     "event_type_pivot_daily",
+    "users_without_purchase",
 )
 
 

@@ -62,6 +62,7 @@ _PRIORITY_ORDER = (
     "doc_lm_perplexity",  # NEW (bigram-LM quality filter)
     "token_budget_waterfill",  # NEW (epoch-capped budget planner)
     "embedding_pca_gate",  # NEW (distributed PCA audit)
+    "knn_pca_prefilter",  # NEW (dimension-reduced ANN prefilter)
     "dedup_keep_best",  # NEW (quality-weighted manifest)
     # ---- (b) MUST_LEAD_R6: oldest green rows (r1 ×6, r3 ×1) ----
     "text_token_count",
@@ -90,14 +91,14 @@ _PRIORITY_ORDER = (
     "retention_cohorts",
     "dedup_minhash_lsh",
     "value_quantiles_by_type",
-    "users_without_purchase",
     "approx_distinct_users_daily",
     "signup_to_purchase_latency",
     "multimodal_frame_sample",
-    # (the eight r3-green queries displaced by wave (a2) — q13, q15,
-    # q18, q19, q21, q22, user_purchase_gaps, event_type_pivot_daily —
-    # are DECLARED in tests/test_registry_window.py:MUST_LEAD_R7; the
-    # round-7 window test must consume that list)
+    # (the nine r3-green queries displaced by wave (a2) — q13, q15,
+    # q18, q19, q21, q22, user_purchase_gaps, event_type_pivot_daily,
+    # users_without_purchase — are DECLARED in
+    # tests/test_registry_window.py:MUST_LEAD_R7; the round-7 window
+    # test must consume that list)
 )
 
 
