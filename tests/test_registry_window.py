@@ -46,6 +46,7 @@ CHANGED_R6 = (
     "embedding_pca_gate",
     "knn_pca_prefilter",
     "dedup_keep_best",
+    "streaming_dq_router",
 )
 
 # the tracked carry-over from round 5: the six r1-green queries that
@@ -79,7 +80,6 @@ ROTATED_R3 = (
     "daily_active_users",
     "retention_cohorts",
     "dedup_minhash_lsh",
-    "value_quantiles_by_type",
     "approx_distinct_users_daily",
     "signup_to_purchase_latency",
     "multimodal_frame_sample",
@@ -122,6 +122,7 @@ MUST_LEAD_R7 = (
     "user_purchase_gaps",
     "event_type_pivot_daily",
     "users_without_purchase",
+    "value_quantiles_by_type",
 )
 
 

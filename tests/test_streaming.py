@@ -185,3 +185,53 @@ def test_streaming_semdedup_ingest_deterministic_and_shaped(spark):
         assert (dup_of == -1) == (not is_dup)
         if is_dup:
             assert dup_of % 2 == 0
+
+
+def test_dq_router_quarantines_planted_violations(spark, tmp_path):
+    """The oracle SFs are clean data, so the router's quarantine path
+    passes vacuously there — this plants one violation per rule in a
+    synthetic landing table and proves the streaming split actually
+    routes: clean rows pass every rule, each planted row is counted
+    under ITS rule, and totals conserve."""
+    import datetime as dt
+
+    from website_traffic_etl_gcp_spark.streaming.wap_ingest import (
+        run_streaming_dq_router,
+    )
+
+    ok_ts = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, ok_ts, 10, "view", 1.0, None),  # clean
+        (2, ok_ts, 11, "click", 0.0, None),  # clean
+        (None, ok_ts, 12, "view", 1.0, None),  # null event_id
+        (4, ok_ts, 13, "view", -5.0, None),  # negative value
+        (5, ok_ts, 14, "teleport", 1.0, None),  # bad type
+        (6, dt.datetime(2031, 1, 1), 15, "view", 1.0, None),  # bad ts
+    ]
+    sf_dir = str(tmp_path / "sfdq")
+    (tmp_path / "sfdq").mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events_stage")
+    )
+    # single-file table path, matching the canonical layout
+    import glob
+    import shutil
+
+    part = glob.glob(str(tmp_path / "events_stage" / "part-*.parquet"))[0]
+    shutil.copy(part, str(tmp_path / "sfdq" / "events.parquet"))
+
+    report = {
+        r["rule"]: r
+        for r in run_streaming_dq_router(spark, sf_dir).collect()
+    }
+    assert report["event_id_not_null"]["n_violations"] == 1
+    assert report["value_non_negative"]["n_violations"] == 1
+    assert report["event_type_in_domain"]["n_violations"] == 1
+    assert report["ts_in_range"]["n_violations"] == 1
+    assert report["any_violation"]["n_violations"] == 4
+    assert all(r["n_rows"] == 6 for r in report.values())
+    assert not report["any_violation"]["passed"]

@@ -43,6 +43,26 @@ def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     )
 
 
+def event_row_rules() -> dict[str, Column]:
+    """The events table's ROW-LOCAL violation predicates — shared by
+    the batch gate (plans/events.py:dq_events_expectations) and the
+    streaming quarantine router (streaming/wap_ingest.py) so the two
+    paths can never drift. Key-uniqueness is deliberately absent: it
+    is not row-local, so an arrival-time router cannot decide it."""
+    return {
+        "event_id_not_null": F.col("event_id").isNull(),
+        "value_non_negative": F.col("value").isNotNull()
+        & (F.col("value") < 0),
+        "event_type_in_domain": ~F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"
+        ),
+        "ts_in_range": (
+            F.col("ts") < F.lit("2020-01-01").cast("timestamp")
+        )
+        | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+    }
+
+
 def expect_unique(df: DataFrame, cols: list[str], name: str) -> DataFrame:
     """Uniqueness expectation: counts rows participating in a duplicate
     key group. Same report schema as :func:`expect`."""

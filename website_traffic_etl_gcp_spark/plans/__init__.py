@@ -64,6 +64,7 @@ _PRIORITY_ORDER = (
     "embedding_pca_gate",  # NEW (distributed PCA audit)
     "knn_pca_prefilter",  # NEW (dimension-reduced ANN prefilter)
     "dedup_keep_best",  # NEW (quality-weighted manifest)
+    "streaming_dq_router",  # NEW (arrival-path DQ quarantine)
     # ---- (b) MUST_LEAD_R6: oldest green rows (r1 ×6, r3 ×1) ----
     "text_token_count",
     "doc_stats_by_source",
@@ -90,15 +91,14 @@ _PRIORITY_ORDER = (
     "daily_active_users",
     "retention_cohorts",
     "dedup_minhash_lsh",
-    "value_quantiles_by_type",
     "approx_distinct_users_daily",
     "signup_to_purchase_latency",
     "multimodal_frame_sample",
-    # (the nine r3-green queries displaced by wave (a2) — q13, q15,
+    # (the ten r3-green queries displaced by wave (a2) — q13, q15,
     # q18, q19, q21, q22, user_purchase_gaps, event_type_pivot_daily,
-    # users_without_purchase — are DECLARED in
-    # tests/test_registry_window.py:MUST_LEAD_R7; the round-7 window
-    # test must consume that list)
+    # users_without_purchase, value_quantiles_by_type — are DECLARED
+    # in tests/test_registry_window.py:MUST_LEAD_R7; the round-7
+    # window test must consume that list)
 )
 
 

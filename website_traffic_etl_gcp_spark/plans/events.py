@@ -553,18 +553,10 @@ def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/quality.py:expect/expect_unique.",
 )
 def dq_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quality import expect, expect_unique
+    from ..operators.quality import event_row_rules, expect, expect_unique
 
     ev = _ev(spark, sf_dir)
-    rules = {
-        "event_id_not_null": F.col("event_id").isNull(),
-        "value_non_negative": F.col("value").isNotNull() & (F.col("value") < 0),
-        "event_type_in_domain": ~F.col("event_type").isin(
-            "view", "click", "purchase", "signup", "error"
-        ),
-        "ts_in_range": (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
-        | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
-    }
+    rules = event_row_rules()
     return expect(ev, rules).unionByName(
         expect_unique(ev, ["event_id"], "event_id_unique")
     )

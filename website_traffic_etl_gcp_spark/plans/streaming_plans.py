@@ -294,3 +294,58 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.embed_ingest import run_streaming_semdedup_ingest
 
     return run_streaming_semdedup_ingest(spark, sf_dir)
+
+
+@register(
+    "streaming_dq_router",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM events),
+    rules AS (
+        SELECT 'event_id_not_null' AS rule,
+               COUNT(*) FILTER (event_id IS NULL) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'value_non_negative',
+               COUNT(*) FILTER (value IS NOT NULL AND value < 0)
+        FROM events
+        UNION ALL
+        SELECT 'event_type_in_domain',
+               COUNT(*) FILTER (event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup', 'error'))
+        FROM events
+        UNION ALL
+        SELECT 'ts_in_range',
+               COUNT(*) FILTER (ts < TIMESTAMP '2020-01-01'
+                                OR ts >= TIMESTAMP '2030-01-01')
+        FROM events
+        UNION ALL
+        SELECT 'any_violation',
+               COUNT(*) FILTER (
+                   event_id IS NULL
+                   OR (value IS NOT NULL AND value < 0)
+                   OR event_type NOT IN
+                      ('view', 'click', 'purchase', 'signup', 'error')
+                   OR ts < TIMESTAMP '2020-01-01'
+                   OR ts >= TIMESTAMP '2030-01-01')
+        FROM events
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n.n_rows, n_violations = 0 AS passed
+    FROM rules, n
+    """,
+    tags=("streaming", "quality"),
+    doc="Arrival-path DQ quarantine router: every micro-batch's rows "
+    "split ROW-LOCALLY by the SAME declarative violation predicates "
+    "as the batch gate (operators/quality.py:event_row_rules — one "
+    "rule set, two paths) into clean and quarantine tables, written "
+    "batch_id-keyed for exactly-once under retries. The report is "
+    "recomputed FROM THE PERSISTED TABLES, so the oracle proves the "
+    "files on disk match the rules — the streaming path end to end. "
+    "Routing is a pure map; uniqueness (not row-local) stays with "
+    "the batch gate and the upsert sink. "
+    "streaming/wap_ingest.py:run_streaming_dq_router.",
+)
+def streaming_dq_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.wap_ingest import run_streaming_dq_router
+
+    return run_streaming_dq_router(spark, sf_dir)
