@@ -103,6 +103,9 @@ SF1_QUERIES = [
     "embedding_pca_gate",
     "token_budget_waterfill",
     "doc_lm_perplexity",
+    "knn_ivfpq_persisted",
+    "knn_pca_prefilter",
+    "streaming_dq_router",
 ]
 
 TABLES = (

@@ -417,3 +417,27 @@ def test_pca_prefilter_recall_and_no_self(spark):
         .collect()[0]
     )
     assert agg["mean_recall"] >= 0.5
+
+
+def test_pca_moments_are_mergeable_and_exact(spark):
+    """The PCA gate's incremental/streaming claim: integer moment sums
+    over disjoint corpus halves ADD to the full-corpus sums exactly
+    (int64, no float drift) — merging partial moments is lossless, so
+    covariance can be maintained incrementally batch by batch."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators import pca
+    from website_traffic_etl_gcp_spark.plans import embeddings as pe
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    n_a, s1_a, s11_a = pca.moment_sums(even, pe.EMBED_DIM)
+    n_b, s1_b, s11_b = pca.moment_sums(odd, pe.EMBED_DIM)
+    n, s1, s11 = pca.moment_sums(emb, pe.EMBED_DIM)
+    assert n == n_a + n_b
+    assert s1 == [a + b for a, b in zip(s1_a, s1_b)]
+    keys = set(s11) | set(s11_a) | set(s11_b)
+    for k in keys:
+        assert s11.get(k, 0) == s11_a.get(k, 0) + s11_b.get(k, 0)
