@@ -725,6 +725,7 @@ def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_lm_perplexity",
+    bench=True,
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
