@@ -83,8 +83,13 @@ def run_streaming_dq_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(os.path.join(quar_path, sub))
 
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = spark.readStream.schema(schema).parquet(
-        stream_source_dir(sf_dir, "events")
+    # recursiveFileLookup: the landing entry may be a DIRECTORY of
+    # part files (the derived sf1 tables) rather than a single parquet
+    # file (the shipped test SFs); the file stream must find both
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_source_dir(sf_dir, "events"))
     )
     q = (
         stream.writeStream.foreachBatch(route)
