@@ -87,8 +87,12 @@ def run_streaming_minhash_ingest(
         _write_batch(res, out_path, batch_id)
 
     schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
-    stream = spark.readStream.schema(schema).parquet(
-        stream_source_dir(sf_dir, "documents")
+    # recursiveFileLookup: the landing entry may be a directory of
+    # part files (derived tables) rather than one parquet file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_source_dir(sf_dir, "documents"))
     )
     q = (
         stream.writeStream.foreachBatch(probe)

@@ -127,8 +127,12 @@ def run_streaming_semdedup_ingest(
         _write_batch(verdict, out_path, batch_id)
 
     schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
-    stream = spark.readStream.schema(schema).parquet(
-        stream_source_dir(sf_dir, "embeddings")
+    # recursiveFileLookup: the landing entry may be a directory of
+    # part files (derived tables) rather than one parquet file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_source_dir(sf_dir, "embeddings"))
     )
     q = (
         stream.writeStream.foreachBatch(probe)

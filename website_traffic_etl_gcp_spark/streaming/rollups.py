@@ -81,24 +81,53 @@ def read_events_stream(
     # may hold files with a different ts physical type than the
     # canonical events table); fall back to the canonical table only
     # when the dir has no parquet yet (stream started before first file)
+    def _leaf_parquet(path: str) -> str | None:
+        """A parquet FILE at or under ``path`` — the landing entry (or
+        the canonical table) may be a DIRECTORY of part files rather
+        than a single file; footer sniffing needs a leaf."""
+        if os.path.isfile(path):  # follows symlinks
+            return path
+        inner = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+        return inner[0] if inner else None
+
     candidates = sorted(
         p
         for p in glob.glob(os.path.join(src, "*.parquet"))
         if not os.path.basename(p).startswith(".")
     )
-    sniff_path = candidates[0] if candidates else table_path(sf_dir, "events")
+    leaves = [f for f in map(_leaf_parquet, candidates) if f]
+    sniff_path = (
+        leaves[0]
+        if leaves
+        else _leaf_parquet(table_path(sf_dir, "events"))
+        or table_path(sf_dir, "events")
+    )
     footer_ts = pq.read_schema(sniff_path).field("ts").type
     surfaces_as_long = pa.types.is_integer(footer_ts) or (
         pa.types.is_timestamp(footer_ts) and footer_ts.unit == "ns"
     )
     if surfaces_as_long:
-        raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if pa.types.is_timestamp(footer_ts) and footer_ts.tz is None:
         declared: StructType = _events_schema_with_ts(TimestampNTZType())
     else:
         declared = _events_schema_with_ts(TimestampType())
-    raw = spark.readStream.schema(declared).parquet(src)
+    # recursiveFileLookup: the landing entry may be a directory of
+    # part files (derived tables) rather than one parquet file
+    raw = (
+        spark.readStream.schema(declared)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
