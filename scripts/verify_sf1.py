@@ -106,6 +106,13 @@ SF1_QUERIES = [
     "knn_ivfpq_persisted",
     "knn_pca_prefilter",
     "streaming_dq_router",
+    # unlocked by the directory-layout streaming fix: the whole file-
+    # stream tier now runs against the derived sf1 tables; these four
+    # have linear window/join oracles tractable at 1M events
+    "streaming_hourly_counts",
+    "streaming_sessionize",
+    "streaming_segment_revenue",
+    "streaming_sliding_2h",
 ]
 
 TABLES = (
