@@ -120,6 +120,66 @@ def ngram_jaccard_pairs_dfcap(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    bucket: Column,
+    threshold: float,
+    max_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT: a pair whose
+    smaller shingle set is ≥ ``threshold`` contained in the other is
+    emitted even when its symmetric Jaccard is low — the quote/excerpt
+    case (a short doc embedded in a long one) that Jaccard structurally
+    misses because the union is dominated by the longer doc.
+
+    Same inverted-index shape as the Jaccard tier (shared-shingle
+    self-join within content buckets, never a cross join), with the
+    mandatory df cap bounding posting lists at scale; sizes and the
+    intersection count only the kept (rare) shingles, so the score is
+    exact containment over the capped sets. Bucketing is by lang ONLY
+    (no length band): containment pairs are precisely the ones with
+    very different lengths, which a length-band bucket would split.
+
+    Output: (doc_a, doc_b, n_inter, n_a, n_b, containment) with
+    doc_a < doc_b and containment = n_inter / min(n_a, n_b)."""
+    ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
+    w = Window.partitionBy("bucket", "shingle")
+    ex = (
+        ex.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+        .localCheckpoint(eager=False)
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_inter").cast("double") / F.least(
+        "n_a", "n_b"
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b",
+                cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _salted_self_join(keyed: DataFrame, join_keys: list[str], n_salts: int):
     """Self-join ``keyed`` on ``join_keys`` with doc_id-derived salting:
     the a-side gets salt = md5(doc_id) % n_salts, the b-side is

@@ -40,9 +40,17 @@ INDEX_BUCKETS = 8
 
 
 def _scratch_root() -> str:
+    """Explicit ``WTES_INDEX_DIR`` = deliberately shared (a real
+    deployment points it at durable storage). The DEFAULT is keyed by
+    pid: index builds rmtree-and-rewrite their table path, so two
+    unrelated processes defaulting to one shared tmp root would race
+    each other's builds (observed as a transient oracle mismatch when
+    two test runs overlapped). Per-process default keeps the
+    build-once-probe-many reuse within a session without cross-process
+    hazard."""
     return os.environ.get(
         "WTES_INDEX_DIR",
-        os.path.join(tempfile.gettempdir(), "wtes_dedup_index"),
+        os.path.join(tempfile.gettempdir(), f"wtes_dedup_index_{os.getpid()}"),
     )
 
 

@@ -350,6 +350,59 @@ def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_MAX_DF = 4
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_DOCS_SH}),
+    ex AS (SELECT doc_id, lang AS bucket, unnest(shingles) AS shingle
+           FROM sh),
+    kept AS (
+        SELECT ex.doc_id, ex.bucket, ex.shingle
+        FROM ex
+        JOIN (SELECT bucket, shingle FROM ex
+              GROUP BY 1, 2 HAVING COUNT(*) <= {CONTAINMENT_MAX_DF}) rare
+          USING (bucket, shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM kept a JOIN kept b
+          ON a.bucket = b.bucket AND a.shingle = b.shingle
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+            / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("documents", "dedup"),
+    bench=True,
+    doc=f"Asymmetric containment near-dup pairs (quote/excerpt "
+    "detection): shared-shingle inverted-index join within lang "
+    f"buckets, df cap {CONTAINMENT_MAX_DF}, score = |A∩B| / min(|A|, "
+    "|B|) over the capped sets — catches a short doc embedded in a "
+    "long one, which symmetric Jaccard structurally misses (union "
+    "dominated by the long doc). Lang-only buckets on purpose: the "
+    "interesting pairs have very different lengths, so a length-band "
+    "bucket would split them. operators/dedup.py:containment_pairs.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dd.containment_pairs(
+        d, F.col("lang"), CONTAINMENT_THRESHOLD, CONTAINMENT_MAX_DF
+    )
+
+
 def _sql_minhash_prefix() -> str:
     """Shared sh/ex/sigs/bands CTE prefix — the batch and incremental
     minhash oracles MUST be generated from one fragment or a constant
