@@ -3,6 +3,7 @@ pruning preserved."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from website_traffic_etl_gcp_spark.catalog import load_table
@@ -200,3 +201,35 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     a = {(r["doc_id"], r["shard_id"]) for r in back.select("doc_id", "shard_id").collect()}
     b = {(r["doc_id"], r["shard_id"]) for r in back2.select("doc_id", "shard_id").collect()}
     assert a == b
+
+
+def test_write_sorted_table_total_order(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    path = str(tmp_path / "sorted")
+    from website_traffic_etl_gcp_spark.sources.writers import write_sorted_table
+
+    manifest = write_sorted_table(ev, path, "event_id", n_files=4).collect()
+
+    # all rows survive, manifest covers them
+    n_src = ev.count()
+    assert sum(r.n_rows for r in manifest) == n_src
+    # per-file key ranges are DISJOINT → the table is globally sorted
+    ranges = sorted((r.key_min, r.key_max) for r in manifest)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, f"overlapping file ranges {(a_lo, a_hi)} {(b_lo, b_hi)}"
+    # each file is internally sorted
+    out = spark.read.parquet(path)
+    unsorted = (
+        out.withColumn("f", F.input_file_name())
+        .withColumn(
+            "prev",
+            F.lag("event_id").over(
+                Window.partitionBy("f").orderBy(
+                    F.monotonically_increasing_id()
+                )
+            ),
+        )
+        .filter(F.col("prev") > F.col("event_id"))
+        .count()
+    )
+    assert unsorted == 0

@@ -377,3 +377,48 @@ def test_incremental_cluster_merge_equals_full_recompute(spark):
     assert merged == full
     assert merged[6] == 0  # the bridge united everything at root 0
     assert merged[9] == 7
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    big = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five"
+    )
+    excerpt = "kilo lima mike november oscar papa quebec romeo"
+    other = "unrelated words entirely disjoint vocabulary nothing shared here ok"
+    docs = spark.createDataFrame(
+        [(0, big, "en"), (1, excerpt, "en"), (2, other, "en")],
+        ["doc_id", "text", "lang"],
+    )
+    # the excerpt is fully contained → containment 1.0 even though
+    # Jaccard is far below any near-dup threshold
+    cont = dd.containment_pairs(
+        docs, F.lit("b"), threshold=0.9, max_df=10
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in cont}
+    assert got == {(0, 1): 1.0}
+    jac = dd.ngram_jaccard_pairs(docs, F.lit("b"), threshold=0.5).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {0, 1} for r in jac)
+
+
+def test_pagerank_hub_outranks_leaves_and_conserves_mass(spark):
+    # star graph: 0 at the center of 1..4, plus an isolated pair (5,6)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6)], ["doc_a", "doc_b"]
+    )
+    rows = {r["doc_id"]: r for r in dd.pagerank_micro(pairs, iters=3).collect()}
+    assert rows[0]["degree"] == 4
+    # hub strictly outranks every leaf; leaves are symmetric → equal
+    leaf_ranks = {rows[i]["rank_micro"] for i in (1, 2, 3, 4)}
+    assert len(leaf_ranks) == 1
+    assert rows[0]["rank_micro"] > leaf_ranks.pop()
+    # the isolated pair is a symmetric 2-cycle: rank stays ~1.0
+    assert rows[5]["rank_micro"] == rows[6]["rank_micro"]
+    assert abs(rows[5]["rank_micro"] - 1_000_000) < 5
+    # integer determinism: rerun is bit-identical
+    again = {
+        r["doc_id"]: r["rank_micro"]
+        for r in dd.pagerank_micro(pairs, iters=3).collect()
+    }
+    assert again == {k: v["rank_micro"] for k, v in rows.items()}

@@ -536,6 +536,67 @@ def boilerplate_span_manifest(
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_BASE_MICRO = 150_000  # (1 - d) in micro-units, d = 0.85
+PAGERANK_INIT_MICRO = 1_000_000
+
+
+def pagerank_micro(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph, in
+    EXACT integer micro-units: ranks start at 1e6, each round computes
+    ``150_000 + (85 · Σ_u floor(r(u) / deg(u))) div 100`` — every step
+    is int64 floor arithmetic, so the result is bit-identical on any
+    engine or cluster size (the family's micro-nat determinism
+    contract; no float sum ordering anywhere).
+
+    Each round is one (edges ⋈ ranks) hash join on src plus one
+    groupBy(dst) sum — the textbook distributed PageRank shape; edge
+    list localCheckpoint'd once (it feeds every round), ranks
+    checkpoint'd per round so the plan stays shallow at high iteration
+    counts. Nodes are the docs that appear in ≥ 1 pair, so deg ≥ 1 and
+    there are no dangling-node corrections to smear.
+
+    Output: (doc_id, degree, rank_micro, rank)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    ranks = deg.select(
+        "src", "degree", F.lit(PAGERANK_INIT_MICRO).cast("bigint").alias("rank_micro")
+    )
+    for _ in range(iters):
+        shares = ranks.select(
+            "src", F.expr("rank_micro div degree").alias("share")
+        )
+        sums = (
+            edges.join(shares, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            deg.join(sums, "src", "left")
+            .select(
+                "src",
+                "degree",
+                (
+                    F.lit(PAGERANK_BASE_MICRO)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).cast("bigint").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("src").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        "rank_micro",
+        (F.col("rank_micro").cast("double") / F.lit(1e6)).alias("rank"),
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Duplicate-CLUSTER formation: collapse the near-dup pair graph
     into components — the step that turns pairwise dedup output into

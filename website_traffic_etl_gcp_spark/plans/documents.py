@@ -162,9 +162,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
+_SQL_QSCORE = f"""
     SELECT doc_id, n_chars_norm, n_tokens, n_stop, n_punct, n_digit,
            CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
              + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
@@ -179,7 +177,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(regexp_replace(norm, '[^0-9]', '', 'g')) AS n_digit
         FROM ({_SQL_DOCS_NORM})
     )
-    """,
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=_SQL_QSCORE,
     tags=("documents",),
     doc="Composite quality score: stopword ratio (fluency proxy) + "
     "punctuation + digit density. Same closed-form on both engines — "
@@ -211,6 +214,113 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 0.3
     )
     return base.withColumn("quality_score", score)
+
+
+@register(
+    "quality_curriculum_buckets",
+    oracle=f"""
+    WITH qs AS (
+        SELECT doc_id,
+               CAST(round(quality_score * 1e6, 0) AS BIGINT) AS score_micro
+        FROM ({_SQL_QSCORE})
+    ),
+    hist AS (SELECT score_micro, COUNT(*) AS cnt FROM qs GROUP BY 1),
+    cum AS (
+        SELECT score_micro,
+               SUM(cnt) OVER (ORDER BY score_micro
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cume
+        FROM hist
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM qs),
+    bounds AS (
+        SELECT MIN(CASE WHEN cume >= (n + 3) // 4 THEN score_micro END) AS b25,
+               MIN(CASE WHEN cume >= (n + 1) // 2 THEN score_micro END) AS b50,
+               MIN(CASE WHEN cume >= (3 * n + 3) // 4 THEN score_micro END) AS b75
+        FROM cum, tot
+    )
+    SELECT CASE WHEN score_micro <= b25 THEN 1
+                WHEN score_micro <= b50 THEN 2
+                WHEN score_micro <= b75 THEN 3
+                ELSE 4 END AS curriculum_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(score_micro) AS BIGINT) AS min_score_micro,
+           CAST(MAX(score_micro) AS BIGINT) AS max_score_micro,
+           CAST(SUM(score_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+               AS mean_score
+    FROM qs, bounds
+    GROUP BY 1
+    """,
+    tags=("documents", "selection"),
+    doc="Quality-curriculum assignment: exact QUARTILE boundaries "
+    "without a global sort. The double score is fixed to integer "
+    "micro-units (round(q·1e6) — the family's micro determinism "
+    "contract), so the score HISTOGRAM has ≤ 1e6+1 distinct values "
+    "REGARDLESS of corpus size; boundaries come from a running sum "
+    "over that bounded histogram (smallest score whose cumulative "
+    "count ≥ ceil(p·n), all-integer ceil), then every doc is bucketed "
+    "map-side against the broadcast 1-row boundary frame. This is how "
+    "you do exact global order statistics at 100 TB: aggregate to a "
+    "value-bounded histogram, never sort the corpus. (Curriculum "
+    "training consumes the buckets low→high quality.)",
+)
+def quality_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1e6, 0).cast("bigint").alias(
+            "score_micro"
+        ),
+    )
+    hist = qs.groupBy("score_micro").agg(F.count(F.lit(1)).alias("cnt"))
+    # single-partition running sum is safe HERE: the frame is bounded
+    # at 1e6+1 rows by construction (micro scores of a [0,1] quantity)
+    w = Window.orderBy("score_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cume", F.sum("cnt").over(w))
+    tot = qs.agg(F.count(F.lit(1)).alias("n"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cume") >= F.expr("(n + 3) div 4"), F.col("score_micro")
+                )
+            ).alias("b25"),
+            F.min(
+                F.when(
+                    F.col("cume") >= F.expr("(n + 1) div 2"), F.col("score_micro")
+                )
+            ).alias("b50"),
+            F.min(
+                F.when(
+                    F.col("cume") >= F.expr("(3 * n + 3) div 4"),
+                    F.col("score_micro"),
+                )
+            ).alias("b75"),
+        )
+    )
+    bucket = (
+        F.when(F.col("score_micro") <= F.col("b25"), 1)
+        .when(F.col("score_micro") <= F.col("b50"), 2)
+        .when(F.col("score_micro") <= F.col("b75"), 3)
+        .otherwise(4)
+    )
+    return (
+        qs.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("curriculum_bucket"), "score_micro")
+        .groupBy("curriculum_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_micro").alias("min_score_micro"),
+            F.max("score_micro").alias("max_score_micro"),
+            (
+                F.sum("score_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+            ).alias("mean_score"),
+        )
+    )
 
 
 def _sql_lang_pred() -> str:

@@ -656,6 +656,62 @@ def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pagerank(iters: int) -> str:
+    """Unrolled integer-micro PageRank — one CTE per iteration, each
+    step the same int64 floor arithmetic as the Spark operator."""
+    step = """
+    r{t} AS (
+        SELECT d.src, d.degree,
+               CAST({base} + (85 * COALESCE(SUM(r.rank_micro // r.degree), 0))
+                    // 100 AS BIGINT) AS rank_micro
+        FROM deg d
+        LEFT JOIN edges e ON e.dst = d.src
+        LEFT JOIN r{p} r ON r.src = e.src
+        GROUP BY 1, 2
+    )"""
+    chain = ",".join(
+        step.format(t=t, p=t - 1, base=dd.PAGERANK_BASE_MICRO)
+        for t in range(1, iters + 1)
+    )
+    return f"""
+    WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1),
+    r0 AS (SELECT src, degree,
+                  CAST({dd.PAGERANK_INIT_MICRO} AS BIGINT) AS rank_micro
+           FROM deg),
+    {chain}
+    SELECT src AS doc_id, CAST(degree AS BIGINT) AS degree, rank_micro,
+           CAST(rank_micro AS DOUBLE) / 1e6 AS rank
+    FROM r{iters}
+    """
+
+
+@register(
+    "dup_graph_pagerank",
+    oracle=_sql_pagerank(dd.PAGERANK_ITERS),
+    tags=("documents", "dedup", "selection", "graph"),
+    doc=f"Duplication CENTRALITY: {dd.PAGERANK_ITERS}-iteration "
+    "PageRank over the df-capped Jaccard pair graph in exact integer "
+    "micro-units — ranks boilerplate/template hubs that degree alone "
+    "understates (a doc bridging several dup clusters outranks one "
+    "inside a single clique). The engine's iterative-graph shape: "
+    "per round one edges⋈ranks hash join + one groupBy-sum, edge list "
+    "checkpointed once — the same loop runs label propagation or HITS "
+    "unchanged. All arithmetic is int64 floor ops (micro-nat "
+    "contract), so ranks are bit-identical across engines and cluster "
+    "sizes. operators/dedup.py:pagerank_micro.",
+)
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
+    pairs = dd.ngram_jaccard_pairs(
+        d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    return dd.pagerank_micro(pairs, iters=dd.PAGERANK_ITERS)
+
+
 DSIR_SAMPLE_K = 200
 DSIR_SAMPLE_SALT = ":dsir"
 

@@ -308,6 +308,41 @@ def compact_table(
     }
 
 
+def write_sorted_table(
+    df: DataFrame,
+    table_path: str,
+    key_col: str,
+    n_files: int = 8,
+) -> DataFrame:
+    """TOTAL-ORDER export: range-partition on ``key_col`` (one sampled
+    range exchange — Spark's RangePartitioner, the same machinery as
+    a distributed sort) then sort within partitions, so the table is
+    globally sorted across files: every file holds a contiguous,
+    disjoint key range and is internally ordered. Downstream consumers
+    get merge-join inputs, binary-searchable runs, and parquet min/max
+    file pruning on the key for free — without any reader-side sort.
+
+    Returns a per-file MANIFEST frame (file, key_min, key_max, n_rows)
+    computed in one pass over the written table; callers persist it
+    next to the data as the range index."""
+    spark = df.sparkSession
+    (
+        df.repartitionByRange(n_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(table_path)
+    )
+    out = spark.read.parquet(table_path)
+    return (
+        out.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     out_dir: str,
