@@ -2,14 +2,14 @@
 order. That window is a curated contract (plans/__init__.py),
 rebalanced per round to maximize distinct driver-green evidence.
 
-Round 6 pins: the 3 queries that never had a driver row, everything
-round 6 changed (map-side argmin family, ivf_cell_occupancy, the
-tokenizer refactor, idempotent streaming writes, the widen guard),
-the MUST_LEAD_R6 carry-over (the seven oldest green rows — tracked
-HERE explicitly per the round-5 advice, instead of silently dropping
-them from the enforced set), and the r3-green rotation. The r3
-queries that did not fit are DECLARED as MUST_LEAD_R7 below; the
-round-7 window test must consume that list, keeping the staleness
+Round 7 pins: the FOUR queries that never had a driver row (late
+round-6 additions), everything round 7 changed (the dsir fan-out fix,
+the sessionize/etl_hourly regression re-measure, the IVF persisted-
+index atomic build, the PQ codebook-reuse rework), the MUST_LEAD_R7
+carry-over declared by round 6 (18 r3-green rows — consumed here as
+the round-6 edition promised), and 21 of the 30 urgent r4-green rows.
+The nine r4 rows that did not fit are DECLARED as MUST_LEAD_R8 below;
+the round-8 window test must consume that list, keeping the staleness
 invariant ("no green row older than 3 rounds") an explicit chain of
 custody rather than an editable comment."""
 
@@ -19,89 +19,29 @@ from website_traffic_etl_gcp_spark.plans import REGISTRY
 
 WINDOW = 50
 
-# round-6 changes + never-sampled queries — each needs a fresh
-# driver-visible green row
-CHANGED_R6 = (
-    "dsir_gumbel_sample",  # never driver-sampled
-    "dup_graph_degree_stats",  # never driver-sampled
-    "knn_ivf_persisted",  # never driver-sampled + argmin rewrite
-    "ivf_cell_occupancy",  # new query (skew diagnostic)
-    "kmeans_embedding_clusters",  # map-side argmin rewrite
-    "knn_ivf_cells",  # map-side argmin rewrite
-    "dedup_semantic_cells",  # map-side argmin rewrite
-    "kmeans_quality_gate",  # uses rewritten kmeans
-    "knn_recall_eval",  # uses rewritten assign_cells
-    "tokenizer_fertility_by_lang",  # pluggable-tokenizer refactor
-    "streaming_minhash_ingest",  # idempotent batch-keyed writes
-    "knn_lsh_bucketed",  # widen guard rework + rounded-sign signature
-    "lsh_bucket_occupancy",  # new query (signature-space skew)
-    "streaming_semdedup_ingest",  # new query (vector admission dedup)
-    # round-6 second wave — all new, each needs its first driver row
-    "simhash_quality_eval",
-    "winnow_quality_eval",
-    "knn_ivfpq_rerank",
-    "knn_ivfpq_persisted",
-    "doc_lm_perplexity",
-    "token_budget_waterfill",
-    "embedding_pca_gate",
-    "knn_pca_prefilter",
-    "dedup_keep_best",
-    "streaming_dq_router",
+# the four late-round-6 queries with no driver CORRECTNESS row ever —
+# VERDICT r6 "Next round" item 2 puts them at the head of the window
+NEVER_SAMPLED_R7 = (
+    "dedup_containment_pairs",
+    "dup_graph_pagerank",
+    "incremental_distinct_hll",
+    "quality_curriculum_buckets",
 )
 
-# the tracked carry-over from round 5: the six r1-green queries that
-# yielded their round-5 slots plus the r3-green salted_event_value_sum
-# — these MUST hold window slots in round 6 (this is the assertion the
-# round-5 advice asked for in place of editing STALE_R1)
-MUST_LEAD_R6 = (
-    "text_token_count",
-    "doc_stats_by_source",
-    "lang_source_matrix",
-    "top_bigrams",
-    "centroid_by_label",
-    "salted_orderstatus_revenue",
-    "salted_event_value_sum",
+# round-7 changes — each needs a fresh driver-visible green row
+CHANGED_R7 = (
+    "dsir_importance_weights",  # SF-aware fan-out fix (r6 3.3× regression)
+    "sessionize_events",  # regression re-measure (r6 flag)
+    "etl_traffic_hourly",  # regression re-measure (r6 flag)
+    "knn_ivf_persisted",  # atomic index build + eager probe validation
+    "knn_pq_rerank",  # persisted-codebook reuse
+    "knn_ivfpq_rerank",  # persisted-codebook reuse
+    "knn_ivfpq_persisted",  # index build path reworked
 )
 
-# r3-green queries rotated back in before their rows go 4 rounds stale
-ROTATED_R3 = (
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_late_shipment_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "top_customers_by_revenue",
-    "customers_above_segment_avg",
-    "returned_items_report",
-    "funnel_conversion",
-    "daily_active_users",
-    "retention_cohorts",
-    "dedup_minhash_lsh",
-    "approx_distinct_users_daily",
-    "signup_to_purchase_latency",
-    "multimodal_frame_sample",
-)
-
-# §2 section representatives present in the window
-SECTION_REPRESENTATIVES = (
-    "etl_traffic_transform",  # §2A
-    "q3_shipping_priority",  # §2B
-    "funnel_conversion",  # §2C
-    "dedup_minhash_lsh",  # §2D
-    "lsh_bucket_occupancy",  # §2E
-    "salted_event_value_sum",  # §2E2
-    "multimodal_frame_sample",  # §2F
-    "streaming_minhash_ingest",  # §2G
-)
-
-# The r3-green queries that did NOT fit in the round-6 window — their
-# driver rows will be 4 rounds old by round 7, so the round-7 window
-# MUST lead with them. The round-7 edition of this test consumes this
-# list (asserts membership in the r7 window), the same way
-# MUST_LEAD_R6 above consumed round 5's deferral.
+# the tracked carry-over from round 6: 18 r3-green rows whose driver
+# evidence would be 4 rounds old without a round-7 slot. Declared by
+# round 6's edition of this file; consumed here as promised.
 MUST_LEAD_R7 = (
     "q6_forecast_revenue",
     "q12_priority_by_status",
@@ -111,8 +51,6 @@ MUST_LEAD_R7 = (
     "nation_revenue_yearly",
     "order_priority_counts",
     "part_type_revenue_share",
-    # r3-green queries displaced from the round-6 window by the
-    # second-wave additions (their rows turn 4 rounds stale at r7)
     "q13_customer_order_distribution",
     "q15_top_supplier",
     "q18_large_volume_customers",
@@ -125,17 +63,81 @@ MUST_LEAD_R7 = (
     "value_quantiles_by_type",
 )
 
+# r4-green rotation: 21 of the 30 urgent r4 rows (the six r4 rows the
+# round-6 sf1 sweep re-verified are deprioritized)
+ROTATED_R4 = (
+    "etl_append_dedup",
+    "etl_traffic_quarantine",
+    "incremental_hourly_rollup",
+    "q20_excess_availability",
+    "daily_volume_anomaly",
+    "dq_events_expectations",
+    "event_transition_matrix",
+    "pre_purchase_activity",
+    "props_json_extract",
+    "session_path_signatures",
+    "session_window_rollup",
+    "top_users_by_purchase",
+    "cms_heavy_hitters",
+    "dedup_keep_list",
+    "dedup_simhash",
+    "dup_ngram_fraction",
+    "pii_redact_report",
+    "multimodal_audio_chunks",
+    "multimodal_resize_dims",
+    "streaming_dedup_ingest",
+    "streaming_view_attribution",
+)
+
+# §2 section representatives present in the window
+SECTION_REPRESENTATIVES = (
+    "etl_traffic_hourly",  # §2A
+    "q6_forecast_revenue",  # §2B
+    "sessionize_events",  # §2C
+    "dedup_containment_pairs",  # §2D
+    "knn_ivfpq_persisted",  # §2E
+    "incremental_distinct_hll",  # §2E2
+    "multimodal_audio_chunks",  # §2F
+    "streaming_dedup_ingest",  # §2G
+)
+
+# The r4-green queries that did NOT fit in the round-7 window — their
+# driver rows turn 4 rounds stale at round 8, so the round-8 window
+# MUST lead with them. The round-8 edition of this test consumes this
+# list (asserts membership in the r8 window), the same way this
+# edition consumed round 6's MUST_LEAD_R7.
+MUST_LEAD_R8 = (
+    "quality_filter_verdicts",
+    "unicode_nfc_normalize",
+    "bloom_prefiltered_revenue",
+    "value_percentiles_approx",
+    "value_trimmed_stats_by_type",
+    "scd2_customer_segment",
+    "snapshot_diff_orders",
+    "streaming_segment_revenue",
+    "streaming_sliding_2h",
+)
+
 
 def test_window_contains_evidence_gaps_and_all_sections():
     window = list(REGISTRY)[:WINDOW]
     for group, names in (
-        ("round-6 changed/new", CHANGED_R6),
-        ("MUST_LEAD_R6 carry-over", MUST_LEAD_R6),
-        ("r3 rotation", ROTATED_R3),
+        ("never-driver-sampled", NEVER_SAMPLED_R7),
+        ("round-7 changed", CHANGED_R7),
+        ("MUST_LEAD_R7 carry-over", MUST_LEAD_R7),
+        ("r4 rotation", ROTATED_R4),
         ("section representatives", SECTION_REPRESENTATIVES),
     ):
         missing = [n for n in names if n not in window]
         assert not missing, f"{group} queries fell out of the window: {missing}"
+
+
+def test_never_sampled_lead_the_window():
+    """VERDICT r6 explicitly asks the four never-checked queries to be
+    at the HEAD of the r7 window, so even a truncated driver run hits
+    them first."""
+    head = list(REGISTRY)[: len(NEVER_SAMPLED_R7)]
+    assert head == list(NEVER_SAMPLED_R7), head
 
 
 def test_window_is_oracle_backed():
@@ -146,12 +148,12 @@ def test_window_is_oracle_backed():
     assert no_oracle == [], no_oracle
 
 
-def test_deferred_r7_queries_are_real_and_tracked():
+def test_deferred_r8_queries_are_real_and_tracked():
     """The deferral list must stay consumable: every name is a registry
     query with an oracle, and none silently re-entered the window
-    (which would make the r7 carry-over claim wrong)."""
+    (which would make the r8 carry-over claim wrong)."""
     window = set(list(REGISTRY)[:WINDOW])
-    for n in MUST_LEAD_R7:
+    for n in MUST_LEAD_R8:
         assert n in REGISTRY, f"deferred query {n} no longer exists"
         assert REGISTRY[n].oracle is not None
         assert n not in window, f"{n} is both windowed and deferred"

