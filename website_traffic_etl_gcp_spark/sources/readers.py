@@ -7,8 +7,11 @@ pandas (extract.py:18-80). Here every format is a distributed source:
   extra pass over 100 TB and non-deterministic under dirty data.
 - XLS: no JVM codec for it; a *many-files* layout is decoded in
   parallel via mapInPandas (one file per task row), which is how a
-  spreadsheet drop-zone actually looks at scale. Gated behind
-  import-try: the xlrd/openpyxl engines are optional.
+  spreadsheet drop-zone actually looks at scale. Decodes with a real
+  pandas Excel engine when one is installed (xlrd for .xls like the
+  reference, openpyxl for .xlsx), falling back to the vendored
+  pure-Python BIFF8 reader (xls_minimal.py) so the path always runs
+  on real bytes.
 
 Validation mirrors extract.py:69-77 (required columns, non-empty) but
 returns problems as data, not exceptions, where possible.
@@ -75,8 +78,9 @@ def read_xls_many(
 ) -> DataFrame:
     """Distributed XLS decode: parallelize the file list, one file per
     row, decode inside mapInPandas so each executor reads its own
-    files. Requires an Excel engine (xlrd for .xls like the reference,
-    openpyxl for .xlsx)."""
+    files. Prefers a pandas Excel engine (xlrd for .xls like the
+    reference extract.py:60, openpyxl for .xlsx); when none is
+    installed, decodes with the vendored pure-Python BIFF8 reader."""
     try:
         import pandas as pd  # noqa: F401
 
@@ -93,12 +97,15 @@ def read_xls_many(
             for path in pdf["path"]:
                 try:
                     out = pd.read_excel(path)
-                except ImportError as e:
-                    raise ExtractionError(
-                        "no Excel engine installed (xlrd/openpyxl); "
-                        f"cannot decode {path}: {e}"
-                    ) from e
-                out.columns = [c.lower() for c in out.columns]
+                except ImportError:
+                    # no xlrd/openpyxl in this environment — vendored
+                    # minimal BIFF8 reader (same module family, so it
+                    # ships to executors with the package)
+                    from .xls_minimal import read_xls
+
+                    header, rows = read_xls(path)
+                    out = pd.DataFrame(rows, columns=header)
+                out.columns = [str(c).lower() for c in out.columns]
                 yield out[[f.name for f in schema.fields]]
 
     return files_df.mapInPandas(decode, schema)
