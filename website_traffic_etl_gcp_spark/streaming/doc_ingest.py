@@ -46,6 +46,15 @@ def _scratch(sf_dir: str) -> str:
     )
 
 
+def _reap_at_exit(path: str) -> None:
+    """Delete a scratch dir at interpreter exit: the returned verdict
+    frame reads it lazily for the rest of the session, so an eager
+    delete would leave the frame scanning a missing source."""
+    import atexit
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 def _write_batch(res: DataFrame, out_path: str, batch_id: int) -> None:
     """foreachBatch is at-least-once per batch: a retry after the
     write but before the checkpoint commit re-runs this batch_id.
@@ -100,15 +109,12 @@ def run_streaming_minhash_ingest(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    try:
-        q.awaitTermination()
-        out = spark.read.option("recursiveFileLookup", "true").parquet(
-            out_path
-        )
-        # the verdict set is small (matched pairs only) — collect and
-        # REBUILD it so the returned frame has no lineage into the
-        # scratch dir deleted below (a localCheckpoint is best-effort:
-        # evicted blocks would recompute against a deleted source)
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    q.awaitTermination()
+    # return the written verdicts AS a distributed frame — no driver
+    # collect/rebuild round-trip. The checkpoint is deleted now (the
+    # run is complete); the verdict parquet must outlive this call
+    # since the returned frame scans it lazily, so it is reaped at
+    # process exit instead.
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _reap_at_exit(root)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)

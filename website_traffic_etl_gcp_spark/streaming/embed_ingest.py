@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, table_path
 from ..operators import dedup_index as di
 from ..sources.bucketing import write_bucketed
-from .doc_ingest import _write_batch
+from .doc_ingest import _reap_at_exit, _write_batch
 from .rollups import stream_source_dir
 
 __all__ = ["run_streaming_semdedup_ingest"]
@@ -140,13 +140,9 @@ def run_streaming_semdedup_ingest(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    try:
-        q.awaitTermination()
-        out = spark.read.option("recursiveFileLookup", "true").parquet(
-            out_path
-        )
-        # small verdict set: collect and rebuild so the returned frame
-        # has no lineage into the scratch deleted below
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    q.awaitTermination()
+    # distributed read of the written verdicts — no driver
+    # collect/rebuild round-trip (see doc_ingest for the lifecycle)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _reap_at_exit(root)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
