@@ -2,14 +2,15 @@
 order. That window is a curated contract (plans/__init__.py),
 rebalanced per round to maximize distinct driver-green evidence.
 
-Round 7 pins: the FOUR queries that never had a driver row (late
-round-6 additions), everything round 7 changed (the dsir fan-out fix,
-the sessionize/etl_hourly regression re-measure, the IVF persisted-
-index atomic build, the PQ codebook-reuse rework), the MUST_LEAD_R7
-carry-over declared by round 6 (18 r3-green rows — consumed here as
-the round-6 edition promised), and 21 of the 30 urgent r4-green rows.
-The nine r4 rows that did not fit are DECLARED as MUST_LEAD_R8 below;
-the round-8 window test must consume that list, keeping the staleness
+Round 8 pins: the MUST_LEAD_R8 carry-over declared by round 7 (nine
+r4-green rows, consumed here as the round-7 edition promised), the
+queries round 8 actually changed AND committed (the atomic
+content-keyed index publish, the persisted-PQ-codebook reuse, the
+streaming-ingest direct verdict write — all in this round's git
+history, unlike the round-7 edition's claimed-but-unshipped list),
+the six r4 rows whose driver evidence the r6 sf1 sweep deferred, and
+the r5-green rotation oldest-first. The sixteen r5 rows that did not
+fit are DECLARED as MUST_LEAD_R9 below, keeping the staleness
 invariant ("no green row older than 3 rounds") an explicit chain of
 custody rather than an editable comment."""
 
@@ -19,93 +20,8 @@ from website_traffic_etl_gcp_spark.plans import REGISTRY
 
 WINDOW = 50
 
-# the four late-round-6 queries with no driver CORRECTNESS row ever —
-# VERDICT r6 "Next round" item 2 puts them at the head of the window
-NEVER_SAMPLED_R7 = (
-    "dedup_containment_pairs",
-    "dup_graph_pagerank",
-    "incremental_distinct_hll",
-    "quality_curriculum_buckets",
-)
-
-# round-7 changes — each needs a fresh driver-visible green row
-CHANGED_R7 = (
-    "dsir_importance_weights",  # SF-aware fan-out fix (r6 3.3× regression)
-    "sessionize_events",  # regression re-measure (r6 flag)
-    "etl_traffic_hourly",  # regression re-measure (r6 flag)
-    "knn_ivf_persisted",  # atomic index build + eager probe validation
-    "knn_pq_rerank",  # persisted-codebook reuse
-    "knn_ivfpq_rerank",  # persisted-codebook reuse
-    "knn_ivfpq_persisted",  # index build path reworked
-)
-
-# the tracked carry-over from round 6: 18 r3-green rows whose driver
-# evidence would be 4 rounds old without a round-7 slot. Declared by
-# round 6's edition of this file; consumed here as promised.
-MUST_LEAD_R7 = (
-    "q6_forecast_revenue",
-    "q12_priority_by_status",
-    "q14_promo_revenue_share",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "nation_revenue_yearly",
-    "order_priority_counts",
-    "part_type_revenue_share",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_brand_quantity_revenue",
-    "q21_sole_late_supplier",
-    "q22_dormant_accounts",
-    "user_purchase_gaps",
-    "event_type_pivot_daily",
-    "users_without_purchase",
-    "value_quantiles_by_type",
-)
-
-# r4-green rotation: 21 of the 30 urgent r4 rows (the six r4 rows the
-# round-6 sf1 sweep re-verified are deprioritized)
-ROTATED_R4 = (
-    "etl_append_dedup",
-    "etl_traffic_quarantine",
-    "incremental_hourly_rollup",
-    "q20_excess_availability",
-    "daily_volume_anomaly",
-    "dq_events_expectations",
-    "event_transition_matrix",
-    "pre_purchase_activity",
-    "props_json_extract",
-    "session_path_signatures",
-    "session_window_rollup",
-    "top_users_by_purchase",
-    "cms_heavy_hitters",
-    "dedup_keep_list",
-    "dedup_simhash",
-    "dup_ngram_fraction",
-    "pii_redact_report",
-    "multimodal_audio_chunks",
-    "multimodal_resize_dims",
-    "streaming_dedup_ingest",
-    "streaming_view_attribution",
-)
-
-# §2 section representatives present in the window
-SECTION_REPRESENTATIVES = (
-    "etl_traffic_hourly",  # §2A
-    "q6_forecast_revenue",  # §2B
-    "sessionize_events",  # §2C
-    "dedup_containment_pairs",  # §2D
-    "knn_ivfpq_persisted",  # §2E
-    "incremental_distinct_hll",  # §2E2
-    "multimodal_audio_chunks",  # §2F
-    "streaming_dedup_ingest",  # §2G
-)
-
-# The r4-green queries that did NOT fit in the round-7 window — their
-# driver rows turn 4 rounds stale at round 8, so the round-8 window
-# MUST lead with them. The round-8 edition of this test consumes this
-# list (asserts membership in the r8 window), the same way this
-# edition consumed round 6's MUST_LEAD_R7.
+# the MUST_LEAD_R8 list declared by round 7's edition of this file —
+# consumed here: all nine lead the round-8 window
 MUST_LEAD_R8 = (
     "quality_filter_verdicts",
     "unicode_nfc_normalize",
@@ -118,26 +34,117 @@ MUST_LEAD_R8 = (
     "streaming_sliding_2h",
 )
 
+# round-8 changes — each is in this round's commit history and needs
+# a fresh driver-visible green row
+CHANGED_R8 = (
+    "dedup_incremental_exact",  # atomic content-keyed index publish
+    "dedup_incremental_minhash",  # atomic content-keyed index publish
+    "knn_pq_rerank",  # persisted-codebook reuse
+    "knn_ivfpq_rerank",  # persisted-codebook reuse
+    "knn_ivfpq_persisted",  # codebook load + atomic publish
+    "knn_ivf_persisted",  # atomic publish path
+    "streaming_minhash_ingest",  # shared index + direct verdict write
+    "streaming_semdedup_ingest",  # shared index + direct verdict write
+    "dsir_importance_weights",  # re-measure under fixed bench warmup
+)
+
+# r4 driver rows deprioritized by round 6 (sf1-green) — driver
+# evidence now 4 rounds old, refreshed here
+R4_DRIVER_REFRESH = (
+    "etl_traffic_daily_rolling",
+    "error_rate_hourly",
+    "event_type_hourly",
+    "rolling_7d_event_volume",
+    "value_histogram_by_type",
+    "doc_pack_bins",
+)
+
+# r5-green rotation, oldest driver evidence first
+ROTATED_R5 = (
+    "q1_pricing_summary",
+    "session_bounce_rate",
+    "bigram_next_token_prob",
+    "decontaminate_eval_overlap",
+    "dedup_clusters",
+    "dedup_ensemble_pairs",
+    "dedup_incremental_clusters",
+    "dedup_jaccard_dfcap",
+    "dedup_ngram_jaccard",
+    "doc_repetition_score",
+    "doc_fingerprint",
+    "lang_id_heuristic",
+    "leakage_safe_split",
+    "minhash_quality_eval",
+    "multimodal_metadata",
+    "stratified_sample_mix",
+    "text_quality_score",
+    "top_terms_tfidf",
+    "embedding_dedup_cosine",
+    "knn_bruteforce_cosine",
+    "asof_last_event_before_order",
+    "customer_balance_deciles",
+    "order_cube_status_priority",
+    "revenue_rollup_nation_year",
+    "streaming_hourly_counts",
+    "streaming_sessionize",
+)
+
+# §2 section representatives present in the window
+SECTION_REPRESENTATIVES = (
+    "etl_traffic_daily_rolling",  # §2A
+    "q1_pricing_summary",  # §2B
+    "event_type_hourly",  # §2C
+    "dedup_incremental_minhash",  # §2D
+    "knn_ivfpq_persisted",  # §2E
+    "bloom_prefiltered_revenue",  # §2E2
+    "multimodal_metadata",  # §2F
+    "streaming_segment_revenue",  # §2G
+)
+
+# The r5-green queries that did NOT fit in the round-8 window — their
+# driver rows turn 4 rounds stale at round 9, so the round-9 window
+# MUST lead with them (all sixteen were re-verified by the round-6
+# sf1 sweep, so their newest evidence is r6). The round-9 edition of
+# this test consumes this list, the same way this edition consumed
+# round 7's MUST_LEAD_R8.
+MUST_LEAD_R9 = (
+    "chunk_boilerplate_report",
+    "data_mix_plan",
+    "data_mix_sample",
+    "dedup_cdc_span_apply",
+    "dedup_cdc_span_manifest",
+    "dedup_exact",
+    "dedup_span_apply",
+    "dedup_span_manifest",
+    "dedup_winnow_pairs",
+    "doc_cdc_chunks",
+    "doc_chunk_windows",
+    "doc_token_entropy",
+    "doc_winnow_fingerprints",
+    "export_training_shards",
+    "embedding_quantize_int8",
+    "contrastive_pair_mining",
+)
+
 
 def test_window_contains_evidence_gaps_and_all_sections():
     window = list(REGISTRY)[:WINDOW]
     for group, names in (
-        ("never-driver-sampled", NEVER_SAMPLED_R7),
-        ("round-7 changed", CHANGED_R7),
-        ("MUST_LEAD_R7 carry-over", MUST_LEAD_R7),
-        ("r4 rotation", ROTATED_R4),
+        ("MUST_LEAD_R8 carry-over", MUST_LEAD_R8),
+        ("round-8 changed", CHANGED_R8),
+        ("r4 driver refresh", R4_DRIVER_REFRESH),
+        ("r5 rotation", ROTATED_R5),
         ("section representatives", SECTION_REPRESENTATIVES),
     ):
         missing = [n for n in names if n not in window]
         assert not missing, f"{group} queries fell out of the window: {missing}"
 
 
-def test_never_sampled_lead_the_window():
-    """VERDICT r6 explicitly asks the four never-checked queries to be
-    at the HEAD of the r7 window, so even a truncated driver run hits
-    them first."""
-    head = list(REGISTRY)[: len(NEVER_SAMPLED_R7)]
-    assert head == list(NEVER_SAMPLED_R7), head
+def test_must_lead_r8_leads_the_window():
+    """Round 7 declared these nine as the rows whose evidence goes
+    4-rounds-stale first, so even a truncated driver run hits them."""
+    head = list(REGISTRY)[: len(MUST_LEAD_R8)]
+    assert head == list(MUST_LEAD_R8), head
 
 
 def test_window_is_oracle_backed():
@@ -148,15 +155,37 @@ def test_window_is_oracle_backed():
     assert no_oracle == [], no_oracle
 
 
-def test_deferred_r8_queries_are_real_and_tracked():
+def test_deferred_r9_queries_are_real_and_tracked():
     """The deferral list must stay consumable: every name is a registry
     query with an oracle, and none silently re-entered the window
-    (which would make the r8 carry-over claim wrong)."""
+    (which would make the r9 carry-over claim wrong)."""
     window = set(list(REGISTRY)[:WINDOW])
-    for n in MUST_LEAD_R8:
+    for n in MUST_LEAD_R9:
         assert n in REGISTRY, f"deferred query {n} no longer exists"
         assert REGISTRY[n].oracle is not None
         assert n not in window, f"{n} is both windowed and deferred"
+
+
+def test_changed_r8_queries_have_committed_code():
+    """The round-7 verdict's core finding was a window comment claiming
+    fixes that were never committed. Guard against a repeat: every
+    module the CHANGED_R8 rationale names must actually contain the
+    shipped symbol it claims."""
+    import website_traffic_etl_gcp_spark.operators.ann_index as ai
+    import website_traffic_etl_gcp_spark.sources.bucketing as bk
+
+    assert hasattr(bk, "publish_bucketed"), "atomic publish not shipped"
+    assert hasattr(bk, "register_bucketed"), "register path not shipped"
+    assert hasattr(ai, "ensure_pq_codebooks"), "codebook reuse not shipped"
+    import inspect
+
+    from website_traffic_etl_gcp_spark.streaming import doc_ingest, embed_ingest
+
+    for mod in (doc_ingest, embed_ingest):
+        src = inspect.getsource(mod)
+        assert ".collect()" not in src, (
+            f"{mod.__name__} still round-trips verdicts through the driver"
+        )
 
 
 def test_survey_checklist_matches_registry():
