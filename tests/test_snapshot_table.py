@@ -1,0 +1,163 @@
+"""Manifest-pointer snapshot tables (sources/snapshot_table.py):
+transactional semantics over plain parquet — atomic commits, snapshot
+isolation for concurrent readers, time travel, optimistic writer
+concurrency, vacuum — and the WAP/delete family running on the
+snapshot backend next to the default directory-swap backend."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.sources import snapshot_table as st
+from website_traffic_etl_gcp_spark.sources import writers
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_commit_read_overwrite_append(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = st.write_snapshot(_df(spark, 0, 5), root)
+    assert v1 == 1
+    assert st.read_snapshot(spark, root).count() == 5
+
+    v2 = st.write_snapshot(_df(spark, 5, 8), root, mode="append")
+    assert v2 == 2
+    assert st.read_snapshot(spark, root).count() == 8
+
+    v3 = st.write_snapshot(_df(spark, 100, 102), root, mode="overwrite")
+    assert v3 == 3
+    got = sorted(r["k"] for r in st.read_snapshot(spark, root).collect())
+    assert got == [100, 101]
+
+
+def test_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 3), root)
+    st.write_snapshot(_df(spark, 0, 10), root)
+    assert st.read_snapshot(spark, root, version=1).count() == 3
+    assert st.read_snapshot(spark, root, version=2).count() == 10
+    assert st.snapshot_versions(root) == [1, 2]
+
+
+def test_reader_isolation_across_commits(spark, tmp_path):
+    """The core property the directory swap lacks: a frame resolved
+    against version N keeps returning version N's rows after
+    overwrites commit — its files are immutable and still on disk."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 4), root)
+    reader = st.read_snapshot(spark, root)  # resolves v1's file list
+    assert reader.count() == 4
+
+    st.write_snapshot(_df(spark, 0, 99), root, mode="overwrite")
+    # new readers see the new version; the old frame is undisturbed
+    assert st.read_snapshot(spark, root).count() == 99
+    assert reader.count() == 4
+    assert sorted(r["k"] for r in reader.collect()) == [0, 1, 2, 3]
+
+
+def test_commit_conflict_loser_retries(spark, tmp_path):
+    """Optimistic concurrency: pre-create the manifest a committer
+    wants (simulating a racing writer landing first) — the public
+    write_snapshot retries against the fresh head and lands at the
+    next version."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 2), root)
+    files = st.stage_files(_df(spark, 2, 4), root)
+    with pytest.raises(st.CommitConflict):
+        st._commit(root, files, "append", parent=0)  # v1 already exists
+    v = st.write_snapshot(_df(spark, 2, 4), root, mode="append")
+    assert v == 2
+    assert st.read_snapshot(spark, root).count() == 4
+
+
+def test_stale_pointer_hint_is_not_trusted(spark, tmp_path):
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 2), root)
+    st.write_snapshot(_df(spark, 0, 5), root)
+    hint = os.path.join(root, "_snapshots", "_latest")
+    with open(hint, "w") as f:
+        f.write("1")  # lagging hint
+    assert st.current_version(root) == 2
+    assert st.read_snapshot(spark, root).count() == 5
+
+
+def test_vacuum_keeps_referenced_files_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 3), root)
+    st.write_snapshot(_df(spark, 0, 6), root)
+    st.write_snapshot(_df(spark, 0, 9), root)
+    out = st.vacuum(root, keep_last=2)
+    assert out["dropped_versions"] == [1]
+    assert out["kept_versions"] == [2, 3]
+    assert out["removed_files"] > 0
+    # retained versions still read; dropped one is gone
+    assert st.read_snapshot(spark, root, version=2).count() == 6
+    assert st.read_snapshot(spark, root).count() == 9
+    with pytest.raises(st.NoSuchSnapshot):
+        st.read_snapshot(spark, root, version=1)
+
+
+def _rules():
+    # Column construction needs the active session's context — build
+    # per-test, not at collection time
+    return {"v_nonneg": F.col("v") < 0}
+
+
+@pytest.mark.parametrize("backend", ["swap", "snapshot"])
+def test_wap_publish_both_backends(spark, tmp_path, backend):
+    root = str(tmp_path / f"wap_{backend}")
+    out = writers.write_audit_publish(
+        _df(spark, 0, 7), root, _rules(), unique_keys=("k",), backend=backend
+    )
+    assert out["published"] is True
+    assert out["n_rows"] == 7
+    read = (
+        st.read_snapshot(spark, root)
+        if backend == "snapshot"
+        else spark.read.parquet(root)
+    )
+    assert read.count() == 7
+
+
+@pytest.mark.parametrize("backend", ["swap", "snapshot"])
+def test_wap_abort_leaves_live_table_untouched(spark, tmp_path, backend):
+    root = str(tmp_path / f"wap_{backend}")
+    writers.write_audit_publish(
+        _df(spark, 0, 5), root, _rules(), backend=backend
+    )
+    bad = _df(spark, 0, 3).withColumn("v", F.lit(-1))
+    out = writers.write_audit_publish(bad, root, _rules(), backend=backend)
+    assert out["published"] is False
+    read = (
+        st.read_snapshot(spark, root)
+        if backend == "snapshot"
+        else spark.read.parquet(root)
+    )
+    assert read.count() == 5  # the failed write is invisible
+    if backend == "snapshot":
+        assert st.snapshot_versions(root) == [1]
+        # aborted staging files were reaped
+        data_dirs = os.listdir(os.path.join(root, "data"))
+        assert len(data_dirs) == 1
+
+
+def test_snapshot_delete_preserves_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 10), root)
+    out = writers.delete_rows(
+        spark, root, "k >= 7", backend="snapshot"
+    )
+    assert out == {
+        "rows_before": 10, "rows_deleted": 3, "rows_after": 7, "version": 2,
+    }
+    assert st.read_snapshot(spark, root).count() == 7
+    # pre-delete version is still auditable until vacuumed
+    assert st.read_snapshot(spark, root, version=1).count() == 10

@@ -1,0 +1,243 @@
+"""Manifest-pointer snapshot tables: transactional semantics on plain
+parquet, no external table-format jars.
+
+The reference's BigQuery load gives atomic, concurrent-reader-safe
+table swaps (reference load.py:67-110). The directory-swap emulation
+in ``writers._swap_in`` is single-writer and momentarily unlinks the
+live path — a reader planning a scan mid-swap can observe a missing
+or half-moved directory. This module closes that gap with the pattern
+the open table formats (Iceberg's snapshot list, Delta's transaction
+log — both public designs) use over immutable files:
+
+- Data files are IMMUTABLE: every commit writes new files under
+  ``data/<uuid>/`` and never touches previous ones.
+- A commit is one atomically-created manifest ``_snapshots/v{N}.json``
+  naming exactly the data files in that version, plus an atomic
+  rename of the ``_snapshots/_latest`` pointer.
+- Readers resolve the pointer once, then read only the files their
+  manifest names. A concurrent commit cannot disturb them: their
+  files still exist, their manifest still exists — snapshot isolation
+  without locks.
+- Writers race on ``os.open(O_CREAT | O_EXCL)`` of the next manifest:
+  exactly one wins per version; losers see a ``CommitConflict`` and
+  retry against the new head (optimistic concurrency).
+- Old versions remain readable (time travel) until ``vacuum`` drops
+  manifests beyond a retention count and deletes data files no
+  retained manifest references.
+
+At 100 TB the manifest holds file PATHS (thousands of entries, KBs of
+JSON), never data; commit cost is O(files-in-commit), independent of
+table size, and on an object store the pointer rename maps to the
+same conditional-put primitive the real formats use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_DIR = "_snapshots"
+_LATEST = "_latest"
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; reload and retry."""
+
+
+class NoSuchSnapshot(Exception):
+    pass
+
+
+def _snap_dir(root: str) -> str:
+    return os.path.join(root, _SNAP_DIR)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_snap_dir(root), f"v{version}.json")
+
+
+def current_version(root: str) -> int:
+    """Latest committed version, or 0 if the table doesn't exist yet.
+    The MANIFEST FILES are the source of truth (their O_EXCL creation
+    is the commit point); the ``_latest`` pointer is a fast hint that
+    may lag a just-landed commit, so the scan starts from the hint and
+    probes upward — O(commits since the hint), not O(history)."""
+    snaps = _snap_dir(root)
+    try:
+        with open(os.path.join(snaps, _LATEST)) as f:
+            hint = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        hint = 0
+    v = hint
+    while os.path.exists(_manifest_path(root, v + 1)):
+        v += 1
+    if v == 0 or not os.path.exists(_manifest_path(root, v)):
+        # hint names a vacuumed/never-landed version (or there is no
+        # hint and v1 was vacuumed) — fall back to a directory scan
+        versions = snapshot_versions(root)
+        return versions[-1] if versions else 0
+    return v
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise NoSuchSnapshot(f"{root} has no committed snapshots")
+    try:
+        with open(_manifest_path(root, v)) as f:
+            return json.load(f)
+    except FileNotFoundError as e:
+        raise NoSuchSnapshot(
+            f"version {v} of {root} does not exist (vacuumed or never "
+            "committed)"
+        ) from e
+
+
+def _list_parquet(staged_dir: str) -> list[str]:
+    out = []
+    for r, _, files in os.walk(staged_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append(os.path.join(r, fn))
+    return sorted(out)
+
+
+def stage_files(df: DataFrame, root: str) -> list[str]:
+    """Write ``df``'s files into an unreferenced ``data/<uuid>/`` dir.
+    Until a manifest names them they are invisible to every reader —
+    this is the staging half of write-audit-publish."""
+    staged_dir = os.path.join(root, "data", uuid.uuid4().hex[:16])
+    df.write.mode("overwrite").parquet(staged_dir)
+    return _list_parquet(staged_dir)
+
+
+def _commit(root: str, files: list[str], mode: str, parent: int) -> int:
+    """Atomically create manifest ``parent+1``. Raises CommitConflict
+    if another writer got there first (no partial state to clean up:
+    staged data files are unreferenced until the manifest exists)."""
+    os.makedirs(_snap_dir(root), exist_ok=True)
+    version = parent + 1
+    rel = [os.path.relpath(f, root) for f in files]
+    if mode == "append" and parent > 0:
+        rel = read_manifest(root, parent)["files"] + rel
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": mode,
+        "committed_at": time.time(),
+        "files": sorted(rel),
+    }
+    path = _manifest_path(root, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"version {version} of {root} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    # advance the reader hint (write-to-tmp + atomic rename). The hint
+    # is an OPTIMIZATION only — current_version probes manifests past
+    # it — so a racing hint writer can at worst leave it stale by a
+    # version, never wrong.
+    latest = os.path.join(_snap_dir(root), _LATEST)
+    try:
+        with open(latest) as f:
+            hint = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        hint = 0
+    if hint < version:
+        tmp = os.path.join(_snap_dir(root), f".{_LATEST}.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, latest)
+    return version
+
+
+def write_snapshot(
+    df: DataFrame, root: str, mode: str = "overwrite", max_retries: int = 5
+) -> int:
+    """Commit ``df`` as the next table version. ``overwrite`` replaces
+    the logical content; ``append`` adds to it (the new manifest
+    carries the parent's file list plus the new files — no data is
+    rewritten). Returns the committed version. Retries CommitConflict
+    against the fresh head; the staged files are reused across
+    retries, so a conflict costs a manifest write, not a re-write of
+    data."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    files = stage_files(df, root)
+    for _ in range(max_retries):
+        try:
+            return _commit(root, files, mode, current_version(root))
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"could not commit to {root} after {max_retries} attempts"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """A DataFrame over exactly the files of one snapshot (latest by
+    default, or any retained ``version`` — time travel). The file list
+    is resolved NOW; later commits, deletes, or pointer moves do not
+    change what this frame reads."""
+    m = read_manifest(root, version)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    if not paths:
+        raise NoSuchSnapshot(f"version {m['version']} of {root} is empty")
+    return spark.read.parquet(*paths)
+
+
+def snapshot_versions(root: str) -> list[int]:
+    try:
+        names = os.listdir(_snap_dir(root))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[1:-5]) for n in names
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def vacuum(root: str, keep_last: int = 2) -> dict:
+    """Drop manifests beyond the newest ``keep_last`` and delete data
+    files no retained manifest references. Safe order: manifests go
+    first (so a crash can only leave orphan DATA files, which are
+    invisible, never a manifest naming missing files)."""
+    versions = snapshot_versions(root)
+    drop = versions[:-keep_last] if keep_last else versions
+    keep = versions[len(drop):]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(read_manifest(root, v)["files"])
+    for v in drop:
+        os.remove(_manifest_path(root, v))
+    removed_files = 0
+    data_root = os.path.join(root, "data")
+    for r, _, files in os.walk(data_root):
+        for fn in files:
+            p = os.path.join(r, fn)
+            if os.path.relpath(p, root) not in referenced:
+                os.remove(p)
+                removed_files += 1
+    # prune now-empty commit dirs
+    for r, dirs, files in list(os.walk(data_root, topdown=False)):
+        if r != data_root and not dirs and not files:
+            os.rmdir(r)
+    return {
+        "dropped_versions": drop,
+        "kept_versions": keep,
+        "removed_files": removed_files,
+    }

@@ -169,32 +169,53 @@ def write_audit_publish(
     rules: dict,
     unique_keys: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
+    backend: Literal["swap", "snapshot"] = "swap",
 ) -> dict:
     """Write-audit-publish: stage the write, run the declarative DQ
     expectations against the STAGED FILES (what was actually written,
     not the input plan — a lost task or codec bug shows up here), and
-    only then atomically swap the staging directory in. On any failed
-    expectation the staging is discarded and the live table is left
-    byte-identical — readers never observe a half-written or
-    rule-violating table. This is the Iceberg/Delta WAP pattern on
-    plain parquet: the "atomic" step is a directory rename locally and
-    a manifest/metastore pointer swap on an object store (_swap_in).
+    only then atomically publish. On any failed expectation the
+    staging is discarded and the live table is left byte-identical —
+    readers never observe a half-written or rule-violating table.
+
+    Two publish backends:
+    - ``swap`` (default): plain parquet directory, atomic local rename
+      (_swap_in). Single-writer; a reader that resolves the path in
+      the instant of the swap can see it missing.
+    - ``snapshot``: manifest-pointer table (sources/snapshot_table.py)
+      — the staged files become the next table VERSION via an
+      atomically-created manifest. Concurrent readers keep their
+      resolved snapshot (isolation), concurrent writers race on the
+      manifest create and retry. Read with
+      ``snapshot_table.read_snapshot``.
 
     ``rules`` maps rule name → violation predicate (operators/quality
     contract); ``unique_keys`` adds a key-uniqueness expectation.
-    Returns {published, n_rows, report}; callers gate downstream jobs
-    on ``published`` rather than catching exceptions."""
+    Returns {published, n_rows, report} (+``version`` for snapshot);
+    callers gate downstream jobs on ``published`` rather than catching
+    exceptions."""
     from ..operators.quality import expect, expect_unique
 
     spark = df.sparkSession
     root = Path(table_path)
-    staging = root.with_name(root.name + ".__wap_staging__")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(str(staging))
+    if backend == "snapshot":
+        from . import snapshot_table as st
 
-    staged = spark.read.parquet(str(staging))
+        if partition_by:
+            raise LoadError(
+                "snapshot backend tracks files, not hive partitions; "
+                "partition_by is only supported with backend='swap'"
+            )
+        staged_files = st.stage_files(df, table_path)
+        staged = spark.read.parquet(*staged_files)
+    else:
+        staging = root.with_name(root.name + ".__wap_staging__")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(staging))
+        staged = spark.read.parquet(str(staging))
+
     report_df = expect(staged, rules)
     if unique_keys:
         report_df = report_df.unionByName(
@@ -205,6 +226,25 @@ def write_audit_publish(
     report = [r.asDict() for r in report_df.collect()]
     n_rows = report[0]["n_rows"] if report else staged.count()
     published = all(r["passed"] for r in report)
+    out = {"published": published, "n_rows": n_rows, "report": report}
+    if backend == "snapshot":
+        if published:
+            for _ in range(5):
+                try:
+                    out["version"] = st._commit(
+                        table_path, staged_files, "overwrite",
+                        st.current_version(table_path),
+                    )
+                    break
+                except st.CommitConflict:
+                    continue
+            else:
+                raise st.CommitConflict(table_path)
+        else:
+            # abort: staged files were never referenced by a manifest —
+            # removing them is invisible to every reader
+            shutil.rmtree(Path(staged_files[0]).parent, ignore_errors=True)
+        return out
     if published:
         if root.exists():
             _swap_in(root, staging)
@@ -212,7 +252,7 @@ def write_audit_publish(
             staging.rename(root)
     else:
         shutil.rmtree(staging)
-    return {"published": published, "n_rows": n_rows, "report": report}
+    return out
 
 
 def delete_rows(
@@ -220,6 +260,7 @@ def delete_rows(
     table_path: str,
     predicate: str,
     partition_by: tuple[str, ...] = (),
+    backend: Literal["swap", "snapshot"] = "swap",
 ) -> dict:
     """Targeted delete by rewrite (retention enforcement / GDPR
     right-to-erasure on a plain parquet table): keep everything NOT
@@ -227,7 +268,25 @@ def delete_rows(
     SQL boolean expression; because the keep-filter is declarative it
     pushes to the scan, and with hive partitioning a partition-key
     predicate prunes untouched partitions from the read entirely.
-    Returns {rows_before, rows_deleted, rows_after}."""
+    With ``backend='snapshot'`` the rewrite commits as a new version
+    of a manifest-pointer table — in-flight readers keep their
+    snapshot, and the pre-delete version stays time-travel-readable
+    until vacuumed (the audit trail a GDPR workflow wants to control
+    explicitly). Returns {rows_before, rows_deleted, rows_after}."""
+    if backend == "snapshot":
+        from . import snapshot_table as st
+
+        df = st.read_snapshot(spark, table_path)
+        rows_before = df.count()
+        keep = df.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        version = st.write_snapshot(keep, table_path, "overwrite")
+        rows_after = st.read_snapshot(spark, table_path, version).count()
+        return {
+            "rows_before": rows_before,
+            "rows_deleted": rows_before - rows_after,
+            "rows_after": rows_after,
+            "version": version,
+        }
     root = Path(table_path)
     df = spark.read.parquet(table_path)
     rows_before = df.count()
