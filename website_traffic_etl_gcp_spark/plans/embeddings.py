@@ -43,13 +43,22 @@ COSINE_DEDUP_THRESHOLD = 0.4
 RECALL_FLOOR = 0.3
 
 
+def _sql_d(v: str) -> str:
+    return f"CAST({v} AS DOUBLE[])"
+
+
 def _sql_cos(a: str, b: str) -> str:
-    """Double-precision cosine in DuckDB SQL (list_cosine_similarity
-    computes in float32, which diverges from Spark's double math)."""
-    rng = f"range(1, {EMBED_DIM + 1})"
-    dot = f"list_sum(list_transform({rng}, i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    na = f"sqrt(list_sum(list_transform({rng}, i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-    nb = f"sqrt(list_sum(list_transform({rng}, i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    """Double-precision cosine in DuckDB SQL. Native
+    ``list_inner_product`` over DOUBLE[] — same left-to-right double
+    accumulation as the previous ``list_sum(list_transform(...))``
+    form (verified identical output across sf0.01/0.1/1) but ~1000×
+    faster: the lambda form re-evaluated a per-element closure with
+    list indexing, which dominated the sf1 oracle sweep.
+    (list_cosine_similarity itself computes in float32, which diverges
+    from Spark's double math — hence the explicit product/norms.)"""
+    dot = f"list_inner_product({_sql_d(a)}, {_sql_d(b)})"
+    na = f"sqrt(list_inner_product({_sql_d(a)}, {_sql_d(a)}))"
+    nb = f"sqrt(list_inner_product({_sql_d(b)}, {_sql_d(b)}))"
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
@@ -65,10 +74,10 @@ def _sql_lsh_bucket(vec: str) -> str:
     terms = []
     for i, p in enumerate(planes):
         consts = ", ".join(repr(float(x)) for x in p)
-        dot = (
-            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ([{consts}])[i]))"
-        )
+        # native inner product — identical doubles to the former
+        # per-element lambda fold, ~1000× faster (measured 60 s →
+        # 0.05 s for the 16-plane signature over sf1)
+        dot = f"list_inner_product({_sql_d(vec)}, [{consts}])"
         terms.append(
             f"CASE WHEN round({dot}, 6) > 0 THEN {1 << i} ELSE 0 END"
         )
@@ -680,21 +689,13 @@ def _sql_unit(v: str) -> str:
     contract is its own primitive, materialized per row in a CTE —
     never inline in a pair predicate, where DuckDB re-derives the
     whole array per element."""
-    rng = f"range(1, {EMBED_DIM + 1})"
-    n = (
-        f"sqrt(list_sum(list_transform({rng}, "
-        f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
-    )
-    return f"list_transform({rng}, i -> CAST({v}[i] AS DOUBLE) / {n})"
+    n = f"sqrt(list_inner_product({_sql_d(v)}, {_sql_d(v)}))"
+    return f"list_transform({_sql_d(v)}, x -> x / {n})"
 
 
 def _sql_unit_dot(a: str, b: str) -> str:
     """round-6 cosine of two PRE-NORMALIZED arrays (see _sql_unit)."""
-    rng = f"range(1, {EMBED_DIM + 1})"
-    return (
-        f"round(list_sum(list_transform({rng}, "
-        f"i -> {a}[i] * {b}[i])), 6)"
-    )
+    return f"round(list_inner_product({a}, {b}), 6)"
 
 
 @register(
@@ -711,7 +712,9 @@ def _sql_unit_dot(a: str, b: str) -> str:
         FROM (SELECT unnest(range(0, {sim.LSH_PLANES + 1})) AS q) qs, st
         WHERE st.n <= {SEMDEDUP_CELL_CAP} * st.nl * (1 << q)
     ),
-    asg AS (
+    asg AS MATERIALIZED (
+        -- MATERIALIZED: referenced three times below; inlining would
+        -- recompute the signature + unit vector per reference
         SELECT e.vec_id,
                CAST(e.label AS BIGINT) * {1 << sim.LSH_PLANES}
                + (CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
@@ -896,7 +899,7 @@ HOT_BUCKET_FACTOR = 4
     "lsh_bucket_occupancy",
     bench=True,
     oracle=f"""
-    WITH sig AS (
+    WITH sig AS MATERIALIZED (
         SELECT vec_id,
                CAST({_sql_lsh_bucket('embedding')} AS BIGINT) AS bucket
         FROM embeddings
@@ -905,7 +908,7 @@ HOT_BUCKET_FACTOR = 4
         SELECT CAST(unnest(range(0, {1 << sim.LSH_PLANES})) AS BIGINT)
             AS bucket
     ),
-    occ AS (
+    occ AS MATERIALIZED (
         SELECT b.bucket, CAST(COUNT(s.vec_id) AS BIGINT) AS n_vectors
         FROM buckets b LEFT JOIN sig s ON s.bucket = b.bucket
         GROUP BY b.bucket

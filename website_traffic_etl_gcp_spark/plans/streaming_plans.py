@@ -233,8 +233,10 @@ def _sql_sem_ingest() -> str:
     )
 
     def asg(name: str, parity: int) -> str:
+        # MATERIALIZED: new_asg is referenced twice (dup join + final
+        # select); inlining recomputes signature + unit per reference
         return f"""
-    {name} AS (
+    {name} AS MATERIALIZED (
         SELECT e.vec_id,
                CAST(e.label AS BIGINT) * {1 << LSH_PLANES}
                + (CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
