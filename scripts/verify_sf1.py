@@ -113,6 +113,18 @@ SF1_QUERIES = [
     "streaming_sessionize",
     "streaming_segment_revenue",
     "streaming_sliding_2h",
+    # round-8 additions, unlocked by the list_inner_product oracle
+    # rewrite + MATERIALIZED CTEs (the lambda-fold helpers previously
+    # made these oracle-cost-prohibitive at sf1 — e.g.
+    # dedup_semantic_cells 230.6 s → 1.6 s): the semantic ingest twin,
+    # the cell-bounded cosine dedup, brute-force kNN (probe-bounded,
+    # corpus-linear), the minhash ingest probe (token-linear), and the
+    # exact-fingerprint incremental probe.
+    "streaming_semdedup_ingest",
+    "embedding_dedup_cosine",
+    "knn_bruteforce_cosine",
+    "streaming_minhash_ingest",
+    "dedup_incremental_exact",
 ]
 
 TABLES = (

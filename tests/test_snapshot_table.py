@@ -161,3 +161,42 @@ def test_snapshot_delete_preserves_history(spark, tmp_path):
     assert st.read_snapshot(spark, root).count() == 7
     # pre-delete version is still auditable until vacuumed
     assert st.read_snapshot(spark, root, version=1).count() == 10
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """streaming/snapshot_sink.py: availableNow drain commits batches
+    with batch_id manifests; a second drain over the same checkpoint
+    adds nothing, and a direct replay of an already-committed batch_id
+    no-ops (write-success/checkpoint-fail retry scenario)."""
+    from website_traffic_etl_gcp_spark.streaming import snapshot_sink as sk
+    from website_traffic_etl_gcp_spark.catalog import load_table, table_path
+    from website_traffic_etl_gcp_spark.streaming.rollups import (
+        stream_source_dir,
+    )
+    from tests.conftest import SF_DIR
+
+    out_root = str(tmp_path / "snap_events")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(table_path(SF_DIR, "events")).schema
+    src = stream_source_dir(SF_DIR, "events")
+
+    v = sk.run_stream_to_snapshot(spark, src, schema, out_root, ckpt)
+    expected = load_table(spark, SF_DIR, "events").count()
+    assert st.read_snapshot(spark, out_root).count() == expected
+    assert sk.committed_batch_ids(out_root) != set()
+
+    # re-run with the same checkpoint: the source yields no new files,
+    # no new commits land
+    v2 = sk.run_stream_to_snapshot(spark, src, schema, out_root, ckpt)
+    assert v2 == v
+    assert st.read_snapshot(spark, out_root).count() == expected
+
+    # at-least-once replay: call the sink again with a committed
+    # batch_id — must no-op, not double-append
+    writer = sk.snapshot_batch_writer(out_root)
+    replay_id = next(iter(sk.committed_batch_ids(out_root)))
+    writer(load_table(spark, SF_DIR, "events").limit(5), replay_id)
+    assert st.read_snapshot(spark, out_root).count() == expected
+    # and a NEW batch_id appends exactly its rows
+    writer(load_table(spark, SF_DIR, "events").limit(5), 10_001)
+    assert st.read_snapshot(spark, out_root).count() == expected + 5

@@ -116,10 +116,15 @@ def stage_files(df: DataFrame, root: str) -> list[str]:
     return _list_parquet(staged_dir)
 
 
-def _commit(root: str, files: list[str], mode: str, parent: int) -> int:
+def _commit(
+    root: str, files: list[str], mode: str, parent: int,
+    extra: dict | None = None,
+) -> int:
     """Atomically create manifest ``parent+1``. Raises CommitConflict
     if another writer got there first (no partial state to clean up:
-    staged data files are unreferenced until the manifest exists)."""
+    staged data files are unreferenced until the manifest exists).
+    ``extra`` lands verbatim in the manifest — e.g. the streaming
+    sink's ``batch_id`` idempotence marker."""
     os.makedirs(_snap_dir(root), exist_ok=True)
     version = parent + 1
     rel = [os.path.relpath(f, root) for f in files]
@@ -131,6 +136,7 @@ def _commit(root: str, files: list[str], mode: str, parent: int) -> int:
         "mode": mode,
         "committed_at": time.time(),
         "files": sorted(rel),
+        **(extra or {}),
     }
     path = _manifest_path(root, version)
     try:
