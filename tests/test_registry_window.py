@@ -46,6 +46,8 @@ CHANGED_R8 = (
     "streaming_minhash_ingest",  # shared index + direct verdict write
     "streaming_semdedup_ingest",  # shared index + direct verdict write
     "dsir_importance_weights",  # re-measure under fixed bench warmup
+    "snapshot_history_audit",  # NEW r8: snapshot table under the gate
+    "xls_extract_transform",  # NEW r8: XLS ingest under the gate
 )
 
 # r4 driver rows deprioritized by round 6 (sf1-green) — driver
@@ -85,8 +87,6 @@ ROTATED_R5 = (
     "customer_balance_deciles",
     "order_cube_status_priority",
     "revenue_rollup_nation_year",
-    "streaming_hourly_counts",
-    "streaming_sessionize",
 )
 
 # §2 section representatives present in the window
@@ -103,10 +103,10 @@ SECTION_REPRESENTATIVES = (
 
 # The r5-green queries that did NOT fit in the round-8 window — their
 # driver rows turn 4 rounds stale at round 9, so the round-9 window
-# MUST lead with them (all sixteen were re-verified by the round-6
-# sf1 sweep, so their newest evidence is r6). The round-9 edition of
-# this test consumes this list, the same way this edition consumed
-# round 7's MUST_LEAD_R8.
+# MUST lead with them (the first sixteen were re-verified by the
+# round-6 sf1 sweep; the last two by round 8's widened sweep). The
+# round-9 edition of this test consumes this list, the same way this
+# edition consumed round 7's MUST_LEAD_R8.
 MUST_LEAD_R9 = (
     "chunk_boilerplate_report",
     "data_mix_plan",
@@ -124,6 +124,10 @@ MUST_LEAD_R9 = (
     "export_training_shards",
     "embedding_quantize_int8",
     "contrastive_pair_mining",
+    # displaced from the r8 window by the two NEW lakehouse queries;
+    # both re-verified by this round's widened sf1 sweep
+    "streaming_hourly_counts",
+    "streaming_sessionize",
 )
 
 

@@ -1,0 +1,167 @@
+"""Lakehouse capability queries — the snapshot table format and the
+XLS ingest path exercised END TO END under the driver's oracle gate,
+not just in unit tests.
+
+Both queries build a small scratch artifact (a snapshot table / a set
+of .xls drop files) from the events table deterministically, run the
+REAL distributed machinery over it (manifest commits + snapshot reads;
+mapInPandas BIFF8 decode + the reference transform), and return frames
+a SQL oracle recomputes from the same events rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+# slice density for the XLS fixture: 1 row in 199 of events — big
+# enough to span multiple drop files, small enough that the
+# driver-side fixture GENERATION step (not the measured decode path)
+# stays trivially bounded (~5k rows at sf1)
+XLS_STRIDE = 199
+XLS_ROWS_PER_FILE = 500
+
+
+def _scratch(kind: str, sf_dir: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        kind,
+        os.path.basename(sf_dir.rstrip("/")),
+        uuid.uuid4().hex[:12],
+    )
+
+
+@register(
+    "snapshot_history_audit",
+    oracle="""
+    SELECT 1 AS version, 'append' AS op,
+           CAST(COUNT(*) FILTER (event_id % 3 = 0) AS BIGINT) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 2, 'append',
+           CAST(COUNT(*) FILTER (event_id % 3 <= 1) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 3, 'append', CAST(COUNT(*) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 4, 'delete',
+           CAST(COUNT(*) - COUNT(*) FILTER (event_type = 'error')
+                AS BIGINT)
+    FROM events
+    """,
+    tags=("lakehouse", "sources"),
+    doc="Snapshot-table history audit: commits the events table into a "
+    "manifest-pointer snapshot table (sources/snapshot_table.py) as "
+    "three deterministic appends (event_id thirds) plus a snapshot "
+    "delete of event_type='error', then reads EVERY retained version "
+    "via time travel and reports (version, op, n_rows). Exercises the "
+    "full transactional surface — atomic manifest commits, append "
+    "file-list chaining, NULL-safe delete-by-rewrite, version "
+    "isolation — under the driver's SQL oracle: each version's count "
+    "is recomputable from events alone. Commit cost is O(files per "
+    "commit) and manifests carry paths, never data, so the audit "
+    "shape is identical at 100 TB.",
+)
+def snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import snapshot_table as st
+    from ..sources.writers import delete_rows
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _scratch("snap_audit", sf_dir)
+    try:
+        ops = []
+        for third in range(3):
+            st.write_snapshot(
+                ev.filter(F.col("event_id") % 3 == third), root, mode="append"
+            )
+            ops.append("append")
+        delete_rows(spark, root, "event_type = 'error'", backend="snapshot")
+        ops.append("delete")
+        rows = [
+            (v, ops[v - 1], st.read_snapshot(spark, root, v).count())
+            for v in st.snapshot_versions(root)
+        ]
+    finally:
+        # the result is scalar metadata (no lineage into the scratch
+        # table), so the scratch reaps immediately
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, op string, n_rows bigint"
+    )
+
+
+@register(
+    "xls_extract_transform",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS time,
+           CAST(value AS DOUBLE) AS traffic,
+           '2026-01-01 00:00:00' AS created_at
+    FROM events
+    WHERE event_id % {XLS_STRIDE} = 0
+    """,
+    tags=("lakehouse", "sources", "etl"),
+    doc="XLS drop-zone ingest end to end (reference extract.py:55-80 → "
+    "transform.py:55-63): a deterministic 1/"
+    f"{XLS_STRIDE} slice of events is written as multiple real .xls "
+    "workbooks (the vendored BIFF8 writer, sources/xls_minimal.py), "
+    "decoded DISTRIBUTED via read_xls_many's mapInPandas (one file "
+    "per task, each executor reads its own bytes — the drop-zone "
+    "layout at scale), then run through the reference day-first "
+    "transform. The oracle recomputes the round trip from events "
+    "directly: dd/MM/yyyy HH:mm:ss strings written to cells parse "
+    "back to the same ISO timestamps. Fixture GENERATION is a "
+    "bounded driver step (the sampled slice); the measured decode + "
+    "transform path is fully distributed.",
+)
+def xls_extract_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators import traffic as traffic_ops
+    from ..sources.readers import read_xls_many
+    from ..sources.xls_minimal import write_xls
+    from ..streaming.doc_ingest import _reap_at_exit
+    from .etl import FIXED_TS
+
+    ev = load_table(spark, sf_dir, "events")
+    slice_rows = (
+        ev.filter(F.col("event_id") % XLS_STRIDE == 0)
+        .select(
+            "event_id",
+            F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("t"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .orderBy("event_id")
+        .collect()  # bounded fixture-generation step (1/199 sample)
+    )
+    root = _scratch("xls_drop", sf_dir)
+    os.makedirs(root, exist_ok=True)
+    paths = []
+    for i in range(0, len(slice_rows), XLS_ROWS_PER_FILE):
+        chunk = slice_rows[i:i + XLS_ROWS_PER_FILE]
+        p = os.path.join(root, f"drop_{i // XLS_ROWS_PER_FILE:05d}.xls")
+        write_xls(p, ["Time", "Traffic"], [[r["t"], r["v"]] for r in chunk])
+        paths.append(p)
+    # the returned frame decodes the files lazily — scratch reaps at
+    # process exit, not here
+    _reap_at_exit(root)
+    schema = StructType(
+        [
+            StructField("time", StringType()),
+            StructField("traffic", DoubleType()),
+        ]
+    )
+    raw = read_xls_many(spark, paths, schema)
+    return traffic_ops.transform(raw, fixed_ts=FIXED_TS)
