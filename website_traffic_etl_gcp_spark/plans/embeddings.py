@@ -1033,11 +1033,12 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
     approx = pq.adc_rerank_topk(emb, q, cents, EMBED_DIM, KNN_K)
     per_q = sim.recall_at_k(approx, exact, KNN_K)
-    # encoded-count rides as a one-row broadcast aggregate — no
-    # builder-time driver action beyond the k-means centroid loop
-    enc = pq.pq_encode(emb, cents, EMBED_DIM).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
-    )
+    # encoded-vector count: pq_encode emits exactly one code row per
+    # corpus vector (broadcast argmin, never drops), so the count IS
+    # the corpus count — the previous pq_encode(...).agg here paid a
+    # second full-corpus encode pass for a number the scan path
+    # (adc_rerank_topk's encode) already proves computable
+    enc = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
     return (
         per_q.agg(
             F.lit("pq_adc_rerank").alias("method"),
