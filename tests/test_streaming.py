@@ -84,6 +84,53 @@ def test_streaming_sessionize_incremental_batches(spark, tmp_path):
     assert _rows(final, cols) == _rows(batch, cols)
 
 
+def test_sessionize_chunks_arrive_out_of_order():
+    """A group's rows reach ``session_func`` as MULTIPLE Arrow chunks
+    in arbitrary order once the user's batch slice exceeds one record
+    batch (~10k rows — routine at sf1). A later chunk holding EARLIER
+    timestamps must not merge sessions the gap rule splits: the
+    operator sorts the whole batch, not each chunk (regression: sf1
+    sweep lost 12 sessions to per-chunk sorting)."""
+    import pandas as pd
+
+    from website_traffic_etl_gcp_spark.streaming.sessions import session_func
+
+    class _State:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def chunk(rows):  # rows: [(ts_sec, event_id, value)]
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_id": [r[1] for r in rows],
+                "ts": pd.Series(
+                    [r[0] * 1_000_000_000 for r in rows], dtype="int64"
+                ),
+                "value": [r[2] for r in rows],
+            }
+        )
+
+    # chunk 1 carries the LATER event; 10000 s gap >> the 1800 s rule
+    chunks = [chunk([(10_000, 2, 1.0)]), chunk([(0, 1, 2.0)])]
+    out = pd.concat(list(session_func((1,), iter(chunks), _State())))
+    assert len(out) == 2, "gap-separated sessions merged across chunks"
+    assert sorted(out["n_events"]) == [1, 1]
+    closed = out[~out["is_open"]].iloc[0]
+    assert closed["session_start"].startswith("1970-01-01 00:00:00")
+
+
 def test_rate_source_demo_deterministic(spark):
     from website_traffic_etl_gcp_spark.streaming.rollups import run_rate_demo
 

@@ -139,6 +139,10 @@ def _ensure_link(link: str, src: str) -> None:
     link (a remove+create window would 404 a concurrent reader, and a
     concurrent creator would crash the second symlink call); it also
     handles the path pre-existing as a regular file."""
+    # absolutize: a relative src would resolve relative to the LINK's
+    # directory (deep under .scratch), silently yielding a dangling
+    # symlink the file source lists as an empty landing dir
+    src = os.path.abspath(src)
     if os.path.islink(link) and os.readlink(link) == src:
         return
     # leading dot: Spark file sources ignore hidden paths, so a

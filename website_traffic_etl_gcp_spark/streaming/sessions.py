@@ -73,10 +73,19 @@ def session_func(
         have = False
 
     out: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # A group's rows arrive as MULTIPLE Arrow chunks in arbitrary
+    # order once the user's batch slice exceeds one Arrow record
+    # batch (~10k rows — routine at sf1). Per-chunk sorting is not
+    # enough: a later chunk can hold earlier timestamps, which merges
+    # sessions the gap rule should split. Concat the batch's chunks
+    # and sort ONCE globally (bounded by this user's rows in THIS
+    # micro-batch, not the stream's history — state stays O(1)).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        batch = batch.sort_values(["ts", "event_id"])
         for ts, value in zip(
-            pdf["ts"].astype("int64") // 1000, pdf["value"]
+            batch["ts"].astype("int64") // 1000, batch["value"]
         ):  # ns → µs
             cents = int(round(value * 100))
             if not have:
