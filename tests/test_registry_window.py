@@ -48,6 +48,7 @@ CHANGED_R8 = (
     "dsir_importance_weights",  # re-measure under fixed bench warmup
     "snapshot_history_audit",  # NEW r8: snapshot table under the gate
     "xls_extract_transform",  # NEW r8: XLS ingest under the gate
+    "streaming_sessionize",  # whole-batch sort fix in the state op
 )
 
 # r4 driver rows deprioritized by round 6 (sf1-green) — driver
@@ -86,7 +87,6 @@ ROTATED_R5 = (
     "asof_last_event_before_order",
     "customer_balance_deciles",
     "order_cube_status_priority",
-    "revenue_rollup_nation_year",
 )
 
 # §2 section representatives present in the window
@@ -124,10 +124,11 @@ MUST_LEAD_R9 = (
     "export_training_shards",
     "embedding_quantize_int8",
     "contrastive_pair_mining",
-    # displaced from the r8 window by the two NEW lakehouse queries;
-    # both re-verified by this round's widened sf1 sweep
+    # displaced from the r8 window by the two NEW lakehouse queries
+    # and the sessionize chunk-sort fix; all re-verified by this
+    # round's widened sf1 sweep
     "streaming_hourly_counts",
-    "streaming_sessionize",
+    "revenue_rollup_nation_year",
 )
 
 

@@ -85,9 +85,9 @@ def ngram_jaccard_pairs(
     ``n_salts`` spreads residual hot (bucket, shingle) keys over that
     many reducers (see ``_jaccard_from_index``); output is identical.
 
-    The exploded index is localCheckpoint'd (lazily): it feeds both
+    The exploded index is persisted: it feeds both
     sides of the self-join plus the size aggregate, and without the
-    checkpoint Spark recomputes the explode + window sort for each
+    materialization Spark recomputes the explode + window sort for each
     consumer (~40% of query time). This is the 'build the index once'
     step — on a cluster with reliable storage, write it out instead."""
     ex = exploded_shingles(df, id_col, text_col, extra={"bucket": bucket})
@@ -101,7 +101,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .drop("df")
         )
-    ex = ex.localCheckpoint(eager=False)
+    ex = ex.persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return _jaccard_from_index(ex, sizes, threshold, n_salts=n_salts)
 
@@ -150,7 +150,7 @@ def containment_pairs(
         ex.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= max_df)
         .drop("df")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -298,10 +298,10 @@ def minhash_band_pairs(sigs: DataFrame, n_salts: int | None = None) -> DataFrame
     one band key — d² candidate pairs on one reducer. Salting spreads
     that key's pair generation over ``n_salts`` reducers with identical
     output (see ``_salted_self_join``)."""
-    # the self-join consumes this twice; without the (lazy) checkpoint
+    # the self-join consumes this twice; without the materialization
     # the whole signature pipeline — shingle explode, window sort, k-way
     # min aggregate — executes once per side (~3× the query time)
-    keyed = minhash_bands(sigs).localCheckpoint(eager=False)
+    keyed = minhash_bands(sigs).persist()
     if n_salts:
         joined = _salted_self_join(keyed, ["band_idx", "band_key"], n_salts)
     else:
@@ -372,12 +372,12 @@ def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
             for j in range(SIMHASH_BANDS)
         ]
     )
-    # self-joined twice below — checkpoint so the fingerprint groupBy
+    # self-joined twice below — persist so the fingerprint groupBy
     # (one explode + SIMHASH_BITS sums) runs once, not per join side
     keyed = (
         fps.select("doc_id", "simhash", F.explode(bands).alias("b"))
         .select("doc_id", "simhash", "b.band_idx", "b.band_val")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ham = F.bit_count(xor)
@@ -484,7 +484,7 @@ def boilerplate_span_manifest(
     partition is one doc's flagged chunks, bounded by doc length, so
     the merge never concentrates load. Returns (doc_id, span_start,
     span_end, span_tokens, n_chunks, reason)."""
-    chunks = chunks.localCheckpoint(eager=False)  # feeds agg AND join
+    chunks = chunks.persist()  # feeds agg AND join
     boiler = (
         chunks.groupBy("chunk_hash")
         .agg(
@@ -551,7 +551,7 @@ def pagerank_micro(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
 
     Each round is one (edges ⋈ ranks) hash join on src plus one
     groupBy(dst) sum — the textbook distributed PageRank shape; edge
-    list localCheckpoint'd once (it feeds every round), ranks
+    list persisted once (it feeds every round), ranks
     checkpoint'd per round so the plan stays shallow at high iteration
     counts. Nodes are the docs that appear in ≥ 1 pair, so deg ≥ 1 and
     there are no dangling-node corrections to smear.
@@ -562,7 +562,7 @@ def pagerank_micro(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         .unionAll(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     ranks = deg.select(

@@ -187,9 +187,7 @@ def train_codebooks(
     base = (
         emb if stride == 1 else emb.filter(F.col(id_col) % stride == 0)
     )
-    sub = subvectors(base, dim, m, id_col, vec_col).localCheckpoint(
-        eager=False
-    )
+    sub = subvectors(base, dim, m, id_col, vec_col).persist()
     # seed = the k smallest ids per subspace, renumbered to dense
     # cells 1..k — correct for ANY id distribution (sparse, 1-based,
     # non-integer ordering), not just dense 0-based ids

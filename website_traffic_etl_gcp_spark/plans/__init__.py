@@ -64,6 +64,7 @@ _PRIORITY_ORDER = (
     "dsir_importance_weights",  # re-measure under fixed warmup
     "snapshot_history_audit",  # NEW r8: snapshot table under the gate
     "xls_extract_transform",  # NEW r8: XLS ingest under the gate
+    "streaming_sessionize",  # r8 fix: whole-batch sort in state op
     # ---- (c) r4-driver-row refresh (sf1-green but driver-stale) ----
     "etl_traffic_daily_rolling",  # §2A rep
     "error_rate_hourly",
@@ -95,7 +96,6 @@ _PRIORITY_ORDER = (
     "asof_last_event_before_order",
     "customer_balance_deciles",
     "order_cube_status_priority",
-    "revenue_rollup_nation_year",
     # (the eighteen r5-green queries that did not fit —
     # chunk_boilerplate_report, data_mix_plan, data_mix_sample,
     # dedup_cdc_span_apply, dedup_cdc_span_manifest, dedup_exact,
@@ -103,8 +103,9 @@ _PRIORITY_ORDER = (
     # doc_cdc_chunks, doc_chunk_windows, doc_token_entropy,
     # doc_winnow_fingerprints, export_training_shards,
     # embedding_quantize_int8, contrastive_pair_mining, plus
-    # streaming_hourly_counts and streaming_sessionize, displaced by
-    # the two NEW r8 lakehouse queries but re-verified by this round's
+    # streaming_hourly_counts and revenue_rollup_nation_year,
+    # displaced by the two NEW r8 lakehouse queries and the
+    # sessionize chunk-sort fix, but re-verified by this round's
     # widened sf1 sweep — are DECLARED in
     # tests/test_registry_window.py:MUST_LEAD_R9; the round-9 window
     # test must consume that list)

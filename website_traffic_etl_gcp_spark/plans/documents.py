@@ -593,9 +593,7 @@ def _sql_incremental_minhash() -> str:
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup_index as di
 
-    sigs = dd.minhash_signatures(_docs(spark, sf_dir)).localCheckpoint(
-        eager=False
-    )
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir)).persist()
     existing = sigs.filter(F.col("doc_id") % 2 == 0)
     incoming = sigs.filter(F.col("doc_id") % 2 == 1)
     try:
@@ -958,9 +956,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice (a window count over cluster_id re-shuffled the whole
     # manifest; at 100 TB that second corpus-wide exchange dominates).
     # Singletons never enter any join state: coalesce to size 1.
-    clusters = dd.connected_components(pairs).localCheckpoint(
-        eager=False  # feeds the size aggregate AND the corpus join
-    )
+    clusters = dd.connected_components(pairs).persist()  # feeds the size aggregate AND the corpus join
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
@@ -1042,9 +1038,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(
         d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
     )
-    clusters = dd.connected_components(pairs).localCheckpoint(
-        eager=False  # feeds the argmax aggregate AND the corpus join
-    )
+    clusters = dd.connected_components(pairs).persist()  # feeds the argmax aggregate AND the corpus join
     withq = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
     best = (
         withq.groupBy("cluster_id")
@@ -1356,7 +1350,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode twice.
     tr_sh = ts.exploded_shingles(
         d.filter(F.col("source") != EVAL_SOURCE)
-    ).localCheckpoint(eager=False)
+    ).persist()
     tot = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
         tr_sh.join(F.broadcast(ev_sh), "shingle")
@@ -2414,7 +2408,7 @@ def data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
             % 1_000_000
         ).alias("coin"),
-    ).localCheckpoint(eager=False)  # feeds inventory AND sampling pass
+    ).persist()  # feeds inventory AND sampling pass
     inv = tok.groupBy("lang").agg(
         F.sum("n_tok").cast("bigint").alias("actual_tokens")
     )
@@ -2843,7 +2837,7 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.concat_ws(":", F.col("lang"), F.expr("n_chars div 50"))
     pairs = dd.ngram_jaccard_pairs(
         d, bucket, NGRAM_JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
-    ).localCheckpoint(eager=False)
+    ).persist()
     prior = pairs.filter(
         (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
     )

@@ -271,7 +271,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = _probe_filter(emb)
     approx = sim.lsh_topk(emb, q, KNN_K, EMBED_DIM)
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     return _ann_verdict(approx, exact, q)
 
 
@@ -314,7 +314,7 @@ def knn_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = label_centroids(emb)
     q = _probe_filter(emb)
     approx = sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     return _ann_verdict(approx, exact, q)
 
 
@@ -358,7 +358,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             exc_info=True,
         )
         approx = sim.ivf_topk(emb, q, label_centroids(emb), KNN_K, n_probe=2)
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     return _ann_verdict(approx, exact, q)
 
 
@@ -493,7 +493,7 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _probe_filter(emb)
     # consumed once per method — lazy checkpoint runs the corpus ×
     # queries join once
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     methods = {
         "ivf": sim.ivf_topk(emb, q, label_centroids(emb), KNN_K, n_probe=2),
         "lsh": sim.lsh_topk(emb, q, KNN_K, EMBED_DIM),
@@ -762,9 +762,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
     )
-    asg = semantic_cell_frame(emb).localCheckpoint(
-        eager=False
-    )  # feeds both self-join sides
+    asg = semantic_cell_frame(emb).persist()  # feeds both self-join sides
     a = asg.select(
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),
@@ -1030,7 +1028,7 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = _probe_filter(emb)
     cents = _pq_codebooks(emb, sf_dir)
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     approx = pq.adc_rerank_topk(emb, q, cents, EMBED_DIM, KNN_K)
     per_q = sim.recall_at_k(approx, exact, KNN_K)
     # encoded-vector count: pq_encode emits exactly one code row per
@@ -1081,7 +1079,7 @@ def knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, label_centroids(emb), cents, EMBED_DIM, KNN_K,
         n_probe=3, rerank_mult=8,
     )
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     return _ann_verdict(approx, exact, q)
 
 
@@ -1247,7 +1245,7 @@ def knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             pq.train_codebooks(emb, EMBED_DIM), EMBED_DIM, KNN_K,
             n_probe=3, rerank_mult=8,
         )
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     return _ann_verdict(approx, exact, q)
 
 
@@ -1281,5 +1279,5 @@ def knn_pca_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pca.pca_prefilter_topk(
         emb, q, comps.tolist(), KNN_K, rerank_mult=8
     )
-    exact = sim.brute_force_topk(emb, q, KNN_K).localCheckpoint(eager=False)
+    exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     return _ann_verdict(approx, exact, q)

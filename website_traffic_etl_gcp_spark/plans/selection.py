@@ -156,7 +156,12 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)  # feeds bucket stats AND weights
+        # feeds bucket stats AND weights: persist (columnar cache,
+        # spills to disk) beats localCheckpoint here ~4x at sf0.1 —
+        # the checkpoint's RDD materialization barrier costs >1 s of
+        # fixed overhead, while the diamond reuse needs no lineage
+        # truncation. At 100 TB both compute the explode exactly once.
+        .persist()
     )
     stats = per_doc.groupBy("b").agg(
         F.sum("n").alias("c_r"),
