@@ -2569,12 +2569,12 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CDC_CHUNKS = f"""
-    WITH tk AS (
+    WITH tk AS MATERIALIZED (
         SELECT doc_id, CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos, t
         FROM (SELECT doc_id, string_split(norm, ' ') AS t
               FROM ({_SQL_DOCS_NORM}))
     ),
-    cuts AS (
+    cuts AS MATERIALIZED (
         SELECT doc_id, pos, t[pos] AS token,
                CASE WHEN pos >= {ts.SHINGLE_K} AND
                     CAST(('0x' || substr(md5(array_to_string(
@@ -2583,14 +2583,14 @@ _SQL_CDC_CHUNKS = f"""
                     THEN 1 ELSE 0 END AS cut
         FROM tk
     ),
-    cidx AS (
+    cidx AS MATERIALIZED (
         SELECT doc_id, pos, token,
                COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0) AS chunk_idx
         FROM cuts
     ),
-    cdc AS (
+    cdc AS MATERIALIZED (
         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                MIN(pos) AS start_pos, MAX(pos) AS end_pos,
                COUNT(*) AS n_tokens,
@@ -2748,7 +2748,7 @@ def dedup_cdc_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS island
         FROM isl
     ),
-    spans AS (
+    spans AS MATERIALIZED (
         SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
         FROM grp GROUP BY doc_id, island
     ),
