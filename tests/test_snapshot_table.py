@@ -200,3 +200,95 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     # and a NEW batch_id appends exactly its rows
     writer(load_table(spark, SF_DIR, "events").limit(5), 10_001)
     assert st.read_snapshot(spark, out_root).count() == expected + 5
+
+
+def test_merge_update_insert_delete(spark, tmp_path):
+    """merge_snapshot: matched rows are replaced by the source row,
+    delete_predicate rows never survive (matched → delete, unmatched →
+    not inserted), other unmatched source rows insert."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 10), root)
+    source = spark.createDataFrame(
+        [
+            (3, 333, "upsert"),   # matched → replace
+            (5, 555, "upsert"),   # matched → replace
+            (7, 0, "delete"),     # matched → delete
+            (100, 1000, "upsert"),  # unmatched → insert
+            (200, 0, "delete"),   # unmatched delete → no-op
+        ],
+        "k long, v long, _op string",
+    ).select("k", "v", "_op")
+    res = st.merge_snapshot(
+        spark, root, source.select("k", "v", "_op"), ["k"],
+        delete_predicate="_op = 'delete'",
+    )
+    assert res["version"] == 2
+    got = {
+        r["k"]: r["v"]
+        for r in st.read_snapshot(spark, root).select("k", "v").collect()
+    }
+    expected = {k: k * 10 for k in range(10) if k != 7}
+    expected.update({3: 333, 5: 555, 100: 1000})
+    assert got == expected
+    # time travel still sees the pre-merge table
+    assert st.read_snapshot(spark, root, version=1).count() == 10
+
+
+def test_merge_source_missing_target_column_fails(spark, tmp_path):
+    """Extra source columns (CDC bookkeeping) are allowed and dropped
+    on write; a source MISSING a target column fails loudly."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 4), root)
+    bad = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="missing target columns"):
+        st.merge_snapshot(spark, root, bad, ["k"])
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """The copy-on-write contract: data files containing no matched key
+    are carried into the new manifest VERBATIM (same paths, no
+    rewrite)."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 5), root)                  # v1 files
+    st.write_snapshot(_df(spark, 100, 105), root, mode="append")  # v2 adds
+    v1_files = set(st.read_manifest(root, 1)["files"])
+    v2_files = set(st.read_manifest(root, 2)["files"])
+    # source touches only the 100-range keys → every v1 file is kept
+    source = spark.createDataFrame([(101, -1), (103, -3)], "k long, v long")
+    res = st.merge_snapshot(spark, root, source, ["k"])
+    v3_files = set(st.read_manifest(root, 3)["files"])
+    assert v1_files <= v3_files, "untouched files were not carried forward"
+    assert res["files_kept"] >= len(v1_files)
+    assert res["files_rewritten"] >= 1
+    assert res["files_rewritten"] <= len(v2_files - v1_files)
+    got = {
+        r["k"]: r["v"]
+        for r in st.read_snapshot(spark, root).select("k", "v").collect()
+    }
+    expected = {k: k * 10 for k in range(5)}
+    expected.update({k: k * 10 for k in range(100, 105)})
+    expected.update({101: -1, 103: -3})
+    assert got == expected
+
+
+def test_merge_no_matches_insert_only(spark, tmp_path):
+    """With no key overlap the merge rewrites ZERO files — the new
+    manifest is old files + one staged insert commit."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 4), root)
+    res = st.merge_snapshot(
+        spark, root, _df(spark, 50, 52), ["k"]
+    )
+    assert res["files_rewritten"] == 0
+    assert st.read_snapshot(spark, root).count() == 6
+
+
+def test_merge_insert_unmatched_false(spark, tmp_path):
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 4), root)
+    st.merge_snapshot(
+        spark, root, _df(spark, 50, 52), ["k"], insert_unmatched=False
+    )
+    assert st.read_snapshot(spark, root).count() == 4

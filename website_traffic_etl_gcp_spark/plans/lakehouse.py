@@ -99,6 +99,78 @@ def snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_merge_orders",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 IN (1, 3)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 10
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "sources", "cdc"),
+    doc="MERGE INTO on the snapshot table — the file-pruned "
+    "copy-on-write shape of the open table formats "
+    "(sources/snapshot_table.py:merge_snapshot): a target snapshot of "
+    "orders (keys % 4 != 0, committed across multiple data files) "
+    "takes a CDC batch of every even key repriced +10, with "
+    "delete_predicate o_orderstatus='F' — matched F-rows delete, "
+    "other matches replace, unmatched non-F rows insert. Only files "
+    "CONTAINING a matched key are rewritten (the touched-file semi- "
+    "join ships (key, path), never row bodies; untouched manifest "
+    "entries carry forward verbatim — at 100 TB a 0.1%-of-keys merge "
+    "rewrites ~0.1% of files), and the commit is the same O(files) "
+    "atomic manifest as every write. The oracle recomputes the merged "
+    "table's per-status counts and exact cent-scale sums from orders "
+    "alone.",
+)
+def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import snapshot_table as st
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = _scratch("snap_merge", sf_dir)
+    try:
+        st.write_snapshot(
+            orders.filter(F.col("o_orderkey") % 4 != 0)
+            .repartition(8, "o_orderkey"),
+            root,
+        )
+        source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10
+        )
+        st.merge_snapshot(
+            spark, root, source, ["o_orderkey"],
+            delete_predicate="o_orderstatus = 'F'",
+        )
+        rows = (
+            st.read_snapshot(spark, root)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_price_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()  # scalar rollup — materialize before the scratch reaps
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders bigint, sum_price_cents bigint"
+    )
+
+
+@register(
     "xls_extract_transform",
     oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS time,

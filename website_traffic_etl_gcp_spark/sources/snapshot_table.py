@@ -206,6 +206,129 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
+def _uri_to_path(uri: str) -> str:
+    """``input_file_name()`` yields a URI (``file:///...`` with
+    percent-encoding); manifest entries are plain relative paths —
+    normalize for comparison."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in uri or uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return unquote(uri)
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    delete_predicate: str | None = None,
+    insert_unmatched: bool = True,
+    max_retries: int = 5,
+) -> dict:
+    """MERGE INTO for snapshot tables — the file-pruned copy-on-write
+    shape of the open table formats (Delta/Iceberg CoW MERGE, both
+    public designs): matched target rows are REPLACED by their source
+    row, source rows satisfying ``delete_predicate`` are dropped
+    (matched → delete; unmatched → not inserted, the ``WHEN NOT
+    MATCHED AND NOT <pred> THEN INSERT`` gate), and remaining unmatched
+    source rows insert when ``insert_unmatched``.
+
+    Scale shape: only data files that CONTAIN a matched key are
+    rewritten. The touched-file set comes from a key-only join against
+    ``input_file_name()`` — the exchange carries (key, path), never row
+    bodies — and is bounded by the file count, so at 100 TB a merge
+    touching 0.1% of keys rewrites ~0.1% of files while every other
+    manifest entry is carried forward verbatim (zero data movement).
+    Commit is the same O(files) atomic manifest as every other write;
+    a ``CommitConflict`` reruns the merge against the fresh head
+    (optimistic concurrency, staged files are re-derived because the
+    touched set may have changed).
+
+    The source may carry extra bookkeeping columns (a CDC ``_op``
+    flag, change timestamps) — ``delete_predicate`` can reference
+    them, and written rows are projected to the TARGET's columns; a
+    source MISSING a target column fails loudly.
+
+    Returns ``{"version", "files_kept", "files_rewritten",
+    "n_files_new"}``.
+    """
+    for _ in range(max_retries):
+        parent = current_version(root)
+        m = read_manifest(root, parent)
+        all_rel = m["files"]
+        tgt = spark.read.parquet(
+            *[os.path.join(root, f) for f in all_rel]
+        )
+        from pyspark.sql import functions as F
+
+        tgt_cols = tgt.columns
+        missing = [c for c in tgt_cols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge source is missing target columns {missing}"
+            )
+        src_keys = source.select(*keys).distinct()
+        touched_paths = {
+            os.path.realpath(_uri_to_path(r["_f"]))
+            for r in tgt.select(
+                *keys, F.input_file_name().alias("_f")
+            )
+            .join(src_keys, keys, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        }
+        kept_rel = [
+            f for f in all_rel
+            if os.path.realpath(os.path.join(root, f)) not in touched_paths
+        ]
+        touched_rel = [f for f in all_rel if f not in set(kept_rel)]
+        src_live = (
+            source.filter(~F.expr(delete_predicate))
+            if delete_predicate
+            else source
+        ).select(*tgt_cols)
+        if touched_rel:
+            touched_rows = spark.read.parquet(
+                *[os.path.join(root, f) for f in touched_rel]
+            )
+            survivors = touched_rows.join(src_keys, keys, "left_anti")
+            matched_src = src_live.join(
+                touched_rows.select(*keys).distinct(), keys, "left_semi"
+            )
+            new_data = survivors.unionByName(matched_src)
+            if insert_unmatched:
+                inserts = src_live.join(
+                    touched_rows.select(*keys).distinct(), keys, "left_anti"
+                )
+                new_data = new_data.unionByName(inserts)
+        elif insert_unmatched:
+            new_data = src_live
+        else:
+            new_data = None
+        new_files = (
+            stage_files(new_data, root) if new_data is not None else []
+        )
+        files = [os.path.join(root, f) for f in kept_rel] + new_files
+        try:
+            version = _commit(
+                root, files, "merge", parent,
+                extra={"merge_keys": keys},
+            )
+        except CommitConflict:
+            continue
+        return {
+            "version": version,
+            "files_kept": len(kept_rel),
+            "files_rewritten": len(touched_rel),
+            "n_files_new": len(new_files),
+        }
+    raise CommitConflict(
+        f"could not merge into {root} after {max_retries} attempts"
+    )
+
+
 def snapshot_versions(root: str) -> list[int]:
     try:
         names = os.listdir(_snap_dir(root))
