@@ -2350,6 +2350,90 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHUFFLE_EPOCHS = 3
+N_SHUFFLE_SHARDS = 16
+_SHUFFLE_CHECK_MOD = 9973
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH ep AS (
+        SELECT d.doc_id,
+               CAST(e.epoch AS INT) AS epoch,
+               {_MD5L.format(
+                   x="CAST(d.doc_id AS VARCHAR) || ':ep' "
+                     "|| CAST(e.epoch AS VARCHAR)")} AS h
+        FROM documents d
+        CROSS JOIN (
+            SELECT unnest(generate_series(0, {N_SHUFFLE_EPOCHS - 1}))
+                AS epoch
+        ) e
+    ),
+    pos AS (
+        SELECT epoch, h % {N_SHUFFLE_SHARDS} AS shard_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY epoch, h % {N_SHUFFLE_SHARDS}
+                   ORDER BY h, doc_id
+               ) AS p
+        FROM ep
+    )
+    SELECT epoch, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p * (doc_id % {_SHUFFLE_CHECK_MOD})) AS BIGINT)
+               AS order_checksum
+    FROM pos GROUP BY epoch, shard_id
+    """,
+    tags=("documents", "sampling"),
+    doc="Deterministic epoch-wise global training shuffle: for each of "
+    f"{N_SHUFFLE_EPOCHS} epochs, every doc's (shard, position) is "
+    "md5(doc_id:epoch) — shard = h mod "
+    f"{N_SHUFFLE_SHARDS}, position = rank of h within the shard — so "
+    "the training order of any epoch is recomputable by any worker "
+    "from the seed alone (no stored permutation, no coordination), "
+    "and consecutive epochs decorrelate because the hash input "
+    "changes. The order_checksum (Σ position × doc_id mod p) pins the "
+    "EXACT within-shard order against the oracle, not just membership. "
+    "Scale shape: one exchange on (epoch, shard) per epoch and a "
+    "within-shard sort — exactly the sort the shard writer performs "
+    "anyway; window partitions are corpus/shards sized, tuned by the "
+    "shard count, so the same plan holds when the corpus is 100 TB "
+    "(epochs are materialized lazily one at a time in a real export; "
+    "the bounded epoch fan-out here exists to audit cross-epoch "
+    "balance in one pass).",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import md5_long
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    ep = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(N_SHUFFLE_EPOCHS - 1))
+        ).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("int"))
+    h = md5_long(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":ep"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("h", "doc_id")
+    return (
+        ep.withColumn("h", h)
+        .withColumn("shard_id", F.col("h") % N_SHUFFLE_SHARDS)
+        .withColumn("p", F.row_number().over(w).cast("bigint"))
+        .groupBy("epoch", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.col("p") * (F.col("doc_id") % _SHUFFLE_CHECK_MOD)
+            ).cast("bigint").alias("order_checksum"),
+        )
+    )
+
+
 @register(
     "data_mix_sample",
     oracle=f"""
