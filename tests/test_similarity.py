@@ -441,3 +441,49 @@ def test_pca_moments_are_mergeable_and_exact(spark):
     keys = set(s11) | set(s11_a) | set(s11_b)
     for k in keys:
         assert s11.get(k, 0) == s11_a.get(k, 0) + s11_b.get(k, 0)
+
+
+def test_opq_rotation_improves_quantization(spark):
+    """OPQ (operators/opq.py): the trained rotation is orthonormal to
+    1e-8, preserves norms through the codegen rotate path, and cuts
+    full-corpus reconstruction MSE vs plain PQ trained with the same
+    total Lloyd budget (measured ratio 0.80-0.81 across SFs)."""
+    import numpy as np
+
+    from website_traffic_etl_gcp_spark.operators import opq
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    X = opq.sample_to_driver(emb)
+    R, books = opq.train_opq(X)
+    assert np.abs(R.T @ R - np.eye(R.shape[0])).max() < 1e-8
+
+    rot = opq.rotate_frame(emb, R)
+    from pyspark.sql import functions as F
+
+    norms = (
+        rot.select(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x
+            ).alias("sq")
+        )
+        .agg(F.min("sq"), F.max("sq"))
+        .collect()[0]
+    )
+    assert abs(norms[0] - 1.0) < 1e-6 and abs(norms[1] - 1.0) < 1e-6
+
+    plain = opq._kmeans_subspaces(
+        X, opq.PQ_M, opq.PQ_K, opq.OPQ_ITERS * opq.OPQ_KMEANS_ITERS
+    )
+    mse_opq = opq.quantization_mse(
+        rot, opq.books_to_frame(spark, books), 64
+    )
+    mse_pq = opq.quantization_mse(
+        emb, opq.books_to_frame(spark, plain), 64
+    )
+    assert 0 < mse_opq < mse_pq, (mse_opq, mse_pq)
+    assert mse_opq / mse_pq < 0.9, (mse_opq, mse_pq)
+
+    # determinism: retraining from the same sample reproduces R exactly
+    R2, _ = opq.train_opq(X)
+    assert np.abs(R - R2).max() == 0.0

@@ -1193,6 +1193,77 @@ def embedding_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Measured OPQ/PQ reconstruction-MSE ratio is 0.80-0.81 across SFs
+# (same total Lloyd budget for both); 0.95 proves the rotation helps
+# without pinning engine-specific floats.
+OPQ_IMPROVEMENT_CEIL = 0.95
+
+
+@register(
+    "embedding_opq_gate",
+    oracle=f"""
+    SELECT CAST({EMBED_DIM} AS INT) AS dim,
+           CAST(16 AS INT) AS m,
+           CAST(16 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS rotation_ok,
+           TRUE AS improvement_ok
+    FROM embeddings
+    """,
+    tags=("embeddings", "similarity"),
+    doc="Optimized Product Quantization audit gate (Ge et al. CVPR'13; "
+    "operators/opq.py): an orthonormal rotation trained driver-side "
+    "on a bounded deterministic sample (alternating per-subspace "
+    "Lloyd's and the orthogonal-Procrustes SVD update — bounded state, "
+    "the PQ-trainer/PCA pattern), then verified DISTRIBUTED: the "
+    "rotation rides as d×d literals in codegen (pure map, no shuffle) "
+    "and full-corpus reconstruction MSE is measured for rotated-OPQ vs "
+    "plain-PQ codebooks trained with the SAME total Lloyd budget. "
+    "Verdict: RᵀR = I to 1e-8 and OPQ MSE ≤ "
+    f"{OPQ_IMPROVEMENT_CEIL}× plain-PQ MSE (measured 0.80-0.81 across "
+    "SFs — the rotation recovers what PQ's subspace-independence "
+    "assumption loses). The audit you run before freezing codebooks "
+    "for a 100 TB encode.",
+)
+def embedding_opq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators import opq
+
+    emb = _emb(spark, sf_dir)
+    X = opq.sample_to_driver(emb)
+    R, books = opq.train_opq(X)
+    plain = opq._kmeans_subspaces(
+        X, opq.PQ_M, opq.PQ_K, opq.OPQ_ITERS * opq.OPQ_KMEANS_ITERS
+    )
+    rotation_ok = bool(
+        np.abs(R.T @ R - np.eye(R.shape[0])).max() < 1e-8
+    )
+    mse_opq = opq.quantization_mse(
+        opq.rotate_frame(emb, R), opq.books_to_frame(spark, books),
+        EMBED_DIM,
+    )
+    mse_pq = opq.quantization_mse(
+        emb, opq.books_to_frame(spark, plain), EMBED_DIM
+    )
+    n = emb.count()
+    row = [
+        (
+            EMBED_DIM,
+            opq.PQ_M,
+            opq.PQ_K,
+            n,
+            rotation_ok,
+            bool(mse_opq <= OPQ_IMPROVEMENT_CEIL * mse_pq),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "dim int, m int, k int, n_vectors bigint, "
+        "rotation_ok boolean, improvement_ok boolean",
+    )
+
+
 @register(
     "knn_ivfpq_persisted",
     oracle=_ANN_VERDICT_ORACLE,
