@@ -292,3 +292,28 @@ def test_merge_insert_unmatched_false(spark, tmp_path):
         spark, root, _df(spark, 50, 52), ["k"], insert_unmatched=False
     )
     assert st.read_snapshot(spark, root).count() == 4
+
+
+def test_merge_replay_is_content_idempotent(spark, tmp_path):
+    """The CDC-sink property: re-applying the same merge batch (an
+    at-least-once redelivery) commits a new version with IDENTICAL
+    content — replaces rewrite equal values, deletes no-op, inserts
+    re-match as replaces."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 10), root)
+    source = spark.createDataFrame(
+        [(2, 222, "upsert"), (3, 0, "delete"), (50, 500, "upsert")],
+        "k long, v long, _op string",
+    )
+    st.merge_snapshot(spark, root, source, ["k"], delete_predicate="_op = 'delete'")
+    first = sorted(
+        (r["k"], r["v"])
+        for r in st.read_snapshot(spark, root).select("k", "v").collect()
+    )
+    st.merge_snapshot(spark, root, source, ["k"], delete_predicate="_op = 'delete'")
+    second = sorted(
+        (r["k"], r["v"])
+        for r in st.read_snapshot(spark, root).select("k", "v").collect()
+    )
+    assert first == second
+    assert st.snapshot_versions(root) == [1, 2, 3]

@@ -351,3 +351,60 @@ def streaming_dq_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.wap_ingest import run_streaming_dq_router
 
     return run_streaming_dq_router(spark, sf_dir)
+
+
+@register(
+    "streaming_cdc_merge_orders",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 11
+                    WHEN o_orderkey % 5 = 0 THEN o_totalprice + 5
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)
+    )
+    SELECT CAST(4 AS INT) AS n_versions,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM final
+    """,
+    tags=("streaming", "lakehouse", "cdc"),
+    doc="Ordered CDC apply: a three-batch change feed over orders "
+    "(upsert every 5th key +5, delete every 7th, upsert every 11th "
+    "+11) streams through foreachBatch, each micro-batch applied as "
+    "one file-pruned MERGE INTO the snapshot table "
+    "(sources/snapshot_table.py:merge_snapshot; the _op column is the "
+    "delete predicate and is dropped on write). File mtimes pin "
+    "source order under maxFilesPerTrigger=1 because CDC order IS the "
+    "semantics — the oracle's CASE precedence (11 over 5) plus the "
+    "survival predicate pin the delete-then-reinsert sequence, and "
+    "n_versions = 4 pins one atomic manifest commit per batch. "
+    "streaming/upsert.py:run_cdc_merge_orders.",
+)
+def streaming_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.upsert import run_cdc_merge_orders
+    from .lakehouse import _scratch
+
+    root = _scratch("cdc_merge", sf_dir)
+    try:
+        final, n_versions = run_cdc_merge_orders(spark, sf_dir, root)
+        rows = (
+            final.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_price_cents"),
+            ).collect()  # scalar rollup — materialize before the scratch reaps
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_versions), rows[0]["n_orders"], rows[0]["sum_price_cents"])],
+        "n_versions int, n_orders bigint, sum_price_cents bigint",
+    )
