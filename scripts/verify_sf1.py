@@ -125,6 +125,13 @@ SF1_QUERIES = [
     "knn_bruteforce_cosine",
     "streaming_minhash_ingest",
     "dedup_incremental_exact",
+    # late-round-8 additions: the snapshot MERGE family's oracles are
+    # one orders aggregate each, the epoch shuffle's is a linear
+    # hash + window pass, and the OPQ gate's is a trivial SELECT.
+    "snapshot_merge_orders",
+    "streaming_cdc_merge_orders",
+    "epoch_shuffle_order",
+    "embedding_opq_gate",
 ]
 
 TABLES = (

@@ -129,6 +129,12 @@ MUST_LEAD_R9 = (
     # round's widened sf1 sweep
     "streaming_hourly_counts",
     "revenue_rollup_nation_year",
+    # NEW in late round 8 (after the r8 window was consumed by the
+    # driver) — never driver-checked; they must lead the r9 window
+    "snapshot_merge_orders",
+    "epoch_shuffle_order",
+    "embedding_opq_gate",
+    "streaming_cdc_merge_orders",
 )
 
 
