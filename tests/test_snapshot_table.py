@@ -317,3 +317,66 @@ def test_merge_replay_is_content_idempotent(spark, tmp_path):
     )
     assert first == second
     assert st.snapshot_versions(root) == [1, 2, 3]
+
+
+def test_compact_snapshot_preserves_content_and_history(spark, tmp_path):
+    """Compaction is a transaction: many small append commits rewrite
+    into few files as a NEW version with identical logical content;
+    the pre-compaction version stays time-travelable until vacuum."""
+    root = str(tmp_path / "t")
+    for i in range(5):
+        st.write_snapshot(
+            _df(spark, i * 10, i * 10 + 10).repartition(3),
+            root, mode="append",
+        )
+    before = set(st.read_manifest(root, 5)["files"])
+    assert len(before) >= 10  # many small files
+    out = st.compact_snapshot(spark, root)
+    assert out["version"] == 6
+    assert out["files_after"] < out["files_before"]
+    got = sorted(
+        (r["k"], r["v"])
+        for r in st.read_snapshot(spark, root).select("k", "v").collect()
+    )
+    assert got == [(k, k * 10) for k in range(50)]
+    # old version still reads its original files
+    assert st.read_snapshot(spark, root, version=5).count() == 50
+    # vacuum reaps the pre-compaction files
+    st.vacuum(root, keep_last=1)
+    assert st.read_snapshot(spark, root).count() == 50
+    with pytest.raises(st.NoSuchSnapshot):
+        st.read_snapshot(spark, root, version=5)
+
+
+def test_merge_conflict_retries_against_new_head(spark, tmp_path, monkeypatch):
+    """A writer landing between the merge's read and its commit must
+    not be lost: the merge retries and re-derives against the fresh
+    head (here the interloper appends key 200 mid-merge; the final
+    table carries BOTH the merge's effect and the appended row)."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 5), root)
+
+    real_commit = st._commit
+    hits = {"n": 0}
+
+    def racing_commit(r, files, mode, parent, extra=None):
+        if hits["n"] == 0 and mode == "merge":
+            hits["n"] += 1
+            # interloper commits first — the merge's parent is stale
+            st.write_snapshot(_df(spark, 200, 201), root, mode="append")
+        return real_commit(r, files, mode, parent, extra)
+
+    monkeypatch.setattr(st, "_commit", racing_commit)
+    res = st.merge_snapshot(
+        spark, root, spark.createDataFrame([(2, 222)], "k long, v long"),
+        ["k"],
+    )
+    assert hits["n"] == 1
+    assert res["version"] == 3  # v2 = interloper, v3 = retried merge
+    got = {
+        r["k"]: r["v"]
+        for r in st.read_snapshot(spark, root).select("k", "v").collect()
+    }
+    expected = {k: k * 10 for k in range(5)}
+    expected.update({2: 222, 200: 2000})
+    assert got == expected

@@ -329,6 +329,52 @@ def merge_snapshot(
     )
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: tuple[str, ...] = (),
+    max_retries: int = 5,
+) -> dict:
+    """Small-file compaction as a TRANSACTION (the OPTIMIZE step of the
+    open table formats): rewrite the current snapshot's rows into
+    ~``target_file_bytes`` files (optionally clustered so min/max
+    stats prune row groups) and commit the rewritten file list as the
+    next version. Logical content is unchanged; readers of the old
+    version are untouched (their files are immutable until ``vacuum``)
+    and a concurrent commit simply wins the race — the compactor
+    retries against the new head. Streaming snapshot sinks append one
+    small commit per micro-batch; at 100 TB this is what keeps scan
+    cost O(data), not O(commits)."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity import)
+
+    for _ in range(max_retries):
+        parent = current_version(root)
+        m = read_manifest(root, parent)
+        paths = [os.path.join(root, f) for f in m["files"]]
+        bytes_total = sum(
+            os.path.getsize(p) for p in paths if os.path.exists(p)
+        )
+        n_out = max(1, -(-bytes_total // target_file_bytes))
+        df = spark.read.parquet(*paths).repartition(int(n_out))
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
+        new_files = stage_files(df, root)
+        try:
+            version = _commit(root, new_files, "compact", parent)
+        except CommitConflict:
+            continue
+        return {
+            "version": version,
+            "files_before": len(paths),
+            "files_after": len(new_files),
+            "bytes_total": bytes_total,
+        }
+    raise CommitConflict(
+        f"could not compact {root} after {max_retries} attempts"
+    )
+
+
 def snapshot_versions(root: str) -> list[int]:
     try:
         names = os.listdir(_snap_dir(root))
