@@ -239,3 +239,55 @@ def test_persisted_ivfpq_index_probe_reads_in_place(spark):
         spark.sql(f"DROP TABLE IF EXISTS {codes_t}")
         spark.sql(f"DROP TABLE IF EXISTS {cents_t}")
         spark.sql(f"DROP TABLE IF EXISTS {pqcb_t}")
+
+
+def test_incremental_ivf_delta_append_and_probe(spark):
+    """append_ivf_delta (operators/ann_index.py): a new batch assigns
+    against the FROZEN stored centroids at O(batch) cost into a
+    bucketed sidecar; probing base ∪ delta (a) equals the in-query
+    IVF over base+batch with the SAME centroids, (b) reaches batch
+    vectors as candidates, and (c) never exchanges either stored
+    table (both scan in place; the probe side broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.operators import ann_index as ai
+    from website_traffic_etl_gcp_spark.operators import similarity as sim
+    from website_traffic_etl_gcp_spark.plans.embeddings import (
+        KNN_K,
+        _probe_filter,
+        label_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    cents = label_centroids(base).localCheckpoint()  # pin avg floats
+    q = _probe_filter(emb)
+    cells_t = ai.index_table_name("ivfbase_test", SF_DIR)
+    cents_t = ai.index_table_name("ivfbasec_test", SF_DIR)
+    delta_t = ai.index_table_name("ivfdelta_test", SF_DIR)
+    try:
+        ai.build_ivf_index(base, cents, cells_t, cents_t)
+        ai.append_ivf_delta(batch, cents_t, delta_t)
+        # the sidecar holds exactly the batch, each in one cell
+        n_batch = batch.count()
+        assert spark.table(delta_t).count() == n_batch
+        probe = ai.probe_ivf_index(
+            spark, q, cells_t, cents_t, KNN_K, n_probe=2,
+            delta_tables=(delta_t,),
+        )
+        expected = sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
+        got = {tuple(r) for r in probe.collect()}
+        want = {tuple(r) for r in expected.collect()}
+        assert got == want
+        # batch vectors are genuinely reachable through the delta
+        batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+        assert any(r[1] in batch_ids for r in got)
+        final = _plan(probe).split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin [cell_id" in final, final
+        assert final.count("BroadcastNestedLoopJoin") <= 1, final
+        assert "Exchange hashpartitioning(cell_id" not in final
+        assert "Bucketed: true" in final
+    finally:
+        for t in (cells_t, cents_t, delta_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -135,6 +135,7 @@ MUST_LEAD_R9 = (
     "epoch_shuffle_order",
     "embedding_opq_gate",
     "streaming_cdc_merge_orders",
+    "knn_ivf_incremental",
 )
 
 

@@ -110,6 +110,50 @@ def ensure_ivf_index(
     )
 
 
+def append_ivf_delta(
+    batch: DataFrame,
+    cents_table: str,
+    delta_table: str,
+    n_buckets: int = INDEX_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the streaming-adds shape every
+    production ANN deployment needs: a NEW vector batch is assigned
+    against the FROZEN stored coarse centroids (no retraining, no
+    touch of the base table) and published as its own bucketed
+    sidecar table; probes scan base ∪ delta in place. Cost is
+    O(batch), never O(corpus) — at 100 TB an hourly ingest of 1M
+    vectors assigns 1M rows while the billions in the base table stay
+    immutable. Deltas accumulate like streaming commits; folding them
+    into a fresh content-keyed base is the same OPTIMIZE-style rewrite
+    as ``snapshot_table.compact_snapshot``. Idempotent per
+    (batch-content → table name): an already-published delta
+    registers instead of rebuilding, across processes."""
+    spark = batch.sparkSession
+    if spark.catalog.tableExists(delta_table):
+        return
+    if _register_or_none(
+        spark, [(delta_table, "cell_id", "cell_id")], n_buckets
+    ):
+        return
+    cents = spark.table(cents_table)
+    assigned = sim.assign_cells(batch, cents, 1, id_col, vec_col).select(
+        "cell_id",
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("__vn").alias("nc"),
+    )
+    write_bucketed(
+        assigned,
+        delta_table,
+        "cell_id",
+        n_buckets=n_buckets,
+        sort_col="cell_id",
+        path=_table_path(delta_table),
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     coarse: DataFrame,
@@ -320,12 +364,16 @@ def probe_ivf_index(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    delta_tables: tuple[str, ...] = (),
 ) -> DataFrame:
     """Approximate top-k against the persisted index: queries are
     assigned to their ``n_probe`` nearest cells via the (tiny) stored
     centroid table, then broadcast against the assigned-corpus table —
     which scans in place with its precomputed norms; zero corpus-side
-    recompute or exchange per probe batch."""
+    recompute or exchange per probe batch. ``delta_tables`` unions
+    incremental sidecar tables (``append_ivf_delta``) into the scan —
+    each stored table still reads in place (the probe join is
+    broadcast, so the union never forces an exchange)."""
     cents = spark.table(cents_table)
     # the query-side cell column is RENAMED (qcell): both sides'
     # cell ids otherwise descend from the same stored centroid
@@ -338,6 +386,8 @@ def probe_ivf_index(
         F.col("cell_id").alias("qcell"),
     )
     c = spark.table(cells_table)
+    for t in delta_tables:
+        c = c.unionByName(spark.table(t))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
