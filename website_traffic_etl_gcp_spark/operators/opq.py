@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 
 from .pq import PQ_K, PQ_M, _unit, subvectors, _assign_codes
 
-OPQ_ITERS = 8
-OPQ_KMEANS_ITERS = 4
+OPQ_ITERS = 16
+OPQ_KMEANS_ITERS = 6
 OPQ_TRAIN_SAMPLE_CAP = 2048
 
 
@@ -137,24 +137,37 @@ def rotate_frame(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, embedding=unit(v)·R) — the rotation as d×d literals in
-    codegen; a pure map, no join, no shuffle, like the PCA projection."""
-    cols = F.array(
-        *[
-            F.array(*[F.lit(float(R[i][j])) for i in range(len(R))])
-            for j in range(len(R[0]))
+    """(vec_id, embedding=unit(v)·R) — Arrow-batched numpy matmul via
+    ``mapInPandas``: a pure map, no join, no shuffle; each task
+    multiplies its batch against the (tiny, closure-shipped) d×d
+    matrix. A dense d×d rotation is the case the PCA-literal-expression
+    trick does NOT fit: expressing it as d nested fold lambdas
+    duplicates the normalization subtree d times over d² literals —
+    the plan tree is O(d³) nodes and execution fell out of codegen
+    (measured: the sf1 20k-vector pass ran minutes as expressions,
+    <1 s as a batched matmul)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    Rb = np.asarray(R, dtype=float)
+    id_field = emb.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField(vec_col, ArrayType(DoubleType())),
         ]
     )
-    u = _unit(vec_col)
-    rotated = F.transform(
-        cols,
-        lambda c: F.aggregate(
-            F.zip_with(u, c, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ),
-    )
-    return emb.select(F.col(id_col), rotated.alias(vec_col))
+
+    def _rotate(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=float)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            Y = (X / n) @ Rb
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(Y)})
+
+    return emb.select(id_col, vec_col).mapInPandas(_rotate, schema)
 
 
 def books_to_frame(spark, books) -> DataFrame:
