@@ -136,6 +136,7 @@ MUST_LEAD_R9 = (
     "embedding_opq_gate",
     "streaming_cdc_merge_orders",
     "knn_ivf_incremental",
+    "streaming_admit_dedup_extend",
 )
 
 

@@ -282,3 +282,29 @@ def test_dq_router_quarantines_planted_violations(spark, tmp_path):
     assert report["any_violation"]["n_violations"] == 4
     assert all(r["n_rows"] == 6 for r in report.values())
     assert not report["any_violation"]["passed"]
+
+
+def test_streaming_admit_extends_state_across_batches(spark):
+    """run_streaming_exact_admit (streaming/doc_ingest.py): the
+    admitted-state sidecar must catch a duplicate whose twin arrived
+    in an EARLIER micro-batch (neither in the base corpus) — the gap
+    a static-index probe leaves open. The planted landing set (every
+    25th odd doc cloned into a later id range) guarantees such pairs
+    exist; 'corpus' rejections come from the persisted index."""
+    from website_traffic_etl_gcp_spark.streaming.doc_ingest import (
+        run_streaming_exact_admit,
+    )
+    from tests.conftest import SF_DIR
+
+    out = run_streaming_exact_admit(spark, SF_DIR).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["dup_source"], []).append(r)
+    assert len(by_src.get("corpus", [])) >= 5
+    assert len(by_src.get("stream", [])) >= 5
+    # every stream rejection's id sits in the clone range — its twin
+    # (the original odd doc) landed in an earlier batch by id order
+    originals = {r["doc_id"] for r in out if r["admitted"]}
+    stream_ids = {r["doc_id"] for r in by_src["stream"]}
+    assert stream_ids.isdisjoint(originals)
+    assert all(not r["admitted"] for r in by_src["corpus"] + by_src["stream"])

@@ -408,3 +408,57 @@ def streaming_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_versions), rows[0]["n_orders"], rows[0]["sum_price_cents"])],
         "n_versions int, n_orders bigint, sum_price_cents bigint",
     )
+
+
+@register(
+    "streaming_admit_dedup_extend",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS f
+        FROM documents
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS span FROM documents),
+    land AS (
+        SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 2 * span, f FROM fp, mx
+        WHERE doc_id % 2 = 1 AND doc_id % 25 = 1
+        UNION ALL
+        SELECT doc_id + 4 * span + 1, f FROM fp, mx
+        WHERE doc_id % 2 = 0 AND doc_id % 25 = 0
+    ),
+    corp AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0)
+    SELECT l.doc_id,
+           CASE WHEN c.f IS NOT NULL THEN 'corpus'
+                WHEN EXISTS (SELECT 1 FROM land p
+                             WHERE p.f = l.f AND p.doc_id < l.doc_id)
+                     THEN 'stream'
+           END AS dup_source,
+           (c.f IS NULL AND NOT EXISTS (
+               SELECT 1 FROM land p
+               WHERE p.f = l.f AND p.doc_id < l.doc_id)) AS admitted
+    FROM land l LEFT JOIN corp c ON l.f = c.f
+    """,
+    tags=("streaming", "dedup", "lakehouse"),
+    doc="Admission-time exact dedup WITH index extension — the "
+    "STATEFUL ingest the static-probe twins leave open: each "
+    "micro-batch rejects docs whose fingerprint is in the persisted "
+    "corpus index OR admitted by an EARLIER batch of this stream, "
+    "then extends the admitted-state sidecar with its own admissions "
+    "(batch_id-keyed overwrite → idempotent under retries, the "
+    "delta-sidecar pattern of append_ivf_delta). A duplicate arriving "
+    "two batches after its twin is caught even though neither is in "
+    "the base corpus — planted re-keyed clones (every 25th doc; the "
+    "corpus has no natural exact dups) exercise BOTH rejection paths. "
+    "Landing order is pinned (id-range files, "
+    "increasing mtimes, maxFilesPerTrigger=1), so the oracle's "
+    "'corpus beats stream; earlier doc_id wins' CASE recomputes every "
+    "verdict exactly. streaming/doc_ingest.py:"
+    "run_streaming_exact_admit.",
+)
+def streaming_admit_dedup_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.doc_ingest import run_streaming_exact_admit
+
+    return run_streaming_exact_admit(spark, sf_dir)

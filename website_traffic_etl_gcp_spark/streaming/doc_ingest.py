@@ -118,3 +118,152 @@ def run_streaming_minhash_ingest(
     shutil.rmtree(ckpt, ignore_errors=True)
     _reap_at_exit(root)
     return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
+
+
+def run_streaming_exact_admit(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """Admission-time exact dedup WITH index extension — the stateful
+    production ingest: each micro-batch's docs are rejected if their
+    content fingerprint exists in (a) the persisted corpus index OR
+    (b) the fingerprints ADMITTED BY EARLIER BATCHES OF THIS STREAM,
+    then the batch's own admissions extend that state — so a duplicate
+    arriving two batches after its twin is caught even though neither
+    is in the base corpus (the gap a static-index probe leaves open).
+
+    State is a parquet dir of batch_id-keyed subdirs (the delta-
+    sidecar pattern of ann_index.append_ivf_delta): appends are
+    O(admitted-batch), the base index is untouched, and a retried
+    batch OVERWRITES its own subdir — idempotent under at-least-once
+    delivery. Probes are fingerprint equi-joins: O(batch) rows against
+    the bucketed corpus index (scans in place) plus the accumulated
+    admitted set (stream-lifetime bounded, the role RocksDB state
+    plays in a continuous deployment).
+
+    The landing set is the odd-id docs plus PLANTED re-keyed clones
+    (the corpus has no natural exact dups): every 25th odd doc clones
+    to id+2·span (a later batch — caught via the STREAM state) and
+    every 25th even doc clones to id+4·span+1 (odd, caught via the
+    CORPUS index), so both rejection paths are genuinely exercised.
+    Landing order is pinned (files split by id range, mtimes
+    increasing, maxFilesPerTrigger=1), so "earlier batch or earlier
+    row" collapses to "smaller id" — which is exactly what the SQL
+    oracle checks. Returns (doc_id, dup_source, admitted)."""
+    import glob as _glob
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp_all = di.exact_fingerprints(docs)
+    existing = fp_all.filter(F.col("doc_id") % 2 == 0)
+    table = di.index_table_name("fp", sf_dir)
+    di.ensure_exact_index(existing, table)
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", "stream_admit",
+        os.path.basename(sf_dir.rstrip("/")),
+        uuid.uuid4().hex[:12],
+    )
+    land = os.path.join(root, "land")
+    state = os.path.join(root, "state")
+    out_path = os.path.join(root, "verdicts")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(land, exist_ok=True)
+    os.makedirs(state, exist_ok=True)
+
+    # landing files: odd docs + planted clones, split by id range
+    # (monotone in id so batch order == id order), one file per batch
+    # bounded scalar fetch (one row), not a frame round-trip
+    span = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    k = F.col("doc_id")
+    odd = docs.filter(k % 2 == 1).select("doc_id", "text")
+    landing = (
+        odd
+        .unionByName(
+            docs.filter((k % 2 == 1) & (k % 25 == 1)).select(
+                (k + 2 * span).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter((k % 2 == 0) & (k % 25 == 0)).select(
+                (k + 4 * span + 1).alias("doc_id"), "text"
+            )
+        )
+    )
+    total_span = 5 * span + 2
+    for i in range(n_batches):
+        lo = total_span * i // n_batches
+        hi = total_span * (i + 1) // n_batches
+        tmp = os.path.join(root, f"_stage_{i}")
+        landing.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)) \
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if parts:  # a range slice can be empty — no landing file then
+            dst = os.path.join(land, f"batch_{i}.parquet")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fp = di.exact_fingerprints(batch_df)
+        corp = di.probe_exact_index(s, fp, table).select(
+            "doc_id", "fingerprint",
+            F.col("canonical_id").isNotNull().alias("in_corpus"),
+        )
+        prior_files = _glob.glob(os.path.join(state, "*", "*.parquet"))
+        if prior_files:
+            prior = s.read.parquet(*prior_files).select(
+                "fingerprint", F.lit(True).alias("in_prior")
+            ).distinct()
+            corp = corp.join(prior, "fingerprint", "left")
+        else:
+            corp = corp.withColumn("in_prior", F.lit(None).cast("boolean"))
+        w = Window.partitionBy("fingerprint")
+        verdicts = corp.withColumn(
+            "first_in_batch", F.min("doc_id").over(w)
+        ).select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_corpus"), "corpus")
+            .when(
+                F.col("in_prior") | (F.col("doc_id") > F.col("first_in_batch")),
+                "stream",
+            )
+            .alias("dup_source"),
+        ).withColumn("admitted", F.col("dup_source").isNull())
+        _write_batch(
+            verdicts.select("doc_id", "dup_source", "admitted"),
+            out_path, batch_id,
+        )
+        # extend the admitted-state sidecar (batch-keyed overwrite →
+        # a retried batch replaces, never duplicates, its extension)
+        verdicts.filter("admitted").select("fingerprint").distinct() \
+            .write.mode("overwrite").parquet(
+                os.path.join(state, f"batch-{batch_id:08d}")
+            )
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _reap_at_exit(root)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
