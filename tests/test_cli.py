@@ -146,3 +146,63 @@ def test_export_splits_rejects_bad_percentages(tmp_path):
     )
     assert proc.returncode == 1
     assert "percentages" in proc.stderr + proc.stdout
+
+
+def test_snapshot_cli_lifecycle(tmp_path, spark):
+    """snapshot subcommand: build a table + a merge source with the
+    session fixture, then drive merge → history → compact → vacuum
+    through the CLI subprocess (the maintenance front-end an operator
+    types)."""
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.sources import snapshot_table as st
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    st.write_snapshot(df, root)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(3, 333, "u"), (5, 0, "d"), (100, 1, "u")], "k long, v long, op string"
+    ).write.parquet(src)
+
+    proc = _cli(
+        "snapshot", "merge", root, "--source", src, "--keys", "k",
+        "--delete-predicate", "op = 'd'",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "v2" in proc.stdout
+
+    proc = _cli("snapshot", "history", root)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "v1" in proc.stdout and "v2" in proc.stdout
+
+    proc = _cli("snapshot", "compact", root)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "v3" in proc.stdout
+
+    proc = _cli("snapshot", "vacuum", root, "--keep-last", "1")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = {
+        (r["k"], r["v"])
+        for r in st.read_snapshot(spark, root).select("k", "v").collect()
+    }
+    expected = {(k, k * 2) for k in range(20) if k != 5}
+    expected -= {(3, 6)}
+    expected |= {(3, 333), (100, 1)}
+    assert got == expected
+
+
+def test_snapshot_cli_merge_requires_source_and_keys(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.sources import snapshot_table as st
+
+    root = str(tmp_path / "t")
+    st.write_snapshot(
+        spark.range(0, 3).select(F.col("id").alias("k")), root
+    )
+    proc = _cli("snapshot", "merge", root)
+    assert proc.returncode == 1
+    assert "merge needs --source and --keys" in proc.stderr

@@ -100,6 +100,32 @@ def main(argv: list[str] | None = None) -> int:
         "--val-pct", type=int, default=10,
         help="Val percentage (default 10; test gets the remainder)",
     )
+    sn_p = sub.add_parser(
+        "snapshot",
+        help="Snapshot-table maintenance: history, compact, vacuum, "
+        "merge (sources/snapshot_table.py)",
+    )
+    sn_p.add_argument(
+        "action", choices=("history", "compact", "vacuum", "merge")
+    )
+    sn_p.add_argument("root", help="Snapshot table root directory")
+    sn_p.add_argument(
+        "--source", default=None,
+        help="Parquet path of the merge source batch (merge only)",
+    )
+    sn_p.add_argument(
+        "--keys", default="",
+        help="Comma-separated merge key columns (merge only)",
+    )
+    sn_p.add_argument(
+        "--delete-predicate", default=None,
+        help="SQL predicate over source columns; matching rows never "
+        "survive the merge (merge only)",
+    )
+    sn_p.add_argument("--keep-last", type=int, default=2,
+                      help="Versions to retain (vacuum only)")
+    sn_p.add_argument("--target-mb", type=int, default=128,
+                      help="Target data-file size (compact only)")
     args = parser.parse_args(argv)
 
     if args.command == "run":
@@ -261,6 +287,56 @@ def main(argv: list[str] | None = None) -> int:
             back.groupBy("split").count().orderBy("split").collect()
         ):
             print(f"{row['split']}: {row['count']} rows")
+        return 0
+
+    if args.command == "snapshot":
+        from .sources import snapshot_table as st
+
+        if args.action == "history":
+            versions = st.snapshot_versions(args.root)
+            if not versions:
+                logger.error("No snapshots at %s", args.root)
+                return 1
+            for v in versions:
+                m = st.read_manifest(args.root, v)
+                print(
+                    f"v{v}  mode={m['mode']:9s} files={len(m['files'])} "
+                    f"parent={m['parent']}"
+                )
+            return 0
+        if args.action == "vacuum":
+            out = st.vacuum(args.root, keep_last=args.keep_last)
+            print(
+                f"dropped versions {out['dropped_versions']}, kept "
+                f"{out['kept_versions']}, removed {out['removed_files']} "
+                "files"
+            )
+            return 0
+        spark = get_spark(f"snapshot-{args.action}")
+        if args.action == "compact":
+            out = st.compact_snapshot(
+                spark, args.root,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+            )
+            print(
+                f"v{out['version']}: files {out['files_before']} -> "
+                f"{out['files_after']} ({out['bytes_total']} bytes)"
+            )
+            return 0
+        # merge
+        keys = [k for k in args.keys.split(",") if k]
+        if not args.source or not keys:
+            logger.error("merge needs --source and --keys")
+            return 1
+        out = st.merge_snapshot(
+            spark, args.root, spark.read.parquet(args.source), keys,
+            delete_predicate=args.delete_predicate,
+        )
+        print(
+            f"v{out['version']}: kept {out['files_kept']} files, "
+            f"rewrote {out['files_rewritten']}, wrote "
+            f"{out['n_files_new']} new"
+        )
         return 0
 
     parser.print_help()
