@@ -137,6 +137,7 @@ MUST_LEAD_R9 = (
     "streaming_cdc_merge_orders",
     "knn_ivf_incremental",
     "streaming_admit_dedup_extend",
+    "rag_chunk_ann_pipeline",
 )
 
 
