@@ -132,6 +132,11 @@ SF1_QUERIES = [
     "streaming_cdc_merge_orders",
     "epoch_shuffle_order",
     "embedding_opq_gate",
+    "knn_ivf_incremental",
+    # chunk-pipeline + stateful-admission oracles are token-linear
+    # (the shared chunking CTE / fingerprint equi-joins)
+    "rag_chunk_ann_pipeline",
+    "streaming_admit_dedup_extend",
 ]
 
 TABLES = (

@@ -1613,6 +1613,11 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HASH_EMBED_DIM = 64
 RAG_PROBE_MOD = 97
+# probes come only from the first RAG_PROBE_DOC_CAP docs — a
+# FIXED-SIZE probe set, so ground-truth cost is O(corpus), never
+# O(corpus × corpus/mod) (the round-5 brute-force scale lesson; the
+# embeddings tiers pin theirs the same way via _probe_filter)
+RAG_PROBE_DOC_CAP = 2000
 
 
 def chunk_hash_embeddings(d: DataFrame) -> DataFrame:
@@ -1675,6 +1680,7 @@ def chunk_hash_embeddings(d: DataFrame) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(COUNT(*) FILTER (
                (doc_id * 1000000 + chunk_start) % {RAG_PROBE_MOD} = 0
+               AND doc_id < {RAG_PROBE_DOC_CAP}
            ) AS BIGINT) AS n_queries,
            TRUE AS coverage_ok,
            TRUE AS k_bound_ok,
@@ -1702,7 +1708,10 @@ def rag_chunk_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .embeddings import KNN_K, _ann_verdict
 
     emb = chunk_hash_embeddings(_docs(spark, sf_dir)).persist()
-    q = emb.filter(F.col("vec_id") % RAG_PROBE_MOD == 0)
+    q = emb.filter(
+        (F.col("vec_id") % RAG_PROBE_MOD == 0)
+        & (F.col("vec_id") < RAG_PROBE_DOC_CAP * 1000000)
+    )
     approx = sim.lsh_topk(emb, q, KNN_K, HASH_EMBED_DIM)
     exact = sim.brute_force_topk(emb, q, KNN_K).persist()
     n_chunks = emb.agg(
