@@ -138,6 +138,7 @@ MUST_LEAD_R9 = (
     "knn_ivf_incremental",
     "streaming_admit_dedup_extend",
     "rag_chunk_ann_pipeline",
+    "snapshot_incremental_read",
 )
 
 

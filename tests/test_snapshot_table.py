@@ -380,3 +380,27 @@ def test_merge_conflict_retries_against_new_head(spark, tmp_path, monkeypatch):
     expected = {k: k * 10 for k in range(5)}
     expected.update({2: 222, 200: 2000})
     assert got == expected
+
+
+def test_read_increment_appends_only(spark, tmp_path):
+    """read_increment: exactly the rows the later version's NEW files
+    carry; empty delta is a same-schema empty frame; a non-append
+    commit in between raises instead of dropping retractions."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 5), root, mode="append")
+    st.write_snapshot(_df(spark, 5, 12), root, mode="append")
+    inc = st.read_increment(spark, root, from_version=1, to_version=2)
+    assert sorted(r["k"] for r in inc.collect()) == list(range(5, 12))
+    # from 0 = everything
+    assert st.read_increment(spark, root, 0, 2).count() == 12
+    # no new commits → empty frame, schema intact
+    same = st.read_increment(spark, root, from_version=2)
+    assert same.count() == 0 and same.columns == ["k", "v"]
+
+    st.write_snapshot(_df(spark, 100, 101), root, mode="overwrite")
+    with pytest.raises(ValueError, match="non-append"):
+        st.read_increment(spark, root, from_version=1)
+    # but reading from AFTER the overwrite works again
+    st.write_snapshot(_df(spark, 200, 203), root, mode="append")
+    inc2 = st.read_increment(spark, root, from_version=3)
+    assert sorted(r["k"] for r in inc2.collect()) == [200, 201, 202]

@@ -171,6 +171,56 @@ def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_incremental_read",
+    oracle="""
+    SELECT 2 AS from_version, 3 AS to_version,
+           CAST(COUNT(*) FILTER (event_id % 3 = 2) AS BIGINT)
+               AS n_new_rows,
+           CAST(COUNT(*) FILTER (event_id % 3 = 2
+                                 AND event_type = 'purchase')
+               AS BIGINT) AS n_new_purchases
+    FROM events
+    """,
+    tags=("lakehouse", "sources", "cdc"),
+    doc="Incremental consumption of an append-only snapshot table — "
+    "the CDC-READ side of the lakehouse "
+    "(sources/snapshot_table.py:read_increment): events commit as "
+    "three appends (event_id thirds); a consumer that checkpointed "
+    "version 2 reads ONLY the files version 3 added (the third "
+    "third) — an O(new files) manifest diff, table-size independent, "
+    "the same file-set delta a streaming source performs per batch. "
+    "Non-append commits between the versions raise instead of "
+    "silently dropping retractions. Oracle recomputes the increment's "
+    "row and per-type counts from events alone.",
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import snapshot_table as st
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _scratch("snap_incr", sf_dir)
+    try:
+        for third in range(3):
+            st.write_snapshot(
+                ev.filter(F.col("event_id") % 3 == third), root,
+                mode="append",
+            )
+        inc = st.read_increment(spark, root, from_version=2, to_version=3)
+        rows = inc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new_rows"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).cast("bigint").alias("n_new_purchases"),
+        ).collect()  # scalar rollup — materialize before the scratch reaps
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(2, 3, rows[0]["n_new_rows"], rows[0]["n_new_purchases"])],
+        "from_version int, to_version int, n_new_rows bigint, "
+        "n_new_purchases bigint",
+    )
+
+
+@register(
     "xls_extract_transform",
     oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS time,

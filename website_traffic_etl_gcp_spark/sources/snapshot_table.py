@@ -329,6 +329,39 @@ def merge_snapshot(
     )
 
 
+def read_increment(
+    spark: SparkSession, root: str, from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption of an append-only snapshot table — the
+    CDC-read side of the lakehouse: a DataFrame over exactly the data
+    files ``to_version`` references that ``from_version`` does not
+    (``from_version = 0`` means everything). A downstream job
+    checkpoints the version it has consumed and reads only the delta
+    next run — O(new files) regardless of table size, the same
+    file-set diff Delta's ``readChangeFeed``/Structured Streaming
+    sources perform on append-only tables. Raises if a non-append
+    commit (overwrite/merge/compact REMOVES files) sits between the
+    two versions: removed files mean the delta is not expressible as
+    new-files-only, and silently returning additions would drop
+    retractions."""
+    to_v = current_version(root) if to_version is None else to_version
+    base = set(read_manifest(root, from_version)["files"]) \
+        if from_version > 0 else set()
+    new_m = read_manifest(root, to_v)
+    missing = base - set(new_m["files"])
+    if missing:
+        raise ValueError(
+            f"versions {from_version}→{to_v} of {root} removed "
+            f"{len(missing)} file(s) (a non-append commit) — the "
+            "increment is not expressible as new files only"
+        )
+    added = [f for f in new_m["files"] if f not in base]
+    if not added:  # same-schema empty frame, not None/raise
+        return read_snapshot(spark, root, to_v).limit(0)
+    return spark.read.parquet(*[os.path.join(root, f) for f in added])
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,
