@@ -137,6 +137,7 @@ SF1_QUERIES = [
     # (the shared chunking CTE / fingerprint equi-joins)
     "rag_chunk_ann_pipeline",
     "streaming_admit_dedup_extend",
+    "snapshot_incremental_read",
 ]
 
 TABLES = (
