@@ -138,6 +138,7 @@ SF1_QUERIES = [
     "rag_chunk_ann_pipeline",
     "streaming_admit_dedup_extend",
     "snapshot_incremental_read",
+    "orders_scd2_pit_join",
 ]
 
 TABLES = (

@@ -139,6 +139,7 @@ MUST_LEAD_R9 = (
     "streaming_admit_dedup_extend",
     "rag_chunk_ann_pipeline",
     "snapshot_incremental_read",
+    "orders_scd2_pit_join",
 )
 
 

@@ -616,6 +616,94 @@ SCD_CHANGE_DAY = "2024-06-01"
 SCD_BASE_DAY = "2024-01-01"
 
 
+PIT_BASE_DAY = "1990-01-01"
+PIT_CHANGE_DAY = "1998-06-01"  # inside the orders date range
+
+
+@register(
+    "orders_scd2_pit_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey AS custkey, c_mktsegment AS segment,
+               TIMESTAMP '{PIT_BASE_DAY}' AS valid_from,
+               CASE WHEN c_custkey % 10 = 0 AND NOT c_custkey % 15 = 0
+                    THEN TIMESTAMP '{PIT_CHANGE_DAY}' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'PROMO', TIMESTAMP '{PIT_CHANGE_DAY}', NULL
+        FROM customer
+        WHERE c_custkey % 10 = 0 AND NOT c_custkey % 15 = 0
+    ),
+    pit AS (
+        SELECT d.segment, o.o_totalprice
+        FROM orders o JOIN dim d
+          ON o.o_custkey = d.custkey
+         AND o.o_orderdate >= d.valid_from
+         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM pit GROUP BY segment ORDER BY segment
+    """,
+    tags=("relational", "cdc", "selection"),
+    doc="Point-in-time join against the SCD2 dimension — the "
+    "label-leakage guard every feature/training pipeline needs: each "
+    "order joins the segment version VALID AT o_orderdate "
+    "(valid_from ≤ d < valid_to), never today's value, so a training "
+    "example built from 1997 data cannot see a 1998 segment change "
+    "(the same planted dim as scd2_customer_segment, change day "
+    "inside the orders range so BOTH version sides carry orders). "
+    "Validity ranges partition time, so each order matches exactly "
+    "one version; the dim broadcasts (hash join on the key, range "
+    "conditions as join residual — at 100 TB a big dim buckets on "
+    "the key instead, same plan shape). Exact cent-scale oracle.",
+)
+def orders_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(PIT_BASE_DAY).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 15 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("PROMO"))
+        .alias("new_segment"),
+        F.lit(PIT_CHANGE_DAY).alias("change_ts"),
+    )
+    scd = scd2_apply(dim, changes, "custkey", "segment", "change_ts").select(
+        "custkey", "segment",
+        F.to_timestamp("valid_from").alias("vf"),
+        F.to_timestamp("valid_to").alias("vt"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    pit = orders.join(
+        F.broadcast(scd),
+        (F.col("o_custkey") == F.col("custkey"))
+        & (F.col("o_orderdate") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("o_orderdate") < F.col("vt"))),
+    )
+    return (
+        pit.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
 @register(
     "scd2_customer_segment",
     oracle=f"""
