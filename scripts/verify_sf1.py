@@ -139,6 +139,7 @@ SF1_QUERIES = [
     "streaming_admit_dedup_extend",
     "snapshot_incremental_read",
     "orders_scd2_pit_join",
+    "multimodal_dedup_phash",
 ]
 
 TABLES = (

@@ -140,6 +140,7 @@ MUST_LEAD_R9 = (
     "rag_chunk_ann_pipeline",
     "snapshot_incremental_read",
     "orders_scd2_pit_join",
+    "multimodal_dedup_phash",
 )
 
 

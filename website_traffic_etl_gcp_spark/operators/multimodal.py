@@ -220,3 +220,61 @@ def chunk_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, CHUNK_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+REENCODE_MOD = 20
+REENCODE_OFFSET = 10_000_000
+
+
+def with_containers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A media landing corpus with MIXED container formats: every doc
+    as container A (``imgA|<content>``), plus every ``REENCODE_MOD``-th
+    doc AGAIN as container B (``reencB|<content>``) under a re-keyed
+    item_id — byte-different payloads carrying the SAME decoded
+    content, the JPEG-vs-PNG-of-one-image situation a media corpus
+    accumulates from re-encodes and mirrors."""
+    a = df.select(
+        F.col("doc_id").alias("item_id"),
+        F.concat(F.lit("imgA|"), F.col(text_col)).cast(
+            BinaryType()
+        ).alias("payload"),
+    )
+    b = df.filter(F.col("doc_id") % REENCODE_MOD == 0).select(
+        (F.col("doc_id") + REENCODE_OFFSET).alias("item_id"),
+        F.concat(F.lit("reencB|"), F.col(text_col)).cast(
+            BinaryType()
+        ).alias("payload"),
+    )
+    return a.unionByName(b)
+
+
+def content_phash(df: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """Container-invariant content hash via Arrow batches: strip the
+    container header (everything through the first ``|``), hash the
+    DECODED content — so byte-different re-encodes of the same media
+    collide. The stand-in hashes decoded bytes directly; a real
+    perceptual hash (pHash DCT / aHash) runs on decoded pixels at this
+    exact point with identical plumbing, and near-dup banding over
+    hash bits reuses the SimHash band machinery."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col],
+                    "phash": pdf["payload"].map(
+                        lambda p: hashlib.md5(
+                            bytes(p).split(b"|", 1)[1]
+                        ).hexdigest()[:15]
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, PHASH_SCHEMA)

@@ -120,3 +120,45 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.chunk_payload(mm.with_payload(docs))
+
+
+@register(
+    "multimodal_dedup_phash",
+    oracle=f"""
+    SELECT doc_id AS canonical_id,
+           CAST(doc_id + {mm.REENCODE_OFFSET} AS BIGINT) AS dup_id,
+           CAST(2 AS BIGINT) AS n_copies
+    FROM documents
+    WHERE doc_id % {mm.REENCODE_MOD} = 0
+    ORDER BY 1
+    """,
+    tags=("multimodal", "dedup"),
+    doc="Container-invariant media dedup — the binary-column twin of "
+    "dedup_exact: a mixed-format landing corpus (every doc as "
+    "container A, every 20th AGAIN as a byte-different container-B "
+    "re-encode) dedupes on the CONTENT hash computed after the "
+    "Arrow-batched decode step (operators/multimodal.py:"
+    "content_phash), so re-encodes of the same media collide while "
+    "byte-level hashing would miss every one of them. One "
+    "hash-groupBy after a pure map — the dedup_exact scale shape; a "
+    "real perceptual hash (pHash/aHash over decoded pixels) slots "
+    "into the same batch point, and near-dup banding over hash bits "
+    "reuses the SimHash machinery. Oracle recomputes the planted "
+    "(canonical, re-encode) pairs exactly.",
+)
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = mm.content_phash(mm.with_containers(docs))
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.min("item_id").alias("canonical_id"),
+            F.max("item_id").alias("dup_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select("canonical_id", "dup_id", "n_copies")
+        .orderBy("canonical_id")
+    )
