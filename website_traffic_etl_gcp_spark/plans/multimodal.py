@@ -125,11 +125,17 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_dedup_phash",
     oracle=f"""
-    SELECT doc_id AS canonical_id,
-           CAST(doc_id + {mm.REENCODE_OFFSET} AS BIGINT) AS dup_id,
-           CAST(2 AS BIGINT) AS n_copies
-    FROM documents
-    WHERE doc_id % {mm.REENCODE_MOD} = 0
+    WITH items AS (
+        SELECT doc_id AS item_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {mm.REENCODE_OFFSET}, text FROM documents
+        WHERE doc_id % {mm.REENCODE_MOD} = 0
+    )
+    SELECT MIN(item_id) AS canonical_id,
+           MAX(item_id) AS dup_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM items
+    GROUP BY md5(text) HAVING COUNT(*) >= 2
     ORDER BY 1
     """,
     tags=("multimodal", "dedup"),
@@ -143,8 +149,10 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-groupBy after a pure map — the dedup_exact scale shape; a "
     "real perceptual hash (pHash/aHash over decoded pixels) slots "
     "into the same batch point, and near-dup banding over hash bits "
-    "reuses the SimHash machinery. Oracle recomputes the planted "
-    "(canonical, re-encode) pairs exactly.",
+    "reuses the SimHash machinery. The oracle recomputes dup groups "
+    "from CONTENT (not the planted list): on corpora with natural "
+    "exact duplicates — the derived sf1 tables have 80 such groups — "
+    "both engines must find them identically.",
 )
 def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
