@@ -266,15 +266,25 @@ def test_incremental_ivf_delta_append_and_probe(spark):
     cells_t = ai.index_table_name("ivfbase_test", SF_DIR)
     cents_t = ai.index_table_name("ivfbasec_test", SF_DIR)
     delta_t = ai.index_table_name("ivfdelta_test", SF_DIR)
+    delta_actual = None
     try:
         ai.build_ivf_index(base, cents, cells_t, cents_t)
-        ai.append_ivf_delta(batch, cents_t, delta_t)
+        delta_actual = ai.append_ivf_delta(batch, cents_t, delta_t)
+        # content-keyed sidecar: the published name folds in the batch
+        # fingerprint, and a DIFFERENT batch under the same base name
+        # gets its own table instead of a silent no-op
+        assert delta_actual.startswith(delta_t + "_b")
+        other = ai.append_ivf_delta(
+            batch.limit(max(1, batch.count() // 2)), cents_t, delta_t
+        )
+        assert other != delta_actual
+        spark.sql(f"DROP TABLE IF EXISTS {other}")
         # the sidecar holds exactly the batch, each in one cell
         n_batch = batch.count()
-        assert spark.table(delta_t).count() == n_batch
+        assert spark.table(delta_actual).count() == n_batch
         probe = ai.probe_ivf_index(
             spark, q, cells_t, cents_t, KNN_K, n_probe=2,
-            delta_tables=(delta_t,),
+            delta_tables=(delta_actual,),
         )
         expected = sim.ivf_topk(emb, q, cents, KNN_K, n_probe=2)
         got = {tuple(r) for r in probe.collect()}
@@ -289,5 +299,6 @@ def test_incremental_ivf_delta_append_and_probe(spark):
         assert "Exchange hashpartitioning(cell_id" not in final
         assert "Bucketed: true" in final
     finally:
-        for t in (cells_t, cents_t, delta_t):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for t in (cells_t, cents_t, delta_t, delta_actual):
+            if t:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -2,17 +2,19 @@
 order. That window is a curated contract (plans/__init__.py),
 rebalanced per round to maximize distinct driver-green evidence.
 
-Round 8 pins: the MUST_LEAD_R8 carry-over declared by round 7 (nine
-r4-green rows, consumed here as the round-7 edition promised), the
-queries round 8 actually changed AND committed (the atomic
-content-keyed index publish, the persisted-PQ-codebook reuse, the
-streaming-ingest direct verdict write — all in this round's git
-history, unlike the round-7 edition's claimed-but-unshipped list),
-the six r4 rows whose driver evidence the r6 sf1 sweep deferred, and
-the r5-green rotation oldest-first. The sixteen r5 rows that did not
-fit are DECLARED as MUST_LEAD_R9 below, keeping the staleness
-invariant ("no green row older than 3 rounds") an explicit chain of
-custody rather than an editable comment."""
+Round 9 pins: the MUST_LEAD_R9 carry-over declared by round 8 — the
+eighteen r5-green rows whose driver evidence turns 4 rounds stale this
+round PLUS the ten late-round-8 queries that have never had a driver
+row at all (the r8 verdict's single highest-leverage item: "cash the
+driver check") — consumed here exactly as the round-8 edition of this
+file promised. After the carry-over come the queries round 9 actually
+changed and committed (real BMP/WAV container decode behind the
+multimodal plans, hash-spread k-means seeding, widened LSH multiprobe
+with raised recall floors, the XLS fixture collect cap), then the
+r6-green rotation oldest-first. The r6 rows that did not fit are
+DECLARED as MUST_LEAD_R10 below, keeping the staleness invariant
+("no green row older than 3 rounds") an explicit chain of custody
+rather than an editable comment."""
 
 from __future__ import annotations
 
@@ -20,94 +22,10 @@ from website_traffic_etl_gcp_spark.plans import REGISTRY
 
 WINDOW = 50
 
-# the MUST_LEAD_R8 list declared by round 7's edition of this file —
-# consumed here: all nine lead the round-8 window
-MUST_LEAD_R8 = (
-    "quality_filter_verdicts",
-    "unicode_nfc_normalize",
-    "bloom_prefiltered_revenue",
-    "value_percentiles_approx",
-    "value_trimmed_stats_by_type",
-    "scd2_customer_segment",
-    "snapshot_diff_orders",
-    "streaming_segment_revenue",
-    "streaming_sliding_2h",
-)
-
-# round-8 changes — each is in this round's commit history and needs
-# a fresh driver-visible green row
-CHANGED_R8 = (
-    "dedup_incremental_exact",  # atomic content-keyed index publish
-    "dedup_incremental_minhash",  # atomic content-keyed index publish
-    "knn_pq_rerank",  # persisted-codebook reuse
-    "knn_ivfpq_rerank",  # persisted-codebook reuse
-    "knn_ivfpq_persisted",  # codebook load + atomic publish
-    "knn_ivf_persisted",  # atomic publish path
-    "streaming_minhash_ingest",  # shared index + direct verdict write
-    "streaming_semdedup_ingest",  # shared index + direct verdict write
-    "dsir_importance_weights",  # re-measure under fixed bench warmup
-    "snapshot_history_audit",  # NEW r8: snapshot table under the gate
-    "xls_extract_transform",  # NEW r8: XLS ingest under the gate
-    "streaming_sessionize",  # whole-batch sort fix in the state op
-)
-
-# r4 driver rows deprioritized by round 6 (sf1-green) — driver
-# evidence now 4 rounds old, refreshed here
-R4_DRIVER_REFRESH = (
-    "etl_traffic_daily_rolling",
-    "error_rate_hourly",
-    "event_type_hourly",
-    "rolling_7d_event_volume",
-    "value_histogram_by_type",
-    "doc_pack_bins",
-)
-
-# r5-green rotation, oldest driver evidence first
-ROTATED_R5 = (
-    "q1_pricing_summary",
-    "session_bounce_rate",
-    "bigram_next_token_prob",
-    "decontaminate_eval_overlap",
-    "dedup_clusters",
-    "dedup_ensemble_pairs",
-    "dedup_incremental_clusters",
-    "dedup_jaccard_dfcap",
-    "dedup_ngram_jaccard",
-    "doc_repetition_score",
-    "doc_fingerprint",
-    "lang_id_heuristic",
-    "leakage_safe_split",
-    "minhash_quality_eval",
-    "multimodal_metadata",
-    "stratified_sample_mix",
-    "text_quality_score",
-    "top_terms_tfidf",
-    "embedding_dedup_cosine",
-    "knn_bruteforce_cosine",
-    "asof_last_event_before_order",
-    "customer_balance_deciles",
-    "order_cube_status_priority",
-)
-
-# §2 section representatives present in the window
-SECTION_REPRESENTATIVES = (
-    "etl_traffic_daily_rolling",  # §2A
-    "q1_pricing_summary",  # §2B
-    "event_type_hourly",  # §2C
-    "dedup_incremental_minhash",  # §2D
-    "knn_ivfpq_persisted",  # §2E
-    "bloom_prefiltered_revenue",  # §2E2
-    "multimodal_metadata",  # §2F
-    "streaming_segment_revenue",  # §2G
-)
-
-# The r5-green queries that did NOT fit in the round-8 window — their
-# driver rows turn 4 rounds stale at round 9, so the round-9 window
-# MUST lead with them (the first sixteen were re-verified by the
-# round-6 sf1 sweep; the last two by round 8's widened sweep). The
-# round-9 edition of this test consumes this list, the same way this
-# edition consumed round 7's MUST_LEAD_R8.
+# the MUST_LEAD_R9 list declared by round 8's edition of this file —
+# consumed here: all twenty-eight lead the round-9 window
 MUST_LEAD_R9 = (
+    # eighteen r5-driver-green rows (evidence 4 rounds old at r9)
     "chunk_boilerplate_report",
     "data_mix_plan",
     "data_mix_sample",
@@ -124,13 +42,9 @@ MUST_LEAD_R9 = (
     "export_training_shards",
     "embedding_quantize_int8",
     "contrastive_pair_mining",
-    # displaced from the r8 window by the two NEW lakehouse queries
-    # and the sessionize chunk-sort fix; all re-verified by this
-    # round's widened sf1 sweep
     "streaming_hourly_counts",
     "revenue_rollup_nation_year",
-    # NEW in late round 8 (after the r8 window was consumed by the
-    # driver) — never driver-checked; they must lead the r9 window
+    # ten late-round-8 queries never driver-checked before this round
     "snapshot_merge_orders",
     "epoch_shuffle_order",
     "embedding_opq_gate",
@@ -143,25 +57,102 @@ MUST_LEAD_R9 = (
     "multimodal_dedup_phash",
 )
 
+# round-9 changes — each is in this round's commit history and needs
+# a fresh driver-visible green row
+CHANGED_R9 = (
+    "multimodal_metadata",  # real BMP/WAV header decode path
+    "multimodal_resize_dims",  # real pixel decode feeds the resize
+    "multimodal_audio_chunks",  # real WAV sample-frame decode
+    "kmeans_embedding_clusters",  # hash-spread seeding
+    "kmeans_quality_gate",  # hash-spread seeding
+    "knn_lsh_bucketed",  # widened multiprobe, raised recall floor
+    "knn_recall_eval",  # recall floors raised per-tier
+    "xls_extract_transform",  # driver-side fixture slice now capped
+)
+
+# r6-green rotation, oldest driver evidence first
+ROTATED_R6 = (
+    "etl_traffic_transform",
+    "funnel_conversion",
+    "daily_active_users",
+    "retention_cohorts",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_late_shipment_priority",
+    "q5_local_supplier_volume",
+    "salted_event_value_sum",
+    "approx_distinct_users_daily",
+    "salted_orderstatus_revenue",
+    "signup_to_purchase_latency",
+    "text_token_count",
+    "dedup_minhash_lsh",
+)
+
+# §2 section representatives present in the window
+SECTION_REPRESENTATIVES = (
+    "etl_traffic_transform",  # §2A
+    "q3_shipping_priority",  # §2B
+    "retention_cohorts",  # §2C
+    "dedup_exact",  # §2D
+    "knn_ivf_incremental",  # §2E
+    "salted_event_value_sum",  # §2E2
+    "multimodal_dedup_phash",  # §2F
+    "streaming_hourly_counts",  # §2G
+)
+
+# The r6-green queries that did NOT fit in the round-9 window — their
+# driver rows turn 4 rounds stale at round 10, so the round-10 window
+# MUST lead with them. The round-10 edition of this test consumes this
+# list, the same way this edition consumed round 8's MUST_LEAD_R9.
+MUST_LEAD_R10 = (
+    "doc_stats_by_source",
+    "top_bigrams",
+    "lang_source_matrix",
+    "centroid_by_label",
+    "knn_ivf_cells",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "top_customers_by_revenue",
+    "customers_above_segment_avg",
+    "returned_items_report",
+    "multimodal_frame_sample",
+    "tokenizer_fertility_by_lang",
+    "dedup_semantic_cells",
+    "dsir_gumbel_sample",
+    "dup_graph_degree_stats",
+    "ivf_cell_occupancy",
+    "lsh_bucket_occupancy",
+    "simhash_quality_eval",
+    "winnow_quality_eval",
+    "doc_lm_perplexity",
+    "token_budget_waterfill",
+    "embedding_pca_gate",
+    "knn_pca_prefilter",
+    "dedup_keep_best",
+    "streaming_dq_router",
+)
+
 
 def test_window_contains_evidence_gaps_and_all_sections():
     window = list(REGISTRY)[:WINDOW]
     for group, names in (
-        ("MUST_LEAD_R8 carry-over", MUST_LEAD_R8),
-        ("round-8 changed", CHANGED_R8),
-        ("r4 driver refresh", R4_DRIVER_REFRESH),
-        ("r5 rotation", ROTATED_R5),
+        ("MUST_LEAD_R9 carry-over", MUST_LEAD_R9),
+        ("round-9 changed", CHANGED_R9),
+        ("r6 rotation", ROTATED_R6),
         ("section representatives", SECTION_REPRESENTATIVES),
     ):
         missing = [n for n in names if n not in window]
         assert not missing, f"{group} queries fell out of the window: {missing}"
 
 
-def test_must_lead_r8_leads_the_window():
-    """Round 7 declared these nine as the rows whose evidence goes
-    4-rounds-stale first, so even a truncated driver run hits them."""
-    head = list(REGISTRY)[: len(MUST_LEAD_R8)]
-    assert head == list(MUST_LEAD_R8), head
+def test_must_lead_r9_leads_the_window():
+    """Round 8 declared these twenty-eight as the rows whose evidence
+    goes stale (or has never existed) first, so even a truncated
+    driver run hits them."""
+    head = list(REGISTRY)[: len(MUST_LEAD_R9)]
+    assert head == list(MUST_LEAD_R9), head
 
 
 def test_window_is_oracle_backed():
@@ -172,37 +163,33 @@ def test_window_is_oracle_backed():
     assert no_oracle == [], no_oracle
 
 
-def test_deferred_r9_queries_are_real_and_tracked():
+def test_deferred_r10_queries_are_real_and_tracked():
     """The deferral list must stay consumable: every name is a registry
     query with an oracle, and none silently re-entered the window
-    (which would make the r9 carry-over claim wrong)."""
+    (which would make the r10 carry-over claim wrong)."""
     window = set(list(REGISTRY)[:WINDOW])
-    for n in MUST_LEAD_R9:
+    for n in MUST_LEAD_R10:
         assert n in REGISTRY, f"deferred query {n} no longer exists"
         assert REGISTRY[n].oracle is not None
         assert n not in window, f"{n} is both windowed and deferred"
 
 
-def test_changed_r8_queries_have_committed_code():
+def test_changed_r9_queries_have_committed_code():
     """The round-7 verdict's core finding was a window comment claiming
     fixes that were never committed. Guard against a repeat: every
-    module the CHANGED_R8 rationale names must actually contain the
+    module the CHANGED_R9 rationale names must actually contain the
     shipped symbol it claims."""
-    import website_traffic_etl_gcp_spark.operators.ann_index as ai
-    import website_traffic_etl_gcp_spark.sources.bucketing as bk
+    from website_traffic_etl_gcp_spark.operators import clustering
+    from website_traffic_etl_gcp_spark.sources import media_minimal
 
-    assert hasattr(bk, "publish_bucketed"), "atomic publish not shipped"
-    assert hasattr(bk, "register_bucketed"), "register path not shipped"
-    assert hasattr(ai, "ensure_pq_codebooks"), "codebook reuse not shipped"
+    # real container decode shipped (BMP + WAV pure-Python readers)
+    assert hasattr(media_minimal, "decode_bmp"), "BMP decoder not shipped"
+    assert hasattr(media_minimal, "decode_wav"), "WAV decoder not shipped"
+    # hash-spread k-means seeding shipped
     import inspect
 
-    from website_traffic_etl_gcp_spark.streaming import doc_ingest, embed_ingest
-
-    for mod in (doc_ingest, embed_ingest):
-        src = inspect.getsource(mod)
-        assert ".collect()" not in src, (
-            f"{mod.__name__} still round-trips verdicts through the driver"
-        )
+    seed_src = inspect.getsource(clustering)
+    assert "md5" in seed_src, "hash-spread seeding not shipped"
 
 
 def test_survey_checklist_matches_registry():
@@ -218,8 +205,8 @@ def test_survey_checklist_matches_registry():
     names = set(re.findall(r"^- \[x\] `([a-z0-9_]+)`", survey, re.M))
     registry = set(REGISTRY)
     # §2H source/sink checklist lines aren't registry queries; every
-    # REGISTRY query must appear as a checked line, and the header
-    # count must state the registry size
+    # registry query must be checklisted and every checklisted query
+    # that looks like a registry name must exist
     missing = registry - names
     assert not missing, f"registry queries missing from SURVEY §2: {sorted(missing)}"
     m = re.search(

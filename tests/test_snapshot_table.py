@@ -404,3 +404,68 @@ def test_read_increment_appends_only(spark, tmp_path):
     st.write_snapshot(_df(spark, 200, 203), root, mode="append")
     inc2 = st.read_increment(spark, root, from_version=3)
     assert sorted(r["k"] for r in inc2.collect()) == [200, 201, 202]
+
+
+def test_vacuum_spares_in_flight_staged_files(spark, tmp_path):
+    """The r8 advisory hazard: a concurrent writer stages data files
+    BEFORE its manifest exists; vacuum must not reap them (the
+    winner's manifest would name missing files). Orphans younger than
+    the retention window survive; a single-writer vacuum
+    (retention 0) reaps them."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 3), root)
+    st.write_snapshot(_df(spark, 0, 6), root)
+    staged = st.stage_files(_df(spark, 100, 104), root)  # no commit yet
+    out = st.vacuum(root, keep_last=1)
+    assert all(os.path.exists(p) for p in staged), "in-flight stage reaped"
+    assert out["skipped_in_flight"] >= len(staged)
+    # the staged writer can still commit: its manifest names only
+    # files that exist
+    v = st._commit(root, staged, "append", st.current_version(root))
+    assert st.read_snapshot(spark, root, version=v).count() == 6 + 4
+    # explicit single-writer vacuum with no grace window reaps true
+    # orphans (stage then abandon)
+    orphans = st.stage_files(_df(spark, 200, 202), root)
+    st.vacuum(root, keep_last=1, retention_seconds=0.0)
+    assert not any(os.path.exists(p) for p in orphans)
+
+
+def test_sink_replay_after_vacuum_no_duplicate(spark, tmp_path):
+    """The r8 advisory hazard on the streaming sink: vacuum drops the
+    manifest that recorded an old batch_id, so the per-manifest scan
+    alone forgets it — the carried-forward high-water mark must still
+    block a late foreachBatch replay from double-appending."""
+    from website_traffic_etl_gcp_spark.streaming import snapshot_sink as sk
+
+    root = str(tmp_path / "t")
+    writer = sk.snapshot_batch_writer(root)
+    for bid in (0, 1, 2):
+        writer(_df(spark, bid * 5, bid * 5 + 5), bid)
+    assert st.read_snapshot(spark, root).count() == 15
+    st.vacuum(root, keep_last=1)
+    # the scan alone HAS forgotten batches 0 and 1...
+    assert 0 not in sk.committed_batch_ids(root)
+    # ...but the high-water mark survives in the retained manifest
+    assert sk.batch_high_water(root) == 2
+    writer(_df(spark, 0, 5), 0)  # late replay of a vacuumed batch
+    writer(_df(spark, 5, 10), 1)
+    assert st.read_snapshot(spark, root).count() == 15, "replay re-landed"
+    # genuinely new batches still append
+    writer(_df(spark, 15, 18), 3)
+    assert st.read_snapshot(spark, root).count() == 18
+
+
+def test_merge_fails_loudly_on_unresolvable_paths(spark, tmp_path, monkeypatch):
+    """The r8 advisory hazard on MERGE: if input_file_name() URIs stop
+    realpath-matching manifest entries (storage scheme change,
+    symlinked roots), matched source rows would silently INSERT next
+    to the surviving old rows. The merge must refuse instead."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 10), root)
+    source = _df(spark, 5, 8)  # keys 5..7 match
+    monkeypatch.setattr(
+        st, "_uri_to_path",
+        lambda uri: "/nonexistent/" + os.path.basename(uri),
+    )
+    with pytest.raises(RuntimeError, match="did not resolve"):
+        st.merge_snapshot(spark, root, source, ["k"])

@@ -136,3 +136,18 @@ def test_fixture_is_a_real_compound_file(tmp_path):
     assert struct.unpack_from("<I", data, 512)[0] == 0xFFFFFFFD
     assert "Workbook".encode("utf-16-le") in data
     assert os.path.getsize(p) % 512 == 0
+
+
+def test_cfb_v4_rejected_explicitly(tmp_path):
+    """Version-4 compound files use 4096-byte sectors whose sector 0
+    starts at offset 4096; the reader's 512-byte sector addressing
+    would misparse them into a confusing broken-chain error, so it
+    must reject the major-version field up front."""
+    p = os.path.join(str(tmp_path), "v4.xls")
+    write_xls(p, ["A"], [["x"]])
+    data = bytearray(open(p, "rb").read())
+    struct.pack_into("<H", data, 26, 4)  # header major version → 4
+    v4 = os.path.join(str(tmp_path), "v4b.xls")
+    open(v4, "wb").write(bytes(data))
+    with pytest.raises(XlsFormatError, match="major version 4"):
+        read_xls(v4)

@@ -22,6 +22,8 @@ across processes.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,6 +112,21 @@ def ensure_ivf_index(
     )
 
 
+def batch_fingerprint(
+    batch: DataFrame, id_col: str = "vec_id"
+) -> str:
+    """Cheap deterministic content key for a delta batch: an
+    order-independent aggregate of xxhash64(id) plus the row count,
+    folded to 10 hex chars. One O(batch) job, no collect of rows."""
+    # decimal sum: long-sum of 64-bit hashes overflows under ANSI mode
+    row = batch.agg(
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    key = f"{row['h']}:{row['n']}"
+    return hashlib.md5(key.encode()).hexdigest()[:10]
+
+
 def append_ivf_delta(
     batch: DataFrame,
     cents_table: str,
@@ -117,7 +134,7 @@ def append_ivf_delta(
     n_buckets: int = INDEX_BUCKETS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> str:
     """Incremental index maintenance — the streaming-adds shape every
     production ANN deployment needs: a NEW vector batch is assigned
     against the FROZEN stored coarse centroids (no retraining, no
@@ -127,16 +144,23 @@ def append_ivf_delta(
     vectors assigns 1M rows while the billions in the base table stay
     immutable. Deltas accumulate like streaming commits; folding them
     into a fresh content-keyed base is the same OPTIMIZE-style rewrite
-    as ``snapshot_table.compact_snapshot``. Idempotent per
-    (batch-content → table name): an already-published delta
-    registers instead of rebuilding, across processes."""
+    as ``snapshot_table.compact_snapshot``.
+
+    Idempotent per BATCH CONTENT: ``delta_table`` is a base name, and
+    the actual published table folds in :func:`batch_fingerprint`, so
+    a second, DIFFERENT batch under the same base name publishes its
+    own sidecar instead of silently no-oping against the first
+    batch's delta (which would make probes return stale results).
+    Returns the actual table name — callers must probe the returned
+    name, not the base name."""
     spark = batch.sparkSession
-    if spark.catalog.tableExists(delta_table):
-        return
+    table = f"{delta_table}_b{batch_fingerprint(batch, id_col)}"
+    if spark.catalog.tableExists(table):
+        return table
     if _register_or_none(
-        spark, [(delta_table, "cell_id", "cell_id")], n_buckets
+        spark, [(table, "cell_id", "cell_id")], n_buckets
     ):
-        return
+        return table
     cents = spark.table(cents_table)
     assigned = sim.assign_cells(batch, cents, 1, id_col, vec_col).select(
         "cell_id",
@@ -146,12 +170,13 @@ def append_ivf_delta(
     )
     write_bucketed(
         assigned,
-        delta_table,
+        table,
         "cell_id",
         n_buckets=n_buckets,
         sort_col="cell_id",
-        path=_table_path(delta_table),
+        path=_table_path(table),
     )
+    return table
 
 
 def build_ivfpq_index(

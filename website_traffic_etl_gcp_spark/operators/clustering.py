@@ -15,11 +15,15 @@ exponential-plan trap in iterative Spark jobs never forms, with no
 checkpoint directory needed. The corpus itself is cached once and
 never collected.
 
-Deterministic by construction: init is the first k vectors by vec_id,
-distance ties break on the lower cell id (struct ordering of
-(dist, cell_id) under array_min), and per-cluster means are exact
-decimal sums divided as doubles — independent of partition order, so
-two runs produce identical assignments.
+Deterministic by construction: init is the k vectors with the
+smallest md5(vec_id) — a hash-spread seed, so id-ordered corpora
+(where consecutive ids are near-duplicates or cluster together, the
+common case for crawl shards and sorted exports) still seed from k
+spread-out points instead of k neighbors, while staying fully
+deterministic. Distance ties break on the lower cell id (struct
+ordering of (dist, cell_id) under array_min), and per-cluster means
+are exact decimal sums divided as doubles — independent of partition
+order, so two runs produce identical assignments.
 """
 
 from __future__ import annotations
@@ -95,8 +99,12 @@ def kmeans(
     the final centroid (sum over all rows = inertia)."""
     corpus = vectors.select(id_col, vec_col).cache()
 
+    # hash-spread seeding: k smallest md5(id) — deterministic, but
+    # uncorrelated with id order, so sorted/clustered corpora don't
+    # seed all k centroids from one neighborhood (id tiebreak keeps
+    # the seed total even under md5 collisions)
     init = (
-        corpus.orderBy(id_col)
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(k)
         .select(F.col(vec_col).alias("centroid"))
         .collect()

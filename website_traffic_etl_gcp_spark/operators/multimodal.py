@@ -3,11 +3,18 @@
 The pattern for image/audio/video at 100 TB: keep the payload as a
 ``binary`` column next to typed metadata, and run decode / feature
 extraction as Arrow-batched ``mapInPandas`` so each executor processes
-columnar batches without per-row Python overhead. Codec libraries are
-not available in this environment, so the actual decode is stubbed
-(``decode_image`` raises ``NotImplementedError`` unless the
-deterministic fake is requested); everything around it — schema,
-batch iteration, partitioning, UDF signature — is real and tested.
+columnar batches without per-row Python overhead.
+
+Two decode tiers exist. The BMP/WAV tier is REAL: payloads are
+structurally valid containers produced by the vendored pure-Python
+codecs (``sources/media_minimal.py`` — public BMP and RIFF/WAVE
+specs), and the metadata/resize/chunk plans genuinely parse headers,
+undo row padding + bottom-up row order, and walk RIFF chunk lists to
+recover content. The video tier stays a deterministic fake
+(``decode_image`` raises ``NotImplementedError`` unless the fake is
+requested) because no video codec can be vendored practically;
+everything around it — schema, batch iteration, partitioning, UDF
+signature — is real and tested.
 """
 
 from __future__ import annotations
@@ -26,6 +33,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..sources import media_minimal as media
 
 METADATA_SCHEMA = StructType(
     [
@@ -278,3 +287,184 @@ def content_phash(df: DataFrame, id_col: str = "item_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, PHASH_SCHEMA)
+
+
+# ---- real-container tier (vendored BMP/WAV codecs) -----------------------
+
+BMP_METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("row_stride", IntegerType()),
+    ]
+)
+
+_PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _bmp_dims(content: bytes) -> tuple[int, int]:
+    """Container dimensions for a document's BMP encoding: width from
+    the content md5 (same spread as the fake-decode tier), height the
+    minimal row count that fits the length-prefixed content — both
+    reproducible in SQL, so the oracle can pin what the decoder must
+    recover from the real header."""
+    v = int(hashlib.md5(content).hexdigest()[:8], 16)
+    w = 16 + v % 512
+    h = -(-(len(content) + 4) // w)
+    return w, h
+
+
+def encode_bmp_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Encode each document as a structurally valid 8-bpp BMP (real
+    header, palette, DWORD row padding, bottom-up rows) whose pixel
+    array carries the length-prefixed utf-8 content. The downstream
+    decode step must genuinely parse the container to get anything
+    back out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                content = text.encode("utf-8")
+                w, h = _bmp_dims(content)
+                pixels = media.embed_content(content, w * h)
+                payloads.append(media.encode_bmp(w, h, pixels))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, _PAYLOAD_SCHEMA)
+
+
+def extract_bmp_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode: parse the BMP header (signature, BITMAPINFOHEADER,
+    bit depth, compression, file-size cross-check), undo the bottom-up
+    row order and per-row DWORD padding, recover the embedded content,
+    and emit its length/md5 next to the decoded dimensions. Every
+    output value flows through the parser — a wrong stride or row
+    order corrupts the checksum, so the oracle pin proves the decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes, checksums, widths, heights, strides = [], [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, pixels = media.decode_bmp(bytes(payload))
+                content = media.extract_content(pixels)
+                n_bytes.append(len(content))
+                checksums.append(hashlib.md5(content).hexdigest())
+                widths.append(w)
+                heights.append(h)
+                strides.append(media.bmp_stride(w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "checksum": checksums,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "row_stride": pd.Series(strides, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, BMP_METADATA_SCHEMA)
+
+
+def resize_dims_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resize planning over REAL decoded dimensions: parse each BMP
+    header, aspect-fit the decoded (w, h) into the 224px box. Same
+    integer arithmetic as the fake tier, but the inputs come out of a
+    genuine container parse."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            widths, heights, out_ws, out_hs = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, _pixels = media.decode_bmp(bytes(payload))
+                ow, oh = aspect_fit(w, h)
+                widths.append(w)
+                heights.append(h)
+                out_ws.append(ow)
+                out_hs.append(oh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "out_w": pd.Series(out_ws, dtype="int32"),
+                    "out_h": pd.Series(out_hs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+WAV_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("chunk_len", LongType()),
+        StructField("chunk_md5", StringType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def encode_wav_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Encode each document as a real RIFF/WAVE PCM16-mono file whose
+    data chunk carries the length-prefixed utf-8 content (padded to
+    whole 2-byte frames)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                content = text.encode("utf-8")
+                capacity = (len(content) + 4 + 1) // 2 * 2
+                samples = media.embed_content(content, capacity)
+                payloads.append(media.encode_wav(samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, _PAYLOAD_SCHEMA)
+
+
+def chunk_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio segmentation over REAL decoded containers: walk the RIFF
+    chunk list, validate the PCM fmt chunk, pull the sample data,
+    recover the embedded content, then fan out to fixed-window chunk
+    rows (character domain, so the SQL oracle reproduces boundaries).
+    ``n_frames`` is the decoded frame count — it only comes out right
+    if the chunk walk found the real data chunk."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, sums, frames = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                _rate, n_frames, samples = media.decode_wav(bytes(payload))
+                s = media.extract_content(samples).decode("utf-8")
+                for k in range(0, max(1, -(-len(s) // CHUNK_CHARS))):
+                    chunk = s[k * CHUNK_CHARS : (k + 1) * CHUNK_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(len(chunk))
+                    sums.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                    frames.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "chunk_md5": sums,
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, WAV_CHUNK_SCHEMA)

@@ -395,10 +395,12 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_t = ai.index_table_name("ivfbasec", sf_dir)
         delta_t = ai.index_table_name("ivfdelta", sf_dir)
         ai.ensure_ivf_index(base, label_centroids(base), cells_t, cents_t)
-        ai.append_ivf_delta(batch, cents_t, delta_t)
+        # append returns the content-keyed sidecar name (base name +
+        # batch fingerprint) — probe THAT, never the bare base name
+        delta_actual = ai.append_ivf_delta(batch, cents_t, delta_t)
         approx = ai.probe_ivf_index(
             spark, q, cells_t, cents_t, KNN_K, n_probe=2,
-            delta_tables=(delta_t,),
+            delta_tables=(delta_actual,),
         )
         approx.limit(1).collect()  # validate stored tables (see above)
     except Exception:

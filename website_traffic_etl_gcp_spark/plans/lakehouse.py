@@ -27,6 +27,12 @@ from .registry import register
 # stays trivially bounded (~5k rows at sf1)
 XLS_STRIDE = 199
 XLS_ROWS_PER_FILE = 500
+# HARD bound on the driver-side fixture slice: the collect() below is
+# the one driver-memory-proportional step in this plan, so it must
+# not grow with SF. 25k rows (~50 .xls drop files) is first hit
+# around sf50; beyond that the fixture stays fixed-size (the oracle
+# applies the identical ORDER BY event_id LIMIT, so parity holds)
+XLS_FIXTURE_MAX_ROWS = 25_000
 
 
 def _scratch(kind: str, sf_dir: str) -> str:
@@ -226,8 +232,11 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS time,
            CAST(value AS DOUBLE) AS traffic,
            '2026-01-01 00:00:00' AS created_at
-    FROM events
-    WHERE event_id % {XLS_STRIDE} = 0
+    FROM (
+        SELECT ts, value FROM events
+        WHERE event_id % {XLS_STRIDE} = 0
+        ORDER BY event_id LIMIT {XLS_FIXTURE_MAX_ROWS}
+    )
     """,
     tags=("lakehouse", "sources", "etl"),
     doc="XLS drop-zone ingest end to end (reference extract.py:55-80 → "
@@ -266,7 +275,10 @@ def xls_extract_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double").alias("v"),
         )
         .orderBy("event_id")
-        .collect()  # bounded fixture-generation step (1/199 sample)
+        # hard cap: the fixture collect must not scale with SF (the
+        # oracle applies the identical ORDER BY + LIMIT)
+        .limit(XLS_FIXTURE_MAX_ROWS)
+        .collect()
     )
     root = _scratch("xls_drop", sf_dir)
     os.makedirs(root, exist_ok=True)

@@ -1,6 +1,16 @@
-"""§2F — Multimodal plumbing query: binary payload + Arrow-batched
-metadata extraction (the decode itself is a deterministic fake here —
-codec libs absent; see operators/multimodal.py)."""
+"""§2F — Multimodal queries: binary payload + Arrow-batched decode.
+
+The metadata / resize / audio-chunk plans run REAL container codecs:
+each document is encoded as a structurally valid BMP (8-bpp, padded
+bottom-up rows) or RIFF/WAVE PCM16 file by the vendored pure-Python
+writers, then genuinely parsed back by the vendored readers
+(sources/media_minimal.py) inside mapInPandas — header validation,
+row-padding/bottom-up undo, RIFF chunk walking. The oracle pins are
+content-derived (md5 / octet_length / the SQL-reproducible dimension
+formulas), so a decoder that mis-parses strides, row order, or chunk
+offsets corrupts the checksum and fails the gate. The video
+frame-sample plan keeps the deterministic fake (no video codec can be
+vendored practically; see operators/multimodal.py:decode_image)."""
 
 from __future__ import annotations
 
@@ -17,21 +27,32 @@ from .registry import register
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS checksum,
-           CAST(16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512
-                AS INT) AS width,
-           CAST(16 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 512)
-                % 512 AS INT) AS height
-    FROM documents
+           CAST(w AS INT) AS width,
+           CAST(CEIL((octet_length(encode(text)) + 4) / (w * 1.0)) AS INT)
+               AS height,
+           CAST(((w + 3) // 4) * 4 AS INT) AS row_stride
+    FROM (
+        SELECT doc_id, text,
+               16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512
+                   AS w
+        FROM documents
+    )
     """,
     tags=("multimodal",),
-    doc="Binary payload column + typed metadata via mapInPandas (Arrow "
-    "batches, hashlib checksum, deterministic fake decode). The oracle "
-    "reproduces the md5-derived metadata in SQL, proving the Python "
-    "batch path computes exactly what the declarative spec says.",
+    doc="REAL container decode under the oracle gate: each document is "
+    "encoded as a structurally valid 8-bpp BMP (vendored pure-Python "
+    "writer — real BITMAPINFOHEADER, 256-entry palette, DWORD row "
+    "padding, bottom-up rows) carrying the length-prefixed content in "
+    "its pixel array, then PARSED BACK by the vendored reader inside "
+    "mapInPandas. n_bytes/checksum come from the recovered content and "
+    "width/height/row_stride from the decoded header, so a stride or "
+    "row-order bug corrupts the md5 and fails the hash gate. "
+    "operators/multimodal.py:encode_bmp_corpus/extract_bmp_metadata, "
+    "sources/media_minimal.py.",
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return mm.extract_metadata(mm.with_payload(docs))
+    return mm.extract_bmp_metadata(mm.encode_bmp_corpus(docs))
 
 
 @register(
@@ -69,24 +90,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GREATEST(1, (h * {mm.RESIZE_BOX}) // GREATEST(w, h)) AS INT)
                AS out_h
     FROM (
-        SELECT doc_id,
-               16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 512 AS w,
-               16 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 512)
-                   % 512 AS h
-        FROM documents
+        SELECT doc_id, w,
+               CAST(CEIL((octet_length(encode(text)) + 4) / (w * 1.0))
+                    AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, text,
+                   16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       % 512 AS w
+            FROM documents
+        )
     )
     """,
     tags=("multimodal",),
-    doc=f"Image-resize plumbing: fake-decode dims from the payload, "
+    doc=f"Image-resize planning over REAL decoded dimensions: parse "
+    "each generated BMP's header with the vendored reader, then "
     f"aspect-preserving integer fit into a {mm.RESIZE_BOX}px box (long "
     "side pinned, short side floor-scaled — no float scale factor, so "
     "the SQL twin is bit-exact). One-row-in/one-row-out mapInPandas; "
-    "the pixel resample itself is the stubbed codec step. "
-    "operators/multimodal.py:resize_dims/aspect_fit.",
+    "the pixel resample itself remains the stubbed codec step. "
+    "operators/multimodal.py:resize_dims_bmp/aspect_fit.",
 )
 def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return mm.resize_dims(mm.with_payload(docs))
+    return mm.resize_dims_bmp(mm.encode_bmp_corpus(docs))
 
 
 @register(
@@ -99,7 +125,8 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {mm.CHUNK_CHARS})) AS BIGINT) AS chunk_len,
            md5(substr(text,
                 CAST(chunk_idx * {mm.CHUNK_CHARS} + 1 AS INT),
-                {mm.CHUNK_CHARS})) AS chunk_md5
+                {mm.CHUNK_CHARS})) AS chunk_md5,
+           CAST((octet_length(encode(text)) + 5) // 2 AS BIGINT) AS n_frames
     FROM (
         SELECT doc_id, text,
                CAST(unnest(range(0, GREATEST(1,
@@ -109,17 +136,22 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("multimodal",),
-    doc=f"Audio-segmentation plumbing: each payload fans out to "
-    f"ceil(len/{mm.CHUNK_CHARS}) fixed-window chunk rows with per-chunk "
-    "checksums through a generator mapInPandas (unbounded fan-out, "
-    "never driver-side). Chunk boundaries are in the decoded character "
-    "domain so the SQL twin reproduces them; a real audio pipeline "
-    "slices the sample domain with identical plumbing. "
-    "operators/multimodal.py:chunk_payload.",
+    doc=f"Audio segmentation over REAL containers: each document is "
+    "wrapped as a RIFF/WAVE PCM16-mono file by the vendored writer, "
+    "then the vendored reader walks the chunk list (fmt validation, "
+    "data-chunk location, RIFF odd-size padding), recovers the "
+    f"content, and fans out to ceil(len/{mm.CHUNK_CHARS}) fixed-window "
+    "chunk rows with per-chunk checksums through a generator "
+    "mapInPandas (unbounded fan-out, never driver-side). n_frames is "
+    "the decoded PCM frame count — only correct if the chunk walk "
+    "found the genuine data chunk. Chunk boundaries are in the "
+    "decoded character domain so the SQL twin reproduces them. "
+    "operators/multimodal.py:encode_wav_corpus/chunk_wav, "
+    "sources/media_minimal.py.",
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return mm.chunk_payload(mm.with_payload(docs))
+    return mm.chunk_wav(mm.encode_wav_corpus(docs))
 
 
 @register(

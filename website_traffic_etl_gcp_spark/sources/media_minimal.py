@@ -1,0 +1,253 @@
+"""Minimal pure-Python BMP and WAV codecs.
+
+The reference pipeline treats media blobs as opaque GCS objects
+(reference extract.py:55-80 downloads then hands bytes to a library);
+this container ships no imaging/audio libraries, so without this
+module the §2F multimodal path could only run its deterministic-fake
+decode. Both halves here implement PUBLIC file-format specs — the
+Windows BMP format (BITMAPFILEHEADER + BITMAPINFOHEADER, as documented
+in the Windows SDK / Wikipedia "BMP file format") and the RIFF/WAVE
+PCM format (the Multimedia Programming Interface and Data
+Specification 1.0) — just enough for uncompressed containers:
+
+- BMP: 8-bits-per-pixel palettized, ``BI_RGB`` (uncompressed),
+  bottom-up row order, rows padded to 4-byte boundaries, 256-entry
+  grayscale palette. ``decode_bmp`` validates the ``BM`` signature,
+  header sizes, bit depth, compression field, and that the pixel
+  array actually holds ``stride × height`` bytes; it reassembles the
+  logical top-down pixel bytes by un-padding and re-reversing rows.
+- WAV: RIFF container with a PCM ``fmt `` chunk (format tag 1,
+  mono, 16-bit) and a ``data`` chunk. ``decode_wav`` walks the chunk
+  list generically (skipping unknown chunks, honoring the odd-size
+  pad byte the RIFF spec requires), so files with extra chunks
+  (LIST/INFO, fact) decode correctly.
+
+Deliberately NOT supported (clear errors instead of wrong data):
+BMP top-down (negative height), 1/4/16/24/32-bpp, RLE compression,
+BITMAPV4/V5 color-space extensions; WAV non-PCM format tags,
+multi-channel or non-16-bit streams, WAVE_FORMAT_EXTENSIBLE.
+
+The payload convention used by the multimodal plans: the logical
+content (utf-8 document bytes) is length-prefixed (4-byte little-
+endian) and zero-padded into the BMP pixel array / WAV sample data,
+so a decoder must correctly undo row padding + bottom-up ordering
+(BMP) or chunk walking (WAV) to recover the content — the decode is
+load-bearing, not decorative.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "MediaFormatError",
+    "encode_bmp",
+    "decode_bmp",
+    "bmp_stride",
+    "encode_wav",
+    "decode_wav",
+    "embed_content",
+    "extract_content",
+    "WAV_SAMPLE_RATE",
+]
+
+
+class MediaFormatError(ValueError):
+    """A container failed structural validation (bad magic, truncated
+    pixel array, unsupported variant)."""
+
+
+# ---- shared content framing ---------------------------------------------
+
+
+def embed_content(content: bytes, capacity: int) -> bytes:
+    """Length-prefix ``content`` and zero-pad to ``capacity`` bytes."""
+    if len(content) + 4 > capacity:
+        raise MediaFormatError(
+            f"content of {len(content)} bytes exceeds capacity {capacity}"
+        )
+    framed = struct.pack("<I", len(content)) + content
+    return framed + b"\x00" * (capacity - len(framed))
+
+
+def extract_content(buf: bytes) -> bytes:
+    """Undo :func:`embed_content`."""
+    if len(buf) < 4:
+        raise MediaFormatError("buffer too small for length prefix")
+    (n,) = struct.unpack_from("<I", buf, 0)
+    if n + 4 > len(buf):
+        raise MediaFormatError(
+            f"length prefix {n} exceeds buffer of {len(buf) - 4} bytes"
+        )
+    return buf[4 : 4 + n]
+
+
+# ---- BMP -----------------------------------------------------------------
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # bfType bfSize res1 res2 bfOffBits
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+_BMP_INFO_SIZE = 40
+_BMP_PALETTE_ENTRIES = 256
+_BMP_HEADERS_SIZE = 14 + _BMP_INFO_SIZE + 4 * _BMP_PALETTE_ENTRIES
+
+
+def bmp_stride(width: int) -> int:
+    """Row stride of an 8-bpp BMP: width bytes padded to 4-byte
+    multiples (the spec's DWORD row alignment)."""
+    return (width + 3) // 4 * 4
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize ``pixels`` (logical top-down, ``width × height``
+    bytes, one 8-bit palette index per pixel) as a structurally valid
+    8-bpp uncompressed BMP: grayscale palette, bottom-up rows, 4-byte
+    row padding."""
+    if width <= 0 or height <= 0:
+        raise MediaFormatError(f"non-positive dimensions {width}x{height}")
+    if len(pixels) != width * height:
+        raise MediaFormatError(
+            f"pixel buffer {len(pixels)} != {width}x{height}"
+        )
+    stride = bmp_stride(width)
+    pad = b"\x00" * (stride - width)
+    # bottom-up: the file stores the last logical row first
+    rows = [
+        pixels[r * width : (r + 1) * width] + pad
+        for r in range(height - 1, -1, -1)
+    ]
+    pixel_array = b"".join(rows)
+    off_bits = _BMP_HEADERS_SIZE
+    file_size = off_bits + len(pixel_array)
+    file_header = _BMP_FILE_HEADER.pack(b"BM", file_size, 0, 0, off_bits)
+    info_header = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_SIZE,  # biSize
+        width,  # biWidth
+        height,  # biHeight (positive → bottom-up)
+        1,  # biPlanes
+        8,  # biBitCount
+        0,  # biCompression = BI_RGB
+        len(pixel_array),  # biSizeImage
+        2835,  # biXPelsPerMeter (72 dpi)
+        2835,  # biYPelsPerMeter
+        _BMP_PALETTE_ENTRIES,  # biClrUsed
+        0,  # biClrImportant
+    )
+    palette = b"".join(
+        struct.pack("<BBBB", i, i, i, 0) for i in range(_BMP_PALETTE_ENTRIES)
+    )
+    return file_header + info_header + palette + pixel_array
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """Parse an 8-bpp uncompressed BMP → ``(width, height, pixels)``
+    with ``pixels`` in logical top-down order (row padding stripped,
+    bottom-up ordering undone)."""
+    if len(data) < 14 + _BMP_INFO_SIZE:
+        raise MediaFormatError("truncated BMP header")
+    magic, file_size, _r1, _r2, off_bits = _BMP_FILE_HEADER.unpack_from(data, 0)
+    if magic != b"BM":
+        raise MediaFormatError(f"bad BMP signature {magic!r}")
+    (
+        bi_size,
+        width,
+        height,
+        planes,
+        bpp,
+        compression,
+        size_image,
+        _xppm,
+        _yppm,
+        _clr_used,
+        _clr_important,
+    ) = _BMP_INFO_HEADER.unpack_from(data, 14)
+    if bi_size < _BMP_INFO_SIZE:
+        raise MediaFormatError(f"unsupported BITMAPCOREHEADER (biSize={bi_size})")
+    if height < 0:
+        raise MediaFormatError("top-down BMP (negative height) unsupported")
+    if planes != 1:
+        raise MediaFormatError(f"biPlanes={planes} != 1")
+    if bpp != 8:
+        raise MediaFormatError(f"only 8-bpp supported, got {bpp}")
+    if compression != 0:
+        raise MediaFormatError(f"only BI_RGB supported, got {compression}")
+    if width <= 0 or height == 0:
+        raise MediaFormatError(f"bad dimensions {width}x{height}")
+    stride = bmp_stride(width)
+    if off_bits + stride * height > len(data):
+        raise MediaFormatError(
+            f"pixel array truncated: need {stride * height} bytes at "
+            f"offset {off_bits}, file has {len(data)}"
+        )
+    if file_size != len(data):
+        raise MediaFormatError(
+            f"bfSize {file_size} != actual file length {len(data)}"
+        )
+    rows = [
+        data[off_bits + r * stride : off_bits + r * stride + width]
+        for r in range(height - 1, -1, -1)
+    ]
+    return width, height, b"".join(rows)
+
+
+# ---- WAV -----------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 16_000
+_WAV_FMT_PCM = 1
+
+
+def encode_wav(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Wrap raw little-endian PCM16 mono sample bytes in a RIFF/WAVE
+    container (``fmt `` + ``data`` chunks; data padded to an even
+    byte count per the RIFF pad rule)."""
+    if len(samples) % 2:
+        raise MediaFormatError("PCM16 sample bytes must be even-length")
+    byte_rate = sample_rate * 2
+    fmt = struct.pack(
+        "<HHIIHH", _WAV_FMT_PCM, 1, sample_rate, byte_rate, 2, 16
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a RIFF/WAVE PCM16-mono file → ``(sample_rate, n_frames,
+    sample_bytes)``. Walks the chunk list generically: unknown chunks
+    are skipped, odd-sized chunks honor the RIFF pad byte."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaFormatError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if riff_size + 8 != len(data):
+        raise MediaFormatError(
+            f"RIFF size {riff_size} != file length {len(data)} - 8"
+        )
+    pos, fmt_seen, sample_rate, samples = 12, False, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise MediaFormatError(f"chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise MediaFormatError("fmt chunk too small")
+            tag, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag != _WAV_FMT_PCM:
+                raise MediaFormatError(f"non-PCM format tag {tag}")
+            if channels != 1 or bits != 16:
+                raise MediaFormatError(
+                    f"only mono PCM16 supported (got {channels}ch {bits}-bit)"
+                )
+            sample_rate, fmt_seen = rate, True
+        elif cid == b"data":
+            samples = body
+        pos += 8 + csize + (csize & 1)  # RIFF pad byte on odd sizes
+    if not fmt_seen:
+        raise MediaFormatError("missing fmt chunk")
+    if samples is None:
+        raise MediaFormatError("missing data chunk")
+    return sample_rate, len(samples) // 2, samples

@@ -279,6 +279,23 @@ def merge_snapshot(
             .distinct()
             .collect()
         }
+        manifest_by_real = {
+            os.path.realpath(os.path.join(root, f)): f for f in all_rel
+        }
+        # every touched path MUST resolve to a manifest entry; if URI
+        # normalization ever diverges (non-local storage, symlinked
+        # roots, scheme differences) the semi-join would find matched
+        # keys while touched_rel stayed empty, and matched source rows
+        # would silently INSERT next to the surviving old rows —
+        # duplicate keys with no error. Fail loudly instead.
+        unresolved = touched_paths - set(manifest_by_real)
+        if unresolved:
+            raise RuntimeError(
+                "merge_snapshot: input_file_name() paths did not resolve "
+                f"to manifest entries of {root}: {sorted(unresolved)[:3]} "
+                f"(+{max(0, len(unresolved) - 3)} more); refusing to "
+                "continue — proceeding would duplicate matched keys"
+            )
         kept_rel = [
             f for f in all_rel
             if os.path.realpath(os.path.join(root, f)) not in touched_paths
@@ -419,27 +436,60 @@ def snapshot_versions(root: str) -> list[int]:
     )
 
 
-def vacuum(root: str, keep_last: int = 2) -> dict:
+def vacuum(
+    root: str, keep_last: int = 2, retention_seconds: float = 600.0
+) -> dict:
     """Drop manifests beyond the newest ``keep_last`` and delete data
     files no retained manifest references. Safe order: manifests go
     first (so a crash can only leave orphan DATA files, which are
-    invisible, never a manifest naming missing files)."""
+    invisible, never a manifest naming missing files).
+
+    ``retention_seconds`` is the ORPHAN-file grace window (the guard
+    Iceberg's ``remove_orphan_files older_than`` provides): a
+    concurrent writer stages files under ``data/<uuid>/`` BEFORE its
+    manifest exists, so a file referenced by NO manifest at all and
+    younger than the window is presumed to be an in-flight commit and
+    skipped — deleting it would leave the winner's manifest naming
+    missing files, breaking this module's core invariant. Files
+    referenced by a DROPPED manifest are committed history and are
+    deleted regardless of age. Pass ``0`` only when the caller can
+    guarantee no concurrent writer (single-writer vacuum)."""
     versions = snapshot_versions(root)
     drop = versions[:-keep_last] if keep_last else versions
     keep = versions[len(drop):]
     referenced: set[str] = set()
     for v in keep:
         referenced.update(read_manifest(root, v)["files"])
+    dropped_referenced: set[str] = set()
+    for v in drop:
+        dropped_referenced.update(read_manifest(root, v)["files"])
     for v in drop:
         os.remove(_manifest_path(root, v))
-    removed_files = 0
+    removed_files = skipped_in_flight = 0
+    now = time.time()
     data_root = os.path.join(root, "data")
     for r, _, files in os.walk(data_root):
         for fn in files:
             p = os.path.join(r, fn)
-            if os.path.relpath(p, root) not in referenced:
+            rel = os.path.relpath(p, root)
+            if rel in referenced:
+                continue
+            if rel not in dropped_referenced:
+                # referenced by NO manifest → possibly a concurrent
+                # writer's in-flight stage; only reap once it has
+                # outlived the grace window
+                try:
+                    age = now - os.path.getmtime(p)
+                except FileNotFoundError:
+                    continue  # racing writer renamed/removed it
+                if age < retention_seconds:
+                    skipped_in_flight += 1
+                    continue
+            try:
                 os.remove(p)
-                removed_files += 1
+            except FileNotFoundError:
+                continue
+            removed_files += 1
     # prune now-empty commit dirs
     for r, dirs, files in list(os.walk(data_root, topdown=False)):
         if r != data_root and not dirs and not files:
@@ -448,4 +498,5 @@ def vacuum(root: str, keep_last: int = 2) -> dict:
         "dropped_versions": drop,
         "kept_versions": keep,
         "removed_files": removed_files,
+        "skipped_in_flight": skipped_in_flight,
     }

@@ -84,7 +84,22 @@ def _cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     both the regular FAT and the mini stream)."""
     if data[:8] != _CFB_MAGIC:
         raise XlsFormatError("not an OLE2 compound file")
+    # sector addressing below hardcodes the 512-byte header offset
+    # (sector 0 begins at byte 512); CFB major-version 4 uses
+    # 4096-byte sectors whose sector 0 begins at byte 4096, so such
+    # files would misparse into a confusing broken-chain error —
+    # reject them explicitly instead
+    major_version = struct.unpack_from("<H", data, 26)[0]
+    if major_version not in (3,):
+        raise XlsFormatError(
+            f"CFB major version {major_version} unsupported (only v3 "
+            "with 512-byte sectors; v4 uses 4096-byte sectors)"
+        )
     sector_shift = struct.unpack_from("<H", data, 30)[0]
+    if 1 << sector_shift != 512:
+        raise XlsFormatError(
+            f"sector size {1 << sector_shift} unsupported (need 512)"
+        )
     mini_shift = struct.unpack_from("<H", data, 32)[0]
     sector_size = 1 << sector_shift
     mini_size = 1 << mini_shift

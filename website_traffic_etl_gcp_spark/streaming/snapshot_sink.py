@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources import snapshot_table as st
 
-__all__ = ["committed_batch_ids", "snapshot_batch_writer",
-           "run_stream_to_snapshot"]
+__all__ = ["committed_batch_ids", "batch_high_water", "is_batch_committed",
+           "snapshot_batch_writer", "run_stream_to_snapshot"]
 
 
 def committed_batch_ids(root: str) -> set[int]:
@@ -41,26 +41,52 @@ def committed_batch_ids(root: str) -> set[int]:
     return out
 
 
+def batch_high_water(root: str) -> int:
+    """Max batch_id ever committed, carried FORWARD in each sink
+    manifest as ``batch_hwm`` — so it survives ``vacuum()`` dropping
+    the manifest that recorded the batch. Without it, a late
+    foreachBatch replay of a vacuumed batch_id would re-commit and
+    silently duplicate rows (streaming batch_ids are monotone per
+    query, so ≤-hwm means already-landed). Returns -1 for a table no
+    sink has written."""
+    hwm = -1
+    for v in st.snapshot_versions(root):
+        m = st.read_manifest(root, v)
+        hwm = max(hwm, m.get("batch_hwm", -1), m.get("batch_id", -1))
+    return hwm
+
+
+def is_batch_committed(root: str, batch_id: int) -> bool:
+    return batch_id in committed_batch_ids(root) or (
+        batch_id <= batch_high_water(root)
+    )
+
+
 def snapshot_batch_writer(root: str, max_retries: int = 5):
     """A foreachBatch function appending each micro-batch to the
     snapshot table at ``root`` exactly once (replays no-op on the
     recorded batch_id)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(root):
+        if is_batch_committed(root, batch_id):
             return  # replayed batch: its commit already landed
         files = st.stage_files(batch_df, root)
         for _ in range(max_retries):
             # another writer (or an interleaved batch of this query)
             # may advance the head between the check and the commit —
             # re-check under each retry so a replay can't double-land
-            if batch_id in committed_batch_ids(root):
+            if is_batch_committed(root, batch_id):
                 shutil.rmtree(Path(files[0]).parent, ignore_errors=True)
                 return
             try:
                 st._commit(
                     root, files, "append", st.current_version(root),
-                    extra={"batch_id": batch_id},
+                    extra={
+                        "batch_id": batch_id,
+                        # carried-forward high-water mark: survives
+                        # vacuum of the manifest that recorded batch_id
+                        "batch_hwm": max(batch_high_water(root), batch_id),
+                    },
                 )
                 return
             except st.CommitConflict:
