@@ -15,6 +15,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from website_traffic_etl_gcp_spark.operators import dedup as dd
@@ -161,3 +163,39 @@ def test_two_processes_share_one_build(tmp_path):
         "process 2 rebuilt the index instead of registering the "
         "published location"
     )
+
+
+def test_persisted_paths_do_not_fall_back_when_scratch_writable(spark):
+    """The r8 verdict's item 3: the persisted-index plans fall back to
+    an in-query derivation that produces identical RESULTS, so only
+    fallback accounting can prove the bench numbers measure the index
+    path. With scratch writable (the normal environment, including
+    this test run), a fallback firing is a bug — every event lands in
+    fallback.EVENTS, which must stay empty across all six plans."""
+    from tests.conftest import SF_DIR
+    from website_traffic_etl_gcp_spark import fallback
+    from website_traffic_etl_gcp_spark.plans import REGISTRY
+
+    fallback.reset()
+    for name in (
+        "knn_ivf_persisted",
+        "knn_ivfpq_persisted",
+        "knn_ivf_incremental",
+        "knn_pq_rerank",  # exercises the shared pq_codebooks loader
+        "dedup_incremental_exact",
+        "dedup_incremental_minhash",
+    ):
+        REGISTRY[name].builder(spark, SF_DIR).collect()
+    assert fallback.EVENTS == [], (
+        f"persisted paths fell back with writable scratch: {fallback.EVENTS}"
+    )
+
+
+def test_strict_index_mode_raises_on_fallback(monkeypatch):
+    from website_traffic_etl_gcp_spark import fallback
+
+    fallback.reset()
+    monkeypatch.setenv("SPARK_GRAFT_STRICT_INDEX", "1")
+    with pytest.raises(RuntimeError, match="STRICT_INDEX"):
+        fallback.record("some_plan", "scratch gone")
+    fallback.reset()

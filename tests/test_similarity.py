@@ -487,3 +487,41 @@ def test_opq_rotation_improves_quantization(spark):
     # determinism: retraining from the same sample reproduces R exactly
     R2, _ = opq.train_opq(X)
     assert np.abs(R - R2).max() == 0.0
+
+
+def test_kmeans_hash_spread_seeding_on_id_correlated_corpus(spark):
+    """Hash-spread seeding (operators/clustering.py): seeds are the k
+    vectors with the smallest md5(id), so an id-correlated corpus —
+    here the first ten ids all carry the IDENTICAL vector, the
+    degenerate case where first-k-by-id seeding starts every centroid
+    on one point — still seeds from spread-out vectors, while staying
+    fully deterministic."""
+    import hashlib
+
+    from website_traffic_etl_gcp_spark.operators.clustering import kmeans
+
+    rows = [(i, [0.0, 0.0]) for i in range(10)]
+    rows += [
+        (10 + i, [float((i % 7) - 3), float((i % 5) - 2)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    # the seed-selection property itself: k smallest md5(str(id)) are
+    # not all in the degenerate 0..9 block (deterministic fact of md5)
+    seed_ids = sorted(
+        range(210), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:4]
+    assert not all(i < 10 for i in seed_ids), seed_ids
+
+    out = kmeans(df, k=4, n_iter=3)
+    rows_out = out.collect()
+    assert len(rows_out) == 210  # every vector assigned exactly once
+    n_cells = len({r["cell_id"] for r in rows_out})
+    assert n_cells >= 2, "seeding collapsed to a single cell"
+    # determinism: identical assignments on a rerun
+    again = sorted(
+        (r["vec_id"], r["cell_id"]) for r in kmeans(df, k=4, n_iter=3).collect()
+    )
+    assert again == sorted((r["vec_id"], r["cell_id"]) for r in rows_out)

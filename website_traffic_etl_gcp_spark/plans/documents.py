@@ -12,6 +12,7 @@ import logging
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import fallback
 from ..catalog import load_table
 from ..functions.texthash import normalize_text
 from ..operators import dedup as dd
@@ -99,7 +100,8 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = di.index_table_name("fp", sf_dir)
         di.ensure_exact_index(existing, table)
         return di.probe_exact_index(spark, incoming, table)
-    except Exception:
+    except Exception as e:
+        fallback.record("dedup_incremental_exact", repr(e))
         # scratch root or catalog unavailable (read-only FS, exotic
         # session) — same results from the in-query index
         logger.warning(
@@ -601,7 +603,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs_t = di.index_table_name("mhsigs", sf_dir)
         di.ensure_minhash_index(existing, bands_t, sigs_t)
         return di.probe_minhash_index(spark, incoming, bands_t, sigs_t)
-    except Exception:
+    except Exception as e:
+        fallback.record("dedup_incremental_minhash", repr(e))
         logger.warning(
             "persisted minhash index unavailable; deriving in-query",
             exc_info=True,
