@@ -68,6 +68,7 @@ CHANGED_R9 = (
     "knn_lsh_bucketed",  # widened multiprobe, raised recall floor
     "knn_recall_eval",  # recall floors raised per-tier
     "xls_extract_transform",  # driver-side fixture slice now capped
+    "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
 )
 
 # r6-green rotation, oldest driver evidence first
@@ -85,7 +86,6 @@ ROTATED_R6 = (
     "salted_orderstatus_revenue",
     "signup_to_purchase_latency",
     "text_token_count",
-    "dedup_minhash_lsh",
 )
 
 # §2 section representatives present in the window
@@ -105,6 +105,7 @@ SECTION_REPRESENTATIVES = (
 # MUST lead with them. The round-10 edition of this test consumes this
 # list, the same way this edition consumed round 8's MUST_LEAD_R9.
 MUST_LEAD_R10 = (
+    "dedup_minhash_lsh",
     "doc_stats_by_source",
     "top_bigrams",
     "lang_source_matrix",

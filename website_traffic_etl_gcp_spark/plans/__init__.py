@@ -77,6 +77,7 @@ _PRIORITY_ORDER = (
     "knn_lsh_bucketed",  # widened multiprobe, raised recall floor
     "knn_recall_eval",  # recall floors raised per-tier
     "xls_extract_transform",  # driver-side fixture slice now capped
+    "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
     # ---- (c) r6-green rotation (oldest driver evidence first) ----
     "etl_traffic_transform",  # §2A rep
     "funnel_conversion",
@@ -91,8 +92,8 @@ _PRIORITY_ORDER = (
     "salted_orderstatus_revenue",
     "signup_to_purchase_latency",
     "text_token_count",
-    "dedup_minhash_lsh",
-    # (the r6-green rows that did not fit — doc_stats_by_source,
+    # (the r6-green rows that did not fit — dedup_minhash_lsh,
+    # doc_stats_by_source,
     # top_bigrams, lang_source_matrix, centroid_by_label,
     # knn_ivf_cells, and the remaining r6 cohort — are DECLARED in
     # tests/test_registry_window.py:MUST_LEAD_R10; the round-10

@@ -299,3 +299,111 @@ def xls_extract_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = read_xls_many(spark, paths, schema)
     return traffic_ops.transform(raw, fixed_ts=FIXED_TS)
+
+
+@register(
+    "etl_gcs_end_to_end",
+    oracle=f"""
+    SELECT CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS time,
+           CAST(value AS DOUBLE) AS traffic,
+           CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS created_at
+    FROM (
+        SELECT ts, value FROM events
+        WHERE event_id % {XLS_STRIDE} = 0
+        ORDER BY event_id LIMIT {XLS_FIXTURE_MAX_ROWS}
+    )
+    """,
+    tags=("lakehouse", "sources", "etl"),
+    doc="The reference's ENTIRE pipeline as one query — extract "
+    "(download .xls drop files from a gs:// bucket, reference "
+    "extract.py:18-53), transform (day-first parse + created_at, "
+    "transform.py), load (the BigQuery CSV load re-expressed as a "
+    "Spark warehouse load with schema, header skip and write "
+    "disposition, load.py:67-110) — through the gs:// adapter "
+    "(sources/gcs_shim.py) with the SPARK_GRAFT_GS_MIRROR-style "
+    "local-mirror client, exactly what an air-gapped parity run "
+    "uses. The returned frame is the WAREHOUSE TABLE read back, so "
+    "the oracle pins the loaded result after the full E-T-L loop "
+    "(object download, distributed BIFF8 decode, transform, CSV "
+    "hand-off upload, typed warehouse load), not an intermediate. "
+    "Object ops are driver-side control-plane (as in the reference); "
+    "decode and load are distributed.",
+)
+def etl_gcs_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import csv
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators import traffic as traffic_ops
+    from ..sources import gcs_shim as gs
+    from ..sources.readers import read_xls_many
+    from ..sources.xls_minimal import write_xls
+    from ..streaming.doc_ingest import _reap_at_exit
+    from .etl import FIXED_TS
+
+    ev = load_table(spark, sf_dir, "events")
+    slice_rows = (
+        ev.filter(F.col("event_id") % XLS_STRIDE == 0)
+        .select(
+            "event_id",
+            F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("t"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .orderBy("event_id")
+        .limit(XLS_FIXTURE_MAX_ROWS)
+        .collect()
+    )
+    root = _scratch("gcs_mirror", sf_dir)
+    os.makedirs(root, exist_ok=True)
+    _reap_at_exit(root)
+    client = gs.LocalMirrorClient(root)
+
+    # EXTRACT: land drop files in the bucket, then pull them through
+    # the object-store adapter exactly as the reference does
+    staging = os.path.join(root, "_local")
+    os.makedirs(staging, exist_ok=True)
+    uris = []
+    for i in range(0, len(slice_rows), XLS_ROWS_PER_FILE):
+        chunk = slice_rows[i:i + XLS_ROWS_PER_FILE]
+        p = os.path.join(staging, f"drop_{i // XLS_ROWS_PER_FILE:05d}.xls")
+        write_xls(p, ["Time", "Traffic"], [[r["t"], r["v"]] for r in chunk])
+        uri = f"gs://landing/in/drop_{i // XLS_ROWS_PER_FILE:05d}.xls"
+        gs.upload_object(p, uri, client=client)
+        uris.append(uri)
+    local_xls = [str(gs.download_object(u, client=client)) for u in uris]
+
+    # TRANSFORM: distributed BIFF8 decode + the reference transform
+    schema = StructType(
+        [
+            StructField("time", StringType()),
+            StructField("traffic", DoubleType()),
+        ]
+    )
+    out = traffic_ops.transform(
+        read_xls_many(spark, local_xls, schema), fixed_ts=FIXED_TS
+    )
+
+    # LOAD: CSV hand-off into the bucket, then the warehouse load
+    csv_local = os.path.join(staging, "handoff.csv")
+    with open(csv_local, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["time", "traffic", "created_at"])
+        for r in out.select("time", "traffic", "created_at").collect():
+            w.writerow([r["time"], r["traffic"], r["created_at"]])
+    csv_uri = "gs://landing/stage/handoff.csv"
+    gs.upload_object(csv_local, csv_uri, client=client)
+    table = f"wtes_gcs_load_{uuid.uuid4().hex[:10]}"
+    gs.load_csv_to_warehouse(
+        spark, csv_uri, table, mode="replace", client=client
+    )
+    loaded = spark.table(table).select("time", "traffic", "created_at")
+    # materialize, then drop the scratch warehouse table — the frame
+    # is small by construction (the capped fixture slice)
+    rows, schema = loaded.collect(), loaded.schema
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return spark.createDataFrame(rows, schema)
