@@ -73,14 +73,15 @@ def _sql_cos(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
-def _sql_lsh_bucket(vec: str) -> str:
+def _sql_lsh_bucket(vec: str, seed: int | None = None) -> str:
     """The LSH bucket id in DuckDB SQL with the SAME seeded planes as
     operators/similarity.lsh_signature, inlined as double literals
     (repr round-trips exactly, so both engines dot against identical
-    planes); round-before-sign matches the Spark side."""
+    planes); round-before-sign matches the Spark side. ``seed``
+    selects the plane set, mirroring lsh_signature's seed parameter."""
     import numpy as np
 
-    rng = np.random.default_rng(sim.LSH_SEED)
+    rng = np.random.default_rng(sim.LSH_SEED if seed is None else seed)
     planes = rng.standard_normal((sim.LSH_PLANES, EMBED_DIM))
     terms = []
     for i, p in enumerate(planes):
@@ -673,13 +674,24 @@ def _quantized_centroids(emb: DataFrame) -> DataFrame:
 
 
 # within-cell pairwork budget: the plane depth p is the smallest
-# q ∈ [0, LSH_PLANES] with n ≤ CAP × n_labels × 2^q, so the expected
+# q ∈ [0, SEM_PLANES] with n ≤ CAP × n_labels × 2^q, so the expected
 # cell size stays ≤ CAP at any corpus size (cells = labels × 2^p).
 # Integer comparison — identical on both engines, no float log.
 # 512 makes the cap BIND from sf0.1 on (10 labels × 512 = 5120 ≈ the
 # sf0.1 corpus), so the measured 10× scaling step runs at-cap on both
 # ends and stays ~linear instead of jumping a p-step.
 SEMDEDUP_CELL_CAP = 512
+# round 9: the refinement signature is SIXTEEN sign bits — two
+# independent 8-plane sets (the second under SEM_SEED2) composed as
+# low|high bytes — so the depth budget runs to 2^16 cells per label.
+# The old 8-bit budget capped cell growth at ~13M vectors
+# (512 × 10 labels × 2^8), after which within-cell pairwork turned
+# quadratic — a real ceiling at 100 TB corpus sizes; 16 bits moves
+# it to ~3.4B vectors, and the same two-seed composition extends
+# further if ever needed. Depth p ≤ 8 (every SF measured here)
+# masks only the first byte, so small-SF behavior is unchanged.
+SEM_PLANES = 2 * sim.LSH_PLANES
+SEM_SEED2 = sim.LSH_SEED + 977
 
 
 def semantic_cell_frame(
@@ -687,9 +699,10 @@ def semantic_cell_frame(
 ) -> DataFrame:
     """(vec_id, cell_id, unit) for the scaled semantic-dedup cells:
     cell = cluster label refined by the low p sign-bits of the seeded
-    LSH signature, with p the smallest depth whose expected cell size
-    fits SEMDEDUP_CELL_CAP (an integer fold over [0, LSH_PLANES] —
-    no float log on either engine). A pure per-row map over ``emb``
+    16-bit LSH signature (two independent 8-plane sets, low|high
+    bytes), with p the smallest depth whose expected cell size fits
+    SEMDEDUP_CELL_CAP (an integer fold over [0, SEM_PLANES] — no
+    float log on either engine). A pure per-row map over ``emb``
     (sign bits + one broadcast 1-row stats frame): zero shuffle, no
     centroid argmin. ``unit`` is the vector L2-normalized to doubles
     ONCE PER ROW, so downstream pair cosines are bare multiply-adds.
@@ -704,10 +717,10 @@ def semantic_cell_frame(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("label").alias("nl"),
     )
-    sentinel = sim.LSH_PLANES + 1
+    sentinel = SEM_PLANES + 1
     p = F.least(
         F.aggregate(
-            F.array(*[F.lit(q) for q in range(sim.LSH_PLANES + 1)]),
+            F.array(*[F.lit(q) for q in range(SEM_PLANES + 1)]),
             F.lit(sentinel),
             lambda acc, q: F.when(
                 (acc == sentinel)
@@ -722,11 +735,17 @@ def semantic_cell_frame(
                 q,
             ).otherwise(acc),
         ),
-        F.lit(sim.LSH_PLANES),
+        F.lit(SEM_PLANES),
     ).cast("bigint")
-    sig = sim.lsh_signature(F.col("embedding"), EMBED_DIM).cast("bigint")
+    sig = (
+        sim.lsh_signature(F.col("embedding"), EMBED_DIM).cast("bigint")
+        + sim.lsh_signature(
+            F.col("embedding"), EMBED_DIM, seed=SEM_SEED2
+        ).cast("bigint")
+        * F.lit(1 << sim.LSH_PLANES)
+    )
     cell = (
-        F.col("label").cast("bigint") * F.lit(1 << sim.LSH_PLANES)
+        F.col("label").cast("bigint") * F.lit(1 << SEM_PLANES)
         + sig.bitwiseAND(
             F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
         )
@@ -777,16 +796,19 @@ def _sql_unit_dot(a: str, b: str) -> str:
         FROM embeddings
     ),
     pp AS (
-        SELECT CAST(COALESCE(MIN(q), {sim.LSH_PLANES}) AS BIGINT) AS p
-        FROM (SELECT unnest(range(0, {sim.LSH_PLANES + 1})) AS q) qs, st
+        SELECT CAST(COALESCE(MIN(q), {SEM_PLANES}) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, {SEM_PLANES + 1})) AS q) qs, st
         WHERE st.n <= {SEMDEDUP_CELL_CAP} * st.nl * (1 << q)
     ),
     asg AS MATERIALIZED (
         -- MATERIALIZED: referenced three times below; inlining would
         -- recompute the signature + unit vector per reference
         SELECT e.vec_id,
-               CAST(e.label AS BIGINT) * {1 << sim.LSH_PLANES}
-               + (CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
+               CAST(e.label AS BIGINT) * {1 << SEM_PLANES}
+               + ((CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
+                   + {1 << sim.LSH_PLANES}
+                     * CAST({_sql_lsh_bucket('e.embedding', SEM_SEED2)}
+                            AS BIGINT))
                   & ((1 << pp.p) - 1)) AS cell_id,
                {_sql_unit('e.embedding')} AS unit
         FROM embeddings e CROSS JOIN pp
@@ -815,8 +837,10 @@ def _sql_unit_dot(a: str, b: str) -> str:
     "× labels × 2^p), so the CELL COUNT SCALES WITH THE CORPUS and "
     "within-cell pairwork stays O(n × cell_cap) at any SF — the "
     "round-5 label-only cells were quadratic at fixed k and measured "
-    "71× on a 10× scale-up; this form is ~linear (production extends "
-    "the plane budget past 8 the same way). Cell assignment is a "
+    "71× on a 10× scale-up. The 16-bit refinement signature (two "
+    "independent 8-plane sets, round 9) budgets depth to 2^16 cells "
+    "per label, moving the at-cap ceiling from ~13M to ~3.4B "
+    "vectors; the same composition extends further. Cell assignment is a "
     "pure per-row map (sign bits, zero shuffle, no centroid argmin); "
     "the whole computation is integer/rounded-deterministic, so the "
     "oracle recomputes it EXACTLY rather than error-bounding it.",

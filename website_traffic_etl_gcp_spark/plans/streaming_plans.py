@@ -225,6 +225,8 @@ def _sql_sem_ingest() -> str:
     to the incremental split."""
     from ..operators.similarity import LSH_PLANES
     from .embeddings import (
+        SEM_PLANES,
+        SEM_SEED2,
         SEMDEDUP_CELL_CAP,
         SEMDEDUP_TAU,
         _sql_lsh_bucket,
@@ -238,8 +240,11 @@ def _sql_sem_ingest() -> str:
         return f"""
     {name} AS MATERIALIZED (
         SELECT e.vec_id,
-               CAST(e.label AS BIGINT) * {1 << LSH_PLANES}
-               + (CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
+               CAST(e.label AS BIGINT) * {1 << SEM_PLANES}
+               + ((CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
+                   + {1 << LSH_PLANES}
+                     * CAST({_sql_lsh_bucket('e.embedding', SEM_SEED2)}
+                            AS BIGINT))
                   & ((1 << pp.p) - 1)) AS cell_id,
                {_sql_unit('e.embedding')} AS unit
         FROM embeddings e CROSS JOIN pp
@@ -253,8 +258,8 @@ def _sql_sem_ingest() -> str:
         FROM embeddings WHERE vec_id % 2 = 0
     ),
     pp AS (
-        SELECT CAST(COALESCE(MIN(q), {LSH_PLANES}) AS BIGINT) AS p
-        FROM (SELECT unnest(range(0, {LSH_PLANES + 1})) AS q) qs, st
+        SELECT CAST(COALESCE(MIN(q), {SEM_PLANES}) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, {SEM_PLANES + 1})) AS q) qs, st
         WHERE st.n <= {SEMDEDUP_CELL_CAP} * st.nl * (1 << q)
     ),
     {asg('new_asg', 1)},

@@ -63,11 +63,15 @@ def run_streaming_semdedup_ingest(
     restricted to incoming vectors, dup candidates restricted to the
     ADMITTED corpus (a production admission check compares against
     what's already in, not against other arrivals in flight)."""
-    from ..plans.embeddings import SEMDEDUP_TAU, semantic_cell_frame
+    from ..plans.embeddings import SEM_PLANES, SEMDEDUP_TAU, semantic_cell_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    cells_t = di.index_table_name("semcells", sf_dir)
+    # the CELL-SCHEME version is part of the index identity: content
+    # keying alone would keep serving an index built under an older
+    # signature scheme (e.g. the pre-r9 8-bit cells) for the same
+    # corpus bytes
+    cells_t = di.index_table_name(f"semcells{SEM_PLANES}", sf_dir)
     if not spark.catalog.tableExists(cells_t):
         write_bucketed(
             semantic_cell_frame(corpus).select(
