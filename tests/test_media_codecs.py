@@ -235,3 +235,79 @@ def test_wav_chunks_real_decode(spark):
             assert r["n_frames"] == (len(t.encode("utf-8")) + 5) // 2
             reassembled += piece
         assert reassembled == t
+
+
+# ---- ICO (multi-frame container) -----------------------------------------
+
+
+def _manual_ico_one_frame_2x2() -> bytes:
+    """A 1-frame 2×2 8-bpp ICO laid out by hand: doubled-height BMP
+    header, grayscale palette, XOR rows bottom-up padded to 4 bytes,
+    all-opaque AND mask (1-bpp rows padded to 32 bits)."""
+    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    xor = bytes([3, 4, 0, 0]) + bytes([1, 2, 0, 0])  # bottom-up + pad
+    and_mask = b"\x00" * 8  # 2 rows × 4-byte stride
+    header = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 4, 1, 8, 0, len(xor) + len(and_mask),
+        0, 0, 256, 0,
+    )
+    img = header + palette + xor + and_mask
+    icondir = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack("<BBBBHHII", 2, 2, 0, 0, 1, 8, len(img), 6 + 16)
+    return icondir + entry + img
+
+
+def test_decode_ico_hand_built_fixture():
+    frames = media.decode_ico(_manual_ico_one_frame_2x2())
+    assert frames == [(2, 2, bytes([1, 2, 3, 4]))]
+
+
+def test_encode_ico_matches_manual_layout():
+    got = media.encode_ico([(2, 2, bytes([1, 2, 3, 4]))])
+    assert got == _manual_ico_one_frame_2x2()
+
+
+def test_ico_multi_frame_round_trip():
+    frames = [
+        (3, 2, bytes(range(6))),
+        (256, 1, bytes(256)),  # 256 encodes as 0 in the directory
+        (5, 5, bytes(range(25))),
+    ]
+    assert media.decode_ico(media.encode_ico(frames)) == frames
+
+
+def test_ico_rejects_unsupported_variants():
+    data = _manual_ico_one_frame_2x2()
+    with pytest.raises(media.MediaFormatError, match="not an icon"):
+        media.decode_ico(b"\x00\x00\x02\x00" + data[4:])  # type=2 (cursor)
+    with pytest.raises(media.MediaFormatError, match="truncated"):
+        media.decode_ico(data[:-4])
+    # PNG-compressed frame: entry points at a PNG signature
+    png = b"\x89PNG\r\n\x1a\n" + bytes(8)
+    icondir = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack("<BBBBHHII", 2, 2, 0, 0, 1, 8, len(png), 22)
+    with pytest.raises(media.MediaFormatError, match="PNG"):
+        media.decode_ico(icondir + entry + png)
+    # dimension contract: entry says 2x2 but BMP header says 3x(2*2)
+    bad = bytearray(data)
+    struct.pack_into("<i", bad, 6 + 16 + 4, 3)  # biWidth → 3
+    with pytest.raises(media.MediaFormatError, match="doubled-height"):
+        media.decode_ico(bytes(bad))
+
+
+def test_ico_corpus_frame_sampling_real_decode(spark):
+    out = mm.sample_frames_ico(
+        mm.encode_ico_corpus(_docs(spark, TEXTS))
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(TEXTS):
+        raw = t.encode("utf-8")
+        frames = sorted(by_doc[i], key=lambda r: r["frame_idx"])
+        assert len(frames) == 1 + len(raw) % 4
+        for k, r in enumerate(frames):
+            content = raw + b":" + str(k).encode()
+            assert r["frame_checksum"] == hashlib.md5(content).hexdigest()
+            assert r["width"] == mm.ICO_FRAME_W
+            assert r["height"] == -(-(len(content) + 4) // mm.ICO_FRAME_W)

@@ -69,6 +69,7 @@ CHANGED_R9 = (
     "knn_recall_eval",  # recall floors raised per-tier
     "xls_extract_transform",  # driver-side fixture slice now capped
     "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
+    "multimodal_frame_sample",  # real ICO multi-frame decode
 )
 
 # r6-green rotation, oldest driver evidence first
@@ -84,7 +85,6 @@ ROTATED_R6 = (
     "salted_event_value_sum",
     "approx_distinct_users_daily",
     "salted_orderstatus_revenue",
-    "signup_to_purchase_latency",
     "text_token_count",
 )
 
@@ -106,6 +106,7 @@ SECTION_REPRESENTATIVES = (
 # list, the same way this edition consumed round 8's MUST_LEAD_R9.
 MUST_LEAD_R10 = (
     "dedup_minhash_lsh",
+    "signup_to_purchase_latency",
     "doc_stats_by_source",
     "top_bigrams",
     "lang_source_matrix",
@@ -118,7 +119,6 @@ MUST_LEAD_R10 = (
     "top_customers_by_revenue",
     "customers_above_segment_avg",
     "returned_items_report",
-    "multimodal_frame_sample",
     "tokenizer_fertility_by_lang",
     "dedup_semantic_cells",
     "dsir_gumbel_sample",

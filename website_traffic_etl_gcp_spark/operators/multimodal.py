@@ -468,3 +468,70 @@ def chunk_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, WAV_CHUNK_SCHEMA)
+
+
+ICO_FRAME_W = 64
+
+
+def encode_ico_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Encode each document as a real multi-frame .ico container:
+    1 + (n_bytes mod 4) frames (the video-sampling fan-out contract),
+    frame k carrying the length-prefixed bytes of ``text + ':' + k``
+    in its 64-wide 8-bpp pixel block — so the downstream decode must
+    walk the ICONDIR, parse each embedded doubled-height BMP, and
+    undo row padding/ordering to recover any frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8")
+                n_frames = 1 + len(raw) % 4
+                frames = []
+                for k in range(n_frames):
+                    content = raw + b":" + str(k).encode()
+                    w = ICO_FRAME_W
+                    h = -(-(len(content) + 4) // w)
+                    frames.append(
+                        (w, h, media.embed_content(content, w * h))
+                    )
+                payloads.append(media.encode_ico(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, _PAYLOAD_SCHEMA)
+
+
+def sample_frames_ico(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL multi-frame decode: parse each .ico's directory and
+    embedded BMPs, recover every frame's content, and emit one row
+    per frame with the content md5 and the decoded dimensions — the
+    one-to-many mapInPandas shape of video frame sampling, with the
+    fan-out driven by the CONTAINER's actual frame count."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums, ws, hs = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for k, (w, h, pixels) in enumerate(
+                    media.decode_ico(bytes(payload))
+                ):
+                    content = media.extract_content(pixels)
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sums.append(hashlib.md5(content).hexdigest())
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_checksum": sums,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -78,6 +78,7 @@ _PRIORITY_ORDER = (
     "knn_recall_eval",  # recall floors raised per-tier
     "xls_extract_transform",  # driver-side fixture slice now capped
     "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
+    "multimodal_frame_sample",  # real ICO multi-frame decode
     # ---- (c) r6-green rotation (oldest driver evidence first) ----
     "etl_traffic_transform",  # §2A rep
     "funnel_conversion",
@@ -90,9 +91,9 @@ _PRIORITY_ORDER = (
     "salted_event_value_sum",  # §2E2 rep
     "approx_distinct_users_daily",
     "salted_orderstatus_revenue",
-    "signup_to_purchase_latency",
     "text_token_count",
     # (the r6-green rows that did not fit — dedup_minhash_lsh,
+    # signup_to_purchase_latency,
     # doc_stats_by_source,
     # top_bigrams, lang_source_matrix, centroid_by_label,
     # knn_ivf_cells, and the remaining r6 cohort — are DECLARED in

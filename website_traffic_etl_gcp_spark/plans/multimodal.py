@@ -57,26 +57,39 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
                 AS BIGINT) AS frame_idx,
            md5(text || ':' ||
                CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
                     AS VARCHAR)) AS frame_checksum,
-           CAST(224 AS INT) AS width,
-           CAST(224 AS INT) AS height
+           CAST({mm.ICO_FRAME_W} AS INT) AS width,
+           CAST(CEIL((octet_length(encode(text))
+                      + 1 + length(CAST(unnest(range(0,
+                            1 + octet_length(encode(text)) % 4))
+                          AS VARCHAR)) + 4)
+                     / {mm.ICO_FRAME_W}.0) AS INT) AS height
     FROM documents
     """,
     tags=("multimodal",),
-    doc="Frame sampling: one payload row fans out to 1..4 frame rows "
-    "through a generator mapInPandas (the one-to-many batch shape of "
-    "video decode), each frame carrying a deterministic checksum and "
-    "the resize-target dims. operators/multimodal.py:sample_frames.",
+    doc="Frame sampling over a REAL multi-frame container (round 9): "
+    "each document is packed as a structurally valid .ico — the "
+    "spec-public Windows multi-image format — with 1..4 embedded "
+    "doubled-height BMP frames (vendored writer, sources/"
+    "media_minimal.py), then the vendored reader walks the ICONDIR, "
+    "validates each embedded header and XOR/AND block, and recovers "
+    "every frame's content inside a generator mapInPandas (the "
+    "one-to-many batch shape of video decode, fan-out driven by the "
+    "CONTAINER's actual frame count). frame_checksum is the md5 of "
+    "the recovered per-frame content and width/height the decoded "
+    "frame dims, so a directory-offset or mask-size bug fails the "
+    "hash gate. operators/multimodal.py:encode_ico_corpus/"
+    "sample_frames_ico.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return mm.sample_frames(mm.with_payload(docs))
+    return mm.sample_frames_ico(mm.encode_ico_corpus(docs))
 
 
 @register(

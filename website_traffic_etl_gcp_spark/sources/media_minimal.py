@@ -21,11 +21,19 @@ Specification 1.0) — just enough for uncompressed containers:
   list generically (skipping unknown chunks, honoring the odd-size
   pad byte the RIFF spec requires), so files with extra chunks
   (LIST/INFO, fact) decode correctly.
+- ICO: the Windows icon container (ICONDIR + ICONDIRENTRY directory
+  + embedded BMPs with the spec's DOUBLED biHeight covering the XOR
+  pixel block and the 1-bpp AND transparency mask) — the MULTI-IMAGE
+  format that gives the frame-sampling plan a genuinely real
+  multi-frame decode: ``decode_ico`` validates the directory, each
+  embedded header, the entry-vs-header dimension contract, and the
+  XOR/AND block sizes, then reassembles per-frame top-down pixels.
 
 Deliberately NOT supported (clear errors instead of wrong data):
 BMP top-down (negative height), 1/4/16/24/32-bpp, RLE compression,
 BITMAPV4/V5 color-space extensions; WAV non-PCM format tags,
-multi-channel or non-16-bit streams, WAVE_FORMAT_EXTENSIBLE.
+multi-channel or non-16-bit streams, WAVE_FORMAT_EXTENSIBLE; ICO
+frames stored as PNG (the compressed variant).
 
 The payload convention used by the multimodal plans: the logical
 content (utf-8 document bytes) is length-prefixed (4-byte little-
@@ -46,6 +54,8 @@ __all__ = [
     "bmp_stride",
     "encode_wav",
     "decode_wav",
+    "encode_ico",
+    "decode_ico",
     "embed_content",
     "extract_content",
     "WAV_SAMPLE_RATE",
@@ -251,3 +261,119 @@ def decode_wav(data: bytes) -> tuple[int, int, bytes]:
     if samples is None:
         raise MediaFormatError("missing data chunk")
     return sample_rate, len(samples) // 2, samples
+
+
+# ---- ICO (multi-image container; embedded BMPs) --------------------------
+
+_ICONDIR = struct.Struct("<HHH")  # reserved, type(1=icon), count
+_ICONDIRENTRY = struct.Struct("<BBBBHHII")  # w h colors res planes bpp size off
+
+
+def encode_ico(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """Serialize frames (each ``(width, height, pixels)`` with logical
+    top-down 8-bpp pixels) as a structurally valid .ico: ICONDIR +
+    one ICONDIRENTRY per frame + per-frame embedded BMPs — each a
+    BITMAPINFOHEADER with the spec's DOUBLED height (XOR pixel block
+    + 1-bpp AND transparency mask), 256-entry grayscale palette,
+    bottom-up padded rows. Dimensions are capped at 256 (stored as 0
+    per the format)."""
+    if not frames:
+        raise MediaFormatError("ICO needs at least one frame")
+    images = []
+    for w, h, pixels in frames:
+        if not (0 < w <= 256 and 0 < h <= 256):
+            raise MediaFormatError(f"ICO frame dims {w}x{h} out of range")
+        if len(pixels) != w * h:
+            raise MediaFormatError(
+                f"frame pixel buffer {len(pixels)} != {w}x{h}"
+            )
+        stride = bmp_stride(w)
+        pad = b"\x00" * (stride - w)
+        xor = b"".join(
+            pixels[r * w : (r + 1) * w] + pad
+            for r in range(h - 1, -1, -1)
+        )
+        and_stride = (w + 31) // 32 * 4  # 1-bpp rows pad to 32 bits
+        and_mask = b"\x00" * (and_stride * h)  # fully opaque
+        header = _BMP_INFO_HEADER.pack(
+            _BMP_INFO_SIZE, w, h * 2, 1, 8, 0,
+            len(xor) + len(and_mask), 0, 0, _BMP_PALETTE_ENTRIES, 0,
+        )
+        palette = b"".join(
+            struct.pack("<BBBB", i, i, i, 0)
+            for i in range(_BMP_PALETTE_ENTRIES)
+        )
+        images.append((w, h, header + palette + xor + and_mask))
+    out = [_ICONDIR.pack(0, 1, len(images))]
+    offset = _ICONDIR.size + _ICONDIRENTRY.size * len(images)
+    entries = []
+    for w, h, img in images:
+        entries.append(
+            _ICONDIRENTRY.pack(
+                w % 256, h % 256,  # 256 encodes as 0 per the format
+                0, 0, 1, 8, len(img), offset,
+            )
+        )
+        offset += len(img)
+    return b"".join(out + entries + [img for _, _, img in images])
+
+
+def decode_ico(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Parse an .ico → ``[(width, height, pixels), ...]`` with logical
+    top-down 8-bpp pixels per frame. Validates the directory, each
+    embedded BMP header (doubled height, 8-bpp, BI_RGB), and that the
+    XOR block + AND mask actually fit the entry; undoes bottom-up
+    ordering and row padding."""
+    if len(data) < _ICONDIR.size:
+        raise MediaFormatError("truncated ICONDIR")
+    reserved, ico_type, count = _ICONDIR.unpack_from(data, 0)
+    if reserved != 0 or ico_type != 1:
+        raise MediaFormatError(
+            f"not an icon file (reserved={reserved}, type={ico_type})"
+        )
+    if count == 0:
+        raise MediaFormatError("ICO with zero images")
+    frames = []
+    for i in range(count):
+        epos = _ICONDIR.size + _ICONDIRENTRY.size * i
+        if epos + _ICONDIRENTRY.size > len(data):
+            raise MediaFormatError(f"truncated ICONDIRENTRY {i}")
+        ew, eh, _colors, _res, _planes, bpp, size, off = (
+            _ICONDIRENTRY.unpack_from(data, epos)
+        )
+        w, h = ew or 256, eh or 256  # 0 encodes 256
+        img = data[off : off + size]
+        if len(img) != size:
+            raise MediaFormatError(f"frame {i} image data truncated")
+        if img[:8] == b"\x89PNG\r\n\x1a\n":
+            raise MediaFormatError("PNG-compressed ICO frames unsupported")
+        (
+            bi_size, bw, bh, planes, bbpp, compression,
+            _sz, _x, _y, _cu, _ci,
+        ) = _BMP_INFO_HEADER.unpack_from(img, 0)
+        if bi_size < _BMP_INFO_SIZE:
+            raise MediaFormatError(f"frame {i}: unsupported header")
+        if bw != w or bh != h * 2:
+            raise MediaFormatError(
+                f"frame {i}: BMP dims {bw}x{bh} != entry {w}x{h}*2 "
+                "(the ICO doubled-height contract)"
+            )
+        if planes != 1 or bbpp != 8 or compression != 0:
+            raise MediaFormatError(
+                f"frame {i}: only uncompressed 8-bpp supported"
+            )
+        xor_off = _BMP_INFO_SIZE + 4 * _BMP_PALETTE_ENTRIES
+        stride = bmp_stride(w)
+        and_stride = (w + 31) // 32 * 4
+        need = xor_off + stride * h + and_stride * h
+        if len(img) < need:
+            raise MediaFormatError(
+                f"frame {i}: XOR+AND blocks truncated "
+                f"({len(img)} < {need})"
+            )
+        rows = [
+            img[xor_off + r * stride : xor_off + r * stride + w]
+            for r in range(h - 1, -1, -1)
+        ]
+        frames.append((w, h, b"".join(rows)))
+    return frames
