@@ -70,6 +70,7 @@ CHANGED_R9 = (
     "xls_extract_transform",  # driver-side fixture slice now capped
     "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
     "multimodal_frame_sample",  # real ICO multi-frame decode
+    "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
 )
 
 # r6-green rotation, oldest driver evidence first
@@ -84,7 +85,6 @@ ROTATED_R6 = (
     "q5_local_supplier_volume",
     "salted_event_value_sum",
     "approx_distinct_users_daily",
-    "salted_orderstatus_revenue",
     "text_token_count",
 )
 
@@ -107,6 +107,7 @@ SECTION_REPRESENTATIVES = (
 MUST_LEAD_R10 = (
     "dedup_minhash_lsh",
     "signup_to_purchase_latency",
+    "salted_orderstatus_revenue",
     "doc_stats_by_source",
     "top_bigrams",
     "lang_source_matrix",

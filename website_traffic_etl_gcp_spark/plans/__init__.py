@@ -79,6 +79,7 @@ _PRIORITY_ORDER = (
     "xls_extract_transform",  # driver-side fixture slice now capped
     "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
     "multimodal_frame_sample",  # real ICO multi-frame decode
+    "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
     # ---- (c) r6-green rotation (oldest driver evidence first) ----
     "etl_traffic_transform",  # §2A rep
     "funnel_conversion",
@@ -90,10 +91,9 @@ _PRIORITY_ORDER = (
     "q5_local_supplier_volume",
     "salted_event_value_sum",  # §2E2 rep
     "approx_distinct_users_daily",
-    "salted_orderstatus_revenue",
     "text_token_count",
     # (the r6-green rows that did not fit — dedup_minhash_lsh,
-    # signup_to_purchase_latency,
+    # signup_to_purchase_latency, salted_orderstatus_revenue,
     # doc_stats_by_source,
     # top_bigrams, lang_source_matrix, centroid_by_label,
     # knn_ivf_cells, and the remaining r6 cohort — are DECLARED in

@@ -467,3 +467,41 @@ def streaming_admit_dedup_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.doc_ingest import run_streaming_exact_admit
 
     return run_streaming_exact_admit(spark, sf_dir)
+
+
+@register(
+    "streaming_wav_chunks",
+    oracle="""
+    SELECT doc_id,
+           chunk_idx,
+           CAST(length(substr(text,
+                CAST(chunk_idx * 256 + 1 AS INT), 256)) AS BIGINT)
+               AS chunk_len,
+           md5(substr(text,
+                CAST(chunk_idx * 256 + 1 AS INT), 256)) AS chunk_md5,
+           CAST((octet_length(encode(text)) + 5) // 2 AS BIGINT) AS n_frames
+    FROM (
+        SELECT doc_id, text,
+               CAST(unnest(range(0, GREATEST(1,
+                    CAST(ceil(length(text) / 256.0) AS BIGINT))))
+                    AS BIGINT) AS chunk_idx
+        FROM documents
+    )
+    """,
+    tags=("streaming", "multimodal"),
+    doc="Streaming MEDIA ingest (round 9, §2F×§2G): real RIFF/WAVE "
+    "containers (vendored writer) land as binary columns in a drop "
+    "dir; the file stream drains them and each micro-batch runs the "
+    "REAL chunk-list decode (fmt validation, data-chunk location, "
+    "RIFF odd-size padding) inside Arrow-batched mapInPandas, "
+    "emitting per-chunk segmentation rows with exactly-once "
+    "batch_id-keyed writes. Decode is a pure map — O(batch bytes), "
+    "zero corpus state, zero shuffle — so the ingest scales with "
+    "arrival rate alone at any corpus size. The oracle recomputes "
+    "every chunk boundary, md5, and decoded frame count from the "
+    "source documents (streaming/media_ingest.py).",
+)
+def streaming_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.media_ingest import run_streaming_wav_chunks
+
+    return run_streaming_wav_chunks(spark, sf_dir)
