@@ -469,3 +469,74 @@ def test_merge_fails_loudly_on_unresolvable_paths(spark, tmp_path, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="did not resolve"):
         st.merge_snapshot(spark, root, source, ["k"])
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """Additive evolution (the Delta/Iceberg mergeSchema default):
+    appending a frame with a NEW column widens the declared schema;
+    old rows read back as typed NULLs in the new column, at every
+    version the column exists, while time travel to the pre-evolution
+    version still shows the original two-column schema."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 3), root)
+    wide = _df(spark, 3, 5).withColumn("w", F.col("k") * F.lit(2))
+    st.write_snapshot(wide, root, mode="append")
+
+    head = st.read_snapshot(spark, root)
+    assert head.columns == ["k", "v", "w"]
+    rows = {r["k"]: r["w"] for r in head.collect()}
+    assert rows[0] is None and rows[1] is None and rows[2] is None
+    assert rows[3] == 6 and rows[4] == 8
+
+    v1 = st.read_snapshot(spark, root, version=1)
+    assert v1.columns == ["k", "v"]
+
+
+def test_schema_evolution_type_conflict_rejected(spark, tmp_path):
+    """A same-name column with a DIFFERENT type must raise BEFORE any
+    file is referenced — a silent cast corrupts old rows on read."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 3), root)
+    bad = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(st.SchemaEvolutionError, match="'v'"):
+        st.write_snapshot(bad, root, mode="append")
+    # the table is untouched: still v1, still 3 rows, 2 columns
+    assert st.current_version(root) == 1
+    assert st.read_snapshot(spark, root).count() == 3
+
+
+def test_schema_evolution_survives_maintenance_commits(spark, tmp_path):
+    """Compaction and MERGE declare no schema themselves — they must
+    inherit the parent's so the evolved declaration never regresses."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 4), root)
+    wide = _df(spark, 4, 6).withColumn("w", F.lit(7))
+    st.write_snapshot(wide, root, mode="append")
+
+    st.compact_snapshot(spark, root, target_file_bytes=1 << 30)
+    after = st.read_snapshot(spark, root)
+    assert after.columns == ["k", "v", "w"]
+    assert after.count() == 6
+
+    src = spark.createDataFrame([(0, 111, 9)], "k long, v long, w int")
+    st.merge_snapshot(spark, root, src, ["k"])
+    merged = st.read_snapshot(spark, root)
+    assert merged.columns == ["k", "v", "w"]
+    assert merged.filter("k = 0").collect()[0]["v"] == 111
+
+
+def test_read_increment_across_evolution(spark, tmp_path):
+    """An increment spanning an additive evolution aligns to the NEW
+    declared schema: pre-evolution added files surface typed NULLs."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 2), root)           # v1
+    st.write_snapshot(_df(spark, 2, 4), root, "append")  # v2 (no w)
+    wide = _df(spark, 4, 6).withColumn("w", F.lit(5))
+    st.write_snapshot(wide, root, mode="append")         # v3 (w)
+    inc = st.read_increment(spark, root, from_version=1)
+    assert inc.columns == ["k", "v", "w"]
+    got = {r["k"]: r["w"] for r in inc.collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2] is None and got[4] == 5

@@ -49,6 +49,13 @@ class CommitConflict(Exception):
     """Another writer committed this version first; reload and retry."""
 
 
+class SchemaEvolutionError(Exception):
+    """An append's schema conflicts with the table's declared schema
+    (same-name column with a different type). New columns are allowed
+    (additive evolution, the Delta/Iceberg default); type changes are
+    rejected loudly instead of silently corrupting reads."""
+
+
 class NoSuchSnapshot(Exception):
     pass
 
@@ -124,19 +131,27 @@ def _commit(
     if another writer got there first (no partial state to clean up:
     staged data files are unreferenced until the manifest exists).
     ``extra`` lands verbatim in the manifest — e.g. the streaming
-    sink's ``batch_id`` idempotence marker."""
+    sink's ``batch_id`` idempotence marker or the declared table
+    ``schema``; a commit that does not declare a schema inherits the
+    parent's, so maintenance commits (compaction, deletes, sink
+    appends) keep the evolution chain intact."""
     os.makedirs(_snap_dir(root), exist_ok=True)
     version = parent + 1
     rel = [os.path.relpath(f, root) for f in files]
-    if mode == "append" and parent > 0:
-        rel = read_manifest(root, parent)["files"] + rel
+    extra = dict(extra or {})
+    if parent > 0:
+        parent_m = read_manifest(root, parent)
+        if mode == "append":
+            rel = parent_m["files"] + rel
+        if "schema" not in extra and "schema" in parent_m:
+            extra["schema"] = parent_m["schema"]
     manifest = {
         "version": version,
         "parent": parent,
         "mode": mode,
         "committed_at": time.time(),
         "files": sorted(rel),
-        **(extra or {}),
+        **extra,
     }
     path = _manifest_path(root, version)
     try:
@@ -169,6 +184,25 @@ def _commit(
     return version
 
 
+def _merge_schema(parent: dict, new: dict) -> dict:
+    """Additive schema evolution: the union of the parent's fields and
+    the append's, parent order first, new columns appended as
+    nullable. A same-name field with a DIFFERENT type raises — a type
+    change silently narrows or corrupts old rows on read."""
+    by_name = {f["name"]: f for f in parent["fields"]}
+    out = list(parent["fields"])
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            out.append({**f, "nullable": True})
+        elif old["type"] != f["type"]:
+            raise SchemaEvolutionError(
+                f"column {f['name']!r}: appended type {f['type']!r} != "
+                f"declared {old['type']!r} (additive evolution only)"
+            )
+    return {"type": "struct", "fields": out}
+
+
 def write_snapshot(
     df: DataFrame, root: str, mode: str = "overwrite", max_retries: int = 5
 ) -> int:
@@ -178,13 +212,29 @@ def write_snapshot(
     rewritten). Returns the committed version. Retries CommitConflict
     against the fresh head; the staged files are reused across
     retries, so a conflict costs a manifest write, not a re-write of
-    data."""
+    data.
+
+    Schema evolution: every commit declares the table schema in its
+    manifest. Appends may ADD columns (the evolved schema is the
+    field union; old rows read back as NULL in the new columns, the
+    Delta/Iceberg additive default); a same-name column with a
+    different type raises :class:`SchemaEvolutionError` before any
+    file is referenced."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     files = stage_files(df, root)
+    new_schema = df.schema.jsonValue()
     for _ in range(max_retries):
+        parent = current_version(root)
+        schema = new_schema
+        if mode == "append" and parent > 0:
+            parent_m = read_manifest(root, parent)
+            if "schema" in parent_m:
+                schema = _merge_schema(parent_m["schema"], new_schema)
         try:
-            return _commit(root, files, mode, current_version(root))
+            return _commit(
+                root, files, mode, parent, extra={"schema": schema}
+            )
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -203,7 +253,32 @@ def read_snapshot(
     paths = [os.path.join(root, f) for f in m["files"]]
     if not paths:
         raise NoSuchSnapshot(f"version {m['version']} of {root} is empty")
-    return spark.read.parquet(*paths)
+    return _read_aligned(spark, paths, m)
+
+
+def _read_aligned(spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
+    """Read ``paths`` aligned to the manifest's DECLARED schema.
+    Part-file footers written before an evolution lack the newer
+    columns, so merge footers first, then project to the declaration —
+    missing columns surface as typed NULLs, extra footer columns are
+    projected away. The manifest, not an arbitrary footer, is the
+    source of truth. Pre-schema manifests read footers as-is."""
+    if "schema" not in m:
+        return spark.read.parquet(*paths)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromJson(m["schema"])
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in declared.fields
+        ]
+    )
 
 
 def _uri_to_path(uri: str) -> str:
@@ -376,7 +451,12 @@ def read_increment(
     added = [f for f in new_m["files"] if f not in base]
     if not added:  # same-schema empty frame, not None/raise
         return read_snapshot(spark, root, to_v).limit(0)
-    return spark.read.parquet(*[os.path.join(root, f) for f in added])
+    # align to to_version's declared schema: increments spanning an
+    # additive evolution read older added files with typed NULLs in
+    # the new columns, same as a full-snapshot read would
+    return _read_aligned(
+        spark, [os.path.join(root, f) for f in added], new_m
+    )
 
 
 def compact_snapshot(
