@@ -71,6 +71,7 @@ CHANGED_R9 = (
     "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
     "multimodal_frame_sample",  # real ICO multi-frame decode
     "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
+    "snapshot_schema_evolution",  # NEW r9: additive evolution on snapshot tables
 )
 
 # r6-green rotation, oldest driver evidence first
@@ -85,7 +86,6 @@ ROTATED_R6 = (
     "q5_local_supplier_volume",
     "salted_event_value_sum",
     "approx_distinct_users_daily",
-    "text_token_count",
 )
 
 # §2 section representatives present in the window
@@ -105,6 +105,7 @@ SECTION_REPRESENTATIVES = (
 # MUST lead with them. The round-10 edition of this test consumes this
 # list, the same way this edition consumed round 8's MUST_LEAD_R9.
 MUST_LEAD_R10 = (
+    "text_token_count",
     "dedup_minhash_lsh",
     "signup_to_purchase_latency",
     "salted_orderstatus_revenue",
@@ -192,6 +193,11 @@ def test_changed_r9_queries_have_committed_code():
 
     seed_src = inspect.getsource(clustering)
     assert "md5" in seed_src, "hash-spread seeding not shipped"
+    # manifest-declared additive schema evolution shipped
+    from website_traffic_etl_gcp_spark.sources import snapshot_table
+
+    assert hasattr(snapshot_table, "SchemaEvolutionError")
+    assert hasattr(snapshot_table, "_merge_schema")
 
 
 def test_survey_checklist_matches_registry():

@@ -80,6 +80,7 @@ _PRIORITY_ORDER = (
     "etl_gcs_end_to_end",  # NEW r9: full E-T-L through the gs:// adapter
     "multimodal_frame_sample",  # real ICO multi-frame decode
     "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
+    "snapshot_schema_evolution",  # NEW r9: additive evolution on snapshot tables
     # ---- (c) r6-green rotation (oldest driver evidence first) ----
     "etl_traffic_transform",  # §2A rep
     "funnel_conversion",
@@ -91,8 +92,8 @@ _PRIORITY_ORDER = (
     "q5_local_supplier_volume",
     "salted_event_value_sum",  # §2E2 rep
     "approx_distinct_users_daily",
-    "text_token_count",
-    # (the r6-green rows that did not fit — dedup_minhash_lsh,
+    # (the r6-green rows that did not fit — text_token_count,
+    # dedup_minhash_lsh,
     # signup_to_purchase_latency, salted_orderstatus_revenue,
     # doc_stats_by_source,
     # top_bigrams, lang_source_matrix, centroid_by_label,

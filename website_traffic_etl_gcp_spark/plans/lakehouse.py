@@ -407,3 +407,85 @@ def etl_gcs_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, schema = loaded.collect(), loaded.schema
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "snapshot_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                         AS n_rows,
+           CAST(COUNT(*) FILTER (event_id % 2 = 0)
+               AS BIGINT)                                   AS n_legacy_rows,
+           CAST(COUNT(*) FILTER (event_id % 2 = 1)
+               AS BIGINT)                                   AS n_evolved_rows,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN LENGTH(event_type) END)
+               AS BIGINT)                                   AS type_len_sum,
+           3 AS v1_n_cols, 4 AS head_n_cols,
+           TRUE AS type_conflict_rejected
+    FROM events
+    """,
+    tags=("lakehouse", "sources", "schema-evolution"),
+    doc="Additive schema evolution on the snapshot table format "
+    "(sources/snapshot_table.py:write_snapshot / _merge_schema): even "
+    "events commit as the narrow 3-column table, odd events append "
+    "WITH a new type_len column — the manifest-declared schema widens, "
+    "legacy rows read back as typed NULLs in the new column, time "
+    "travel to v1 still shows the narrow schema, and a same-name "
+    "type-conflict append (type_len as string) is REJECTED before any "
+    "file is staged. Oracle recomputes the NULL/typed split and the "
+    "evolved column's sum from events alone; the schema-shape columns "
+    "pin the evolution semantics as constants.",
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import snapshot_table as st
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = _scratch("snap_evo", sf_dir)
+    try:
+        st.write_snapshot(
+            ev.filter(F.col("event_id") % 2 == 0), root, mode="append"
+        )
+        st.write_snapshot(
+            ev.filter(F.col("event_id") % 2 == 1).withColumn(
+                "type_len", F.length("event_type").cast("bigint")
+            ),
+            root,
+            mode="append",
+        )
+        bad = spark.createDataFrame(
+            [(0, "x", 0.0, "oops")],
+            "event_id bigint, event_type string, value double, "
+            "type_len string",
+        )
+        try:
+            st.write_snapshot(bad, root, mode="append")
+            rejected = False
+        except st.SchemaEvolutionError:
+            rejected = True
+        head = st.read_snapshot(spark, root)
+        agg = head.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("type_len").isNull().cast("bigint"))
+            .cast("bigint").alias("n_legacy_rows"),
+            F.sum(F.col("type_len").isNotNull().cast("bigint"))
+            .cast("bigint").alias("n_evolved_rows"),
+            F.sum("type_len").cast("bigint").alias("type_len_sum"),
+        ).collect()[0]
+        v1_n_cols = len(st.read_snapshot(spark, root, version=1).columns)
+        head_n_cols = len(head.columns)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                agg["n_rows"], agg["n_legacy_rows"],
+                agg["n_evolved_rows"], agg["type_len_sum"],
+                v1_n_cols, head_n_cols, rejected,
+            )
+        ],
+        "n_rows bigint, n_legacy_rows bigint, n_evolved_rows bigint, "
+        "type_len_sum bigint, v1_n_cols int, head_n_cols int, "
+        "type_conflict_rejected boolean",
+    )

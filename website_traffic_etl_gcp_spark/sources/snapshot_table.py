@@ -222,8 +222,18 @@ def write_snapshot(
     file is referenced."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    files = stage_files(df, root)
     new_schema = df.schema.jsonValue()
+    if mode == "append":
+        # pre-flight the evolution against the current head BEFORE
+        # staging: a type-conflict append then costs zero IO. The
+        # merge re-runs per retry attempt against the fresh parent,
+        # so a racing evolution is still caught at commit time.
+        head = current_version(root)
+        if head > 0:
+            head_m = read_manifest(root, head)
+            if "schema" in head_m:
+                _merge_schema(head_m["schema"], new_schema)
+    files = stage_files(df, root)
     for _ in range(max_retries):
         parent = current_version(root)
         schema = new_schema
