@@ -72,6 +72,7 @@ CHANGED_R9 = (
     "multimodal_frame_sample",  # real ICO multi-frame decode
     "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
     "snapshot_schema_evolution",  # NEW r9: additive evolution on snapshot tables
+    "part_name_fuzzy_pairs",  # NEW r9: Ed-Join prefix-filtered edit-distance join
 )
 
 # r6-green rotation, oldest driver evidence first
@@ -85,7 +86,6 @@ ROTATED_R6 = (
     "q4_late_shipment_priority",
     "q5_local_supplier_volume",
     "salted_event_value_sum",
-    "approx_distinct_users_daily",
 )
 
 # §2 section representatives present in the window
@@ -105,6 +105,7 @@ SECTION_REPRESENTATIVES = (
 # MUST lead with them. The round-10 edition of this test consumes this
 # list, the same way this edition consumed round 8's MUST_LEAD_R9.
 MUST_LEAD_R10 = (
+    "approx_distinct_users_daily",
     "text_token_count",
     "dedup_minhash_lsh",
     "signup_to_purchase_latency",
@@ -198,6 +199,10 @@ def test_changed_r9_queries_have_committed_code():
 
     assert hasattr(snapshot_table, "SchemaEvolutionError")
     assert hasattr(snapshot_table, "_merge_schema")
+    # Ed-Join prefix-filtered edit-distance self-join shipped
+    from website_traffic_etl_gcp_spark.operators import stringsim
+
+    assert hasattr(stringsim, "edjoin_pairs")
 
 
 def test_survey_checklist_matches_registry():

@@ -81,6 +81,7 @@ _PRIORITY_ORDER = (
     "multimodal_frame_sample",  # real ICO multi-frame decode
     "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
     "snapshot_schema_evolution",  # NEW r9: additive evolution on snapshot tables
+    "part_name_fuzzy_pairs",  # NEW r9: Ed-Join prefix-filtered edit-distance join
     # ---- (c) r6-green rotation (oldest driver evidence first) ----
     "etl_traffic_transform",  # §2A rep
     "funnel_conversion",
@@ -91,8 +92,8 @@ _PRIORITY_ORDER = (
     "q4_late_shipment_priority",
     "q5_local_supplier_volume",
     "salted_event_value_sum",  # §2E2 rep
-    "approx_distinct_users_daily",
-    # (the r6-green rows that did not fit — text_token_count,
+    # (the r6-green rows that did not fit — approx_distinct_users_daily,
+    # text_token_count,
     # dedup_minhash_lsh,
     # signup_to_purchase_latency, salted_orderstatus_revenue,
     # doc_stats_by_source,

@@ -943,3 +943,71 @@ def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# Ed-Join input cap: the string-similarity join itself is corpus-linear
+# (prefix-filtered inverted index, operators/stringsim.py), but the
+# ORACLE verifies it by brute-force Levenshtein, so the registry query
+# runs on a deterministic modulus sample pinned to ~this many parts at
+# every SF. Completeness/parity on the FULL corpus is asserted against
+# brute force in tests/test_stringsim.py.
+EDJOIN_SAMPLE_TARGET = 2000
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    oracle=f"""
+    WITH k AS (
+        SELECT GREATEST(1, CAST(COUNT(*) / {EDJOIN_SAMPLE_TARGET} AS BIGINT))
+            AS m
+        FROM part
+    ),
+    s AS (
+        SELECT p_partkey, p_name FROM part, k WHERE p_partkey % k.m = 0
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS i, b.p_partkey AS j,
+               levenshtein(a.p_name, b.p_name) AS d
+        FROM s a JOIN s b
+          ON a.p_partkey < b.p_partkey
+         AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+    )
+    SELECT d AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(i * 31 + j) AS BIGINT) AS pair_checksum
+    FROM pairs WHERE d <= 2
+    GROUP BY d ORDER BY d
+    """,
+    tags=("advanced", "string-similarity", "dedup"),
+    doc="Scalable edit-distance self-join (Ed-Join, Xiao et al. VLDB "
+    "2008 — operators/stringsim.py): all part-name pairs within "
+    "Levenshtein distance 2, found via q-gram PREFIX FILTERING under "
+    "a global rarity order (each string indexes only its d*q+1 rarest "
+    "bigrams, so hot grams never enter the inverted-index join), "
+    "length-filtered, then verified with Spark's built-in JVM "
+    "levenshtein. Exact and complete — a zero-overlap-capable short-"
+    "string set is handled by a bounded broadcast cross. The oracle "
+    "recomputes the same pairs by brute force on the deterministic "
+    "modulus sample; full-corpus parity with brute force is "
+    "test-asserted.",
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stringsim import edjoin_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    n = part.count()  # scalar; fixes the sample modulus at any SF
+    m = max(1, n // EDJOIN_SAMPLE_TARGET)
+    sample = part.filter(F.col("p_partkey") % m == 0).select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("text")
+    )
+    pairs = edjoin_pairs(sample, "id", "text", max_dist=2)
+    return (
+        pairs.groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("id_l") * 31 + F.col("id_r"))
+            .cast("bigint")
+            .alias("pair_checksum"),
+        )
+        .orderBy("distance")
+    )
