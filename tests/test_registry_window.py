@@ -73,6 +73,7 @@ CHANGED_R9 = (
     "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
     "snapshot_schema_evolution",  # NEW r9: additive evolution on snapshot tables
     "part_name_fuzzy_pairs",  # NEW r9: Ed-Join prefix-filtered edit-distance join
+    "bm25_doc_retrieval",  # NEW r9: BM25 top-k retrieval, log-free rational idf
 )
 
 # r6-green rotation, oldest driver evidence first
@@ -85,7 +86,6 @@ ROTATED_R6 = (
     "q3_shipping_priority",
     "q4_late_shipment_priority",
     "q5_local_supplier_volume",
-    "salted_event_value_sum",
 )
 
 # §2 section representatives present in the window
@@ -95,7 +95,7 @@ SECTION_REPRESENTATIVES = (
     "retention_cohorts",  # §2C
     "dedup_exact",  # §2D
     "knn_ivf_incremental",  # §2E
-    "salted_event_value_sum",  # §2E2
+    "part_name_fuzzy_pairs",  # §2E2
     "multimodal_dedup_phash",  # §2F
     "streaming_hourly_counts",  # §2G
 )
@@ -105,6 +105,7 @@ SECTION_REPRESENTATIVES = (
 # MUST lead with them. The round-10 edition of this test consumes this
 # list, the same way this edition consumed round 8's MUST_LEAD_R9.
 MUST_LEAD_R10 = (
+    "salted_event_value_sum",
     "approx_distinct_users_daily",
     "text_token_count",
     "dedup_minhash_lsh",

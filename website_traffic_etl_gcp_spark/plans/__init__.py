@@ -82,6 +82,7 @@ _PRIORITY_ORDER = (
     "streaming_wav_chunks",  # NEW r9: streaming media ingest, real WAV decode
     "snapshot_schema_evolution",  # NEW r9: additive evolution on snapshot tables
     "part_name_fuzzy_pairs",  # NEW r9: Ed-Join prefix-filtered edit-distance join
+    "bm25_doc_retrieval",  # NEW r9: BM25 top-k retrieval, log-free rational idf
     # ---- (c) r6-green rotation (oldest driver evidence first) ----
     "etl_traffic_transform",  # §2A rep
     "funnel_conversion",
@@ -91,8 +92,9 @@ _PRIORITY_ORDER = (
     "q3_shipping_priority",  # §2B rep
     "q4_late_shipment_priority",
     "q5_local_supplier_volume",
-    "salted_event_value_sum",  # §2E2 rep
-    # (the r6-green rows that did not fit — approx_distinct_users_daily,
+    # (§2E2 representation moved to part_name_fuzzy_pairs above; the
+    # r6-green rows that did not fit — salted_event_value_sum,
+    # approx_distinct_users_daily,
     # text_token_count,
     # dedup_minhash_lsh,
     # signup_to_purchase_latency, salted_orderstatus_revenue,

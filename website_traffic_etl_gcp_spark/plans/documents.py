@@ -3055,3 +3055,135 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(
         star_edges.unionByName(batch.select("doc_a", "doc_b"))
     )
+
+
+# ---- BM25 retrieval ----------------------------------------------------
+
+# BM25 constants (Robertson-Walker defaults) and the deterministic
+# query-term band: terms ranked 20-24 by document frequency — frequent
+# enough to retrieve against at every SF, below the stopword head
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERM_RANK_LO = 20
+BM25_TERM_RANK_HI = 24
+BM25_TOP_K = 5
+
+
+@register(
+    "bm25_doc_retrieval",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    filtered AS (SELECT * FROM tok WHERE length(token) >= 3),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM filtered GROUP BY doc_id, token
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM filtered GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM filtered GROUP BY token
+    ),
+    queries AS (
+        SELECT token, df FROM (
+            SELECT token, df,
+                   ROW_NUMBER() OVER (ORDER BY df DESC, token) AS trank
+            FROM df
+        ) WHERE trank BETWEEN {BM25_TERM_RANK_LO} AND {BM25_TERM_RANK_HI}
+    ),
+    scored AS (
+        SELECT q.token, tf.doc_id,
+               ((s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B}
+                         + {BM25_B} * dl.dl / s.avgdl)) AS bm25
+        FROM tf
+        JOIN queries q USING (token)
+        JOIN dl USING (doc_id), stats s
+    )
+    SELECT token, doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT token, doc_id, bm25,
+               ROW_NUMBER() OVER (
+                   PARTITION BY token ORDER BY bm25 DESC, doc_id
+               ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {BM25_TOP_K}
+    """,
+    tags=("documents", "retrieval"),
+    doc="BM25 top-k retrieval over the documents corpus: five "
+    "deterministic query terms (df ranks 20-24 — under the stopword "
+    "head, present at every SF) each retrieve their top-5 docs by "
+    "Okapi BM25 (k1=1.2, b=0.75) with a LOG-FREE rational idf "
+    "((N-df+0.5)/(df+0.5)) — ln() is not bit-identical across "
+    "engines' libm, and with single-term queries the rational form "
+    "is rank-equivalent, the same convention top_terms_tfidf "
+    "established. Shape: one token explode feeds tf / dl / df "
+    "aggregations; the query set and corpus stats are broadcast "
+    "scalars, so the scored join shuffles only the five terms' "
+    "postings — posting-list-proportional, never corpus-quadratic.",
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text("text"), " ")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    queries = (
+        df_.withColumn(
+            "trank",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("token"))
+            ),
+        )
+        .filter(
+            F.col("trank").between(BM25_TERM_RANK_LO, BM25_TERM_RANK_HI)
+        )
+        .select("token", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(queries), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            "doc_id",
+            (
+                (
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("token", "doc_id", "bm25", "rnk")
+    )
