@@ -311,3 +311,66 @@ def test_ico_corpus_frame_sampling_real_decode(spark):
             assert r["frame_checksum"] == hashlib.md5(content).hexdigest()
             assert r["width"] == mm.ICO_FRAME_W
             assert r["height"] == -(-(len(content) + 4) // mm.ICO_FRAME_W)
+
+
+# ---- PNG ---------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filter_types():
+    """Height >= 5 forces the encoder through every filter type
+    (row r uses filter r % 5); the decode must reconstruct exactly."""
+    import random
+
+    rng = random.Random(11)
+    for w, h in ((1, 1), (3, 2), (17, 5), (64, 9), (257, 6)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        w2, h2, px2 = media.decode_png(media.encode_png(w, h, px))
+        assert (w2, h2, px2) == (w, h, px)
+
+
+def test_png_crc_and_signature_guards():
+    data = bytearray(media.encode_png(8, 8, bytes(64)))
+    bad_sig = b"\x88" + bytes(data[1:])
+    with pytest.raises(media.MediaFormatError, match="signature"):
+        media.decode_png(bad_sig)
+    data[20] ^= 0xFF  # inside the IHDR body → CRC mismatch
+    with pytest.raises(media.MediaFormatError, match="CRC"):
+        media.decode_png(bytes(data))
+
+
+def test_png_unsupported_variants_raise():
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, body):
+        return (
+            _s.pack(">I", len(body)) + ctype + body
+            + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # RGB colour type (2) must be rejected loudly, not mis-decoded
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(5 * 4)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(media.MediaFormatError, match="unsupported"):
+        media.decode_png(data)
+    # Adam7 interlace likewise
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(5 * 4)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(media.MediaFormatError, match="interlace"):
+        media.decode_png(data)
+
+
+def test_png_content_embedding_roundtrip():
+    content = b"the quick brown fox, compressed and filtered" * 7
+    w, h = 23, -(-(len(content) + 4) // 23)
+    pixels = media.embed_content(content, w * h)
+    _, _, out = media.decode_png(media.encode_png(w, h, pixels))
+    assert media.extract_content(out) == content

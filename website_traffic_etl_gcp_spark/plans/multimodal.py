@@ -215,3 +215,41 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("canonical_id", "dup_id", "n_copies")
         .orderBy("canonical_id")
     )
+
+
+@register(
+    "multimodal_png_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(LEAST(h, 5) AS INT) AS n_filter_types
+    FROM (
+        SELECT doc_id, text, w,
+               CAST(CEIL((octet_length(encode(text)) + 4) / (w * 1.0))
+                    AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, text,
+                   16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       % 512 AS w
+            FROM documents
+        )
+    )
+    """,
+    tags=("multimodal",),
+    doc="REAL compressed-container decode (round 9): each document is "
+    "encoded as a valid non-interlaced 8-bit grayscale PNG — zlib "
+    "IDAT (stdlib DEFLATE), chunk CRCs, and per-row filter cycling "
+    "through ALL FIVE spec filter types (None/Sub/Up/Average/Paeth) — "
+    "then parsed back inside mapInPandas: CRC checks, IHDR validation, "
+    "inflate, and full filter reconstruction including the Paeth "
+    "predictor's normative tie-breaking. The recovered content's md5 "
+    "is the oracle pin, so any wrong reconstruction path fails the "
+    "hash gate. operators/multimodal.py:encode_png_corpus/"
+    "extract_png_metadata, sources/media_minimal.py:decode_png.",
+)
+def multimodal_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_png_metadata(mm.encode_png_corpus(docs))

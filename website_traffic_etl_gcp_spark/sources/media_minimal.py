@@ -56,6 +56,8 @@ __all__ = [
     "decode_wav",
     "encode_ico",
     "decode_ico",
+    "encode_png",
+    "decode_png",
     "embed_content",
     "extract_content",
     "WAV_SAMPLE_RATE",
@@ -377,3 +379,196 @@ def decode_ico(data: bytes) -> list[tuple[int, int, bytes]]:
         ]
         frames.append((w, h, b"".join(rows)))
     return frames
+
+
+# ---- PNG (Portable Network Graphics, W3C spec / RFC 2083) ---------------
+#
+# 8-bit grayscale (colour type 0), non-interlaced, the mandatory
+# IHDR/IDAT/IEND chunk sequence, zlib (RFC 1950) compressed scanlines
+# — the DEFLATE half comes from the stdlib ``zlib`` module, the PNG
+# layer (chunk framing, CRCs, per-scanline filter methods 0-4:
+# None/Sub/Up/Average/Paeth) is implemented here from the public spec.
+# The encoder deliberately CYCLES the five filter types across rows
+# (row r uses filter r % 5, each correctly applied), so a decoder that
+# does not implement the full filter reconstruction — including the
+# spec's Paeth predictor tie-breaking order — corrupts the pixels and
+# fails the content checksum downstream.
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §6.6): nearest of left/up/up-left
+    to the gradient estimate, ties broken left, then up, then
+    up-left — the ORDER is normative."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize ``pixels`` (top-down, ``width × height`` bytes, one
+    8-bit gray sample per pixel) as a valid non-interlaced grayscale
+    PNG. Row ``r`` is written with filter type ``r % 5`` (correctly
+    applied per the spec), exercising every reconstruction path."""
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise MediaFormatError(f"non-positive dimensions {width}x{height}")
+    if len(pixels) != width * height:
+        raise MediaFormatError(
+            f"pixel buffer {len(pixels)} != {width}x{height}"
+        )
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        ftype = r % 5
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                for i in range(width)
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(width)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 1] if i else 0,
+                        prev[i],
+                        prev[i - 1] if i else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(width)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a non-interlaced 8-bit grayscale PNG → ``(width, height,
+    pixels)`` top-down. Validates the signature, chunk CRCs, IHDR
+    fields, chunk ordering (IHDR first, IEND last, IDAT contiguous
+    per spec §5.6), inflates the IDAT stream, and reconstructs all
+    five scanline filter types."""
+    import zlib
+
+    if data[:8] != _PNG_SIGNATURE:
+        raise MediaFormatError("bad PNG signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    idat_done = False
+    seen_end = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise MediaFormatError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise MediaFormatError(f"truncated {ctype!r} chunk body")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise MediaFormatError(f"CRC mismatch in {ctype!r} chunk")
+        if width is None:
+            if ctype != b"IHDR":
+                raise MediaFormatError(f"first chunk {ctype!r}, not IHDR")
+            width, height, depth, ctype_f, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (depth, ctype_f) != (8, 0):
+                raise MediaFormatError(
+                    f"unsupported PNG variant: depth={depth} colour="
+                    f"{ctype_f} (8-bit grayscale only)"
+                )
+            if comp or filt:
+                raise MediaFormatError("nonstandard compression/filter method")
+            if interlace:
+                raise MediaFormatError("Adam7 interlace unsupported")
+            if width <= 0 or height <= 0:
+                raise MediaFormatError(f"bad dimensions {width}x{height}")
+        elif ctype == b"IDAT":
+            if idat_done:
+                raise MediaFormatError("non-contiguous IDAT chunks")
+            idat += body
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        else:
+            if idat:
+                idat_done = True  # ancillary chunk after the IDAT run
+        pos += 12 + length
+    if width is None or not seen_end:
+        raise MediaFormatError("missing IHDR or IEND")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (width + 1) * height:
+        raise MediaFormatError(
+            f"inflated scanline data {len(raw)} != {(width + 1) * height}"
+        )
+    out = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        ftype = raw[r * (width + 1)]
+        line = raw[r * (width + 1) + 1 : (r + 1) * (width + 1)]
+        row = bytearray(width)
+        if ftype == 0:
+            row[:] = line
+        elif ftype == 1:
+            for i in range(width):
+                row[i] = (line[i] + (row[i - 1] if i else 0)) & 0xFF
+        elif ftype == 2:
+            for i in range(width):
+                row[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(width):
+                row[i] = (
+                    line[i] + (((row[i - 1] if i else 0) + prev[i]) >> 1)
+                ) & 0xFF
+        elif ftype == 4:
+            for i in range(width):
+                row[i] = (
+                    line[i]
+                    + _paeth(
+                        row[i - 1] if i else 0,
+                        prev[i],
+                        prev[i - 1] if i else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise MediaFormatError(f"unknown filter type {ftype} in row {r}")
+        out += row
+        prev = bytes(row)
+    return width, height, bytes(out)
