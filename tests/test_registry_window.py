@@ -75,6 +75,7 @@ CHANGED_R9 = (
     "part_name_fuzzy_pairs",  # NEW r9: Ed-Join prefix-filtered edit-distance join
     "bm25_doc_retrieval",  # NEW r9: BM25 top-k retrieval, log-free rational idf
     "multimodal_png_metadata",  # NEW r9: real PNG decode (zlib + 5 filter types)
+    "snapshot_zonemap_prune",  # NEW r9: manifest zone-map file skipping
 )
 
 # r6-green rotation, oldest driver evidence first
@@ -85,7 +86,6 @@ ROTATED_R6 = (
     "retention_cohorts",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q4_late_shipment_priority",
 )
 
 # §2 section representatives present in the window
@@ -105,6 +105,7 @@ SECTION_REPRESENTATIVES = (
 # MUST lead with them. The round-10 edition of this test consumes this
 # list, the same way this edition consumed round 8's MUST_LEAD_R9.
 MUST_LEAD_R10 = (
+    "q4_late_shipment_priority",
     "q5_local_supplier_volume",
     "salted_event_value_sum",
     "approx_distinct_users_daily",
@@ -207,6 +208,8 @@ def test_changed_r9_queries_have_committed_code():
     assert hasattr(stringsim, "edjoin_pairs")
     # real PNG codec (zlib IDAT + five-filter reconstruction) shipped
     assert hasattr(media_minimal, "decode_png")
+    # manifest zone-map file skipping shipped
+    assert hasattr(snapshot_table, "read_snapshot_pruned")
 
 
 def test_survey_checklist_matches_registry():

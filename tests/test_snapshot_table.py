@@ -540,3 +540,74 @@ def test_read_increment_across_evolution(spark, tmp_path):
     got = {r["k"]: r["w"] for r in inc.collect()}
     assert set(got) == {2, 3, 4, 5}
     assert got[2] is None and got[4] == 5
+
+
+def test_zone_map_stats_recorded_and_carried(spark, tmp_path):
+    """Commits record per-file min/max zone maps; appends carry the
+    parent's entries forward (no re-scan of old footers)."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 10).repartition(1), root)
+    m1 = st.read_manifest(root, 1)
+    assert m1["stats"], "no zone maps recorded"
+    (s,) = m1["stats"].values()
+    assert s["k"] == [0, 9]
+    st.write_snapshot(_df(spark, 50, 60).repartition(1), root, "append")
+    m2 = st.read_manifest(root, 2)
+    assert set(m2["stats"]) == set(m2["files"])
+    ks = sorted(tuple(v["k"]) for v in m2["stats"].values())
+    assert ks == [(0, 9), (50, 59)]
+
+
+def test_pruned_read_skips_files_and_stays_exact(spark, tmp_path):
+    """Range-clustered files + a range predicate: the pruned read
+    scans a strict subset of files yet returns exactly the rows the
+    full-scan filter returns."""
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 1000).repartitionByRange(8, "k")
+    st.write_snapshot(df, root)
+    pruned, info = st.read_snapshot_pruned(spark, root, "k", 100, 220)
+    assert info["files_total"] == 8
+    assert 0 < info["files_read"] < info["files_total"]
+    want = sorted(
+        r["k"]
+        for r in st.read_snapshot(spark, root)
+        .filter("k between 100 and 220")
+        .collect()
+    )
+    assert sorted(r["k"] for r in pruned.collect()) == want == list(
+        range(100, 221)
+    )
+    # half-open ranges prune too
+    top, info_hi = st.read_snapshot_pruned(spark, root, "k", lo=900)
+    assert info_hi["files_pruned"] > 0
+    assert top.count() == 100
+
+
+def test_pruned_read_without_stats_reads_everything(spark, tmp_path):
+    """A column with no recorded stat (or a pre-stats manifest) must
+    fall back to reading every file — pruning is an optimization,
+    never a correctness dependency."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 100).repartitionByRange(4, "k"), root)
+    m = st.read_manifest(root, 1)
+    for s in m["stats"].values():  # simulate a stats-less writer
+        s.pop("k", None)
+    import json as _json
+    import os as _os
+
+    path = st._manifest_path(root, 1)
+    _os.chmod(path, 0o644)
+    with open(path, "w") as f:
+        _json.dump(m, f)
+    pruned, info = st.read_snapshot_pruned(spark, root, "k", 10, 20)
+    assert info["files_read"] == info["files_total"]
+    assert pruned.count() == 11
+
+
+def test_pruned_read_disjoint_range_is_empty_frame(spark, tmp_path):
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 50).repartitionByRange(4, "k"), root)
+    pruned, info = st.read_snapshot_pruned(spark, root, "k", 1000, 2000)
+    assert info["files_read"] == 0
+    assert pruned.count() == 0
+    assert pruned.columns == ["k", "v"]

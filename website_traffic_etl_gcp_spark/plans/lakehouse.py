@@ -489,3 +489,63 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_len_sum bigint, v1_n_cols int, head_n_cols int, "
         "type_conflict_rejected boolean",
     )
+
+
+@register(
+    "snapshot_zonemap_prune",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(MAX(o_orderkey) / 4) AS BIGINT) AS lo,
+               CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) AS hi
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           TRUE AS pruned
+    FROM orders, b
+    WHERE o_orderkey BETWEEN b.lo AND b.hi
+    """,
+    tags=("lakehouse", "sources", "data-skipping"),
+    doc="Manifest zone-map file skipping (round 9, "
+    "sources/snapshot_table.py:_file_zone_map/read_snapshot_pruned — "
+    "the Delta add-file-stats model): orders land range-clustered "
+    "into a snapshot table whose commit footer-scans each new file "
+    "once and records per-file min/max; a quartile o_orderkey range "
+    "query then scans ONLY the overlapping files (the `pruned` "
+    "column asserts files_read < files_total) with the exact "
+    "predicate still applied on rows, so stats can only affect "
+    "performance, never results. At 100 TB this is the difference "
+    "between touching a handful of files and scanning the table. "
+    "Oracle recomputes the range aggregate from orders directly.",
+)
+def snapshot_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import snapshot_table as st
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice")
+    )
+    mx = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    lo, hi = mx // 4, mx // 2
+    root = _scratch("snap_zonemap", sf_dir)
+    try:
+        st.write_snapshot(orders.repartitionByRange(8, "o_orderkey"), root)
+        pruned, info = st.read_snapshot_pruned(
+            spark, root, "o_orderkey", lo, hi
+        )
+        agg = pruned.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                agg["n_rows"],
+                agg["total_price"],
+                info["files_read"] < info["files_total"],
+            )
+        ],
+        "n_rows bigint, total_price double, pruned boolean",
+    )

@@ -40,6 +40,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 _LATEST = "_latest"
@@ -123,6 +124,48 @@ def stage_files(df: DataFrame, root: str) -> list[str]:
     return _list_parquet(staged_dir)
 
 
+def _file_zone_map(path: str) -> dict:
+    """Per-file min/max column stats from the parquet footer — the
+    zone map a pruned read skips files with. Only JSON-portable
+    scalar types (ints, floats, strings, bools) are recorded; columns
+    with missing/untyped footer stats are simply absent, which the
+    reader treats as unprunable (correct, just not skippable)."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow cannot materialize min/max for some logical
+                # types (e.g. decimals) — unprunable, not an error
+                continue
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+
 def _commit(
     root: str, files: list[str], mode: str, parent: int,
     extra: dict | None = None,
@@ -139,12 +182,26 @@ def _commit(
     version = parent + 1
     rel = [os.path.relpath(f, root) for f in files]
     extra = dict(extra or {})
+    parent_stats: dict = {}
     if parent > 0:
         parent_m = read_manifest(root, parent)
         if mode == "append":
             rel = parent_m["files"] + rel
         if "schema" not in extra and "schema" in parent_m:
             extra["schema"] = parent_m["schema"]
+        parent_stats = parent_m.get("stats", {})
+    # per-file zone maps (the Delta add-file stats model): carry over
+    # the parent's entries for files that survive into this version,
+    # footer-scan only the NEW files — O(new files) driver work, the
+    # same cost class as writing the manifest itself
+    stats = {f: parent_stats[f] for f in rel if f in parent_stats}
+    for f in rel:
+        if f not in stats:
+            s = _file_zone_map(os.path.join(root, f))
+            if s:
+                stats[f] = s
+    if stats:
+        extra["stats"] = stats
     manifest = {
         "version": version,
         "parent": parent,
@@ -289,6 +346,60 @@ def _read_aligned(spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
             for f in declared.fields
         ]
     )
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Data-skipping read: a DataFrame over ONLY the snapshot's files
+    whose manifest zone map for ``col`` overlaps ``[lo, hi]`` (either
+    bound may be None for half-open ranges), with the exact predicate
+    still applied on top — the zone map decides which files are
+    scanned, Spark's pushed filter decides which ROWS survive, so a
+    missing or stale stat can only cost performance, never
+    correctness. Returns ``(df, info)`` with
+    ``info = {"files_total", "files_read", "files_pruned"}``.
+
+    This is the manifest-level file skipping Delta/Iceberg perform
+    from add-file stats: at 100 TB a point/range query touches the
+    handful of files whose min/max admit the predicate instead of
+    every file in the table. Files without a recorded stat for
+    ``col`` are always read (unprunable, correct)."""
+    m = read_manifest(root, version)
+    stats = m.get("stats", {})
+    keep: list[str] = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is not None:
+            fmin, fmax = s
+            if lo is not None and fmax < lo:
+                continue
+            if hi is not None and fmin > hi:
+                continue
+        keep.append(f)
+    info = {
+        "files_total": len(m["files"]),
+        "files_read": len(keep),
+        "files_pruned": len(m["files"]) - len(keep),
+    }
+    if not keep:
+        # nothing overlaps: a correctly-typed empty frame
+        df = read_snapshot(spark, root, m["version"]).limit(0)
+    else:
+        df = _read_aligned(
+            spark, [os.path.join(root, f) for f in keep], m
+        )
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return df.filter(cond), info
 
 
 def _uri_to_path(uri: str) -> str:
