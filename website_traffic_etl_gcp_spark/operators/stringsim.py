@@ -6,15 +6,24 @@ with exact Levenshtein verification only on the surviving candidates.
 
 Why this scales where naive blocking does not:
 
+- The join runs over DISTINCT strings, never rows. Real corpora have
+  hot values (a name shared by a million rows); joining at the row
+  level would square every duplicate group inside the gram index
+  (df² candidate pairs per group before any filtering). Here
+  duplicates collapse first, the similarity join touches each string
+  value once, and id-level pairs are produced by an output-
+  proportional expansion join at the end — the only quadratic left
+  is the one the RESULT itself demands (all pairs within a duplicate
+  group are genuinely in the answer).
 - An edit operation destroys at most ``q`` q-gram tokens, so two
   strings within edit distance ``d`` share at least
   ``max(D_s, D_t) - d*q`` distinct q-grams (``D_x`` = distinct q-gram
   count). By the prefix-filter theorem, candidates that meet an
-  overlap threshold ``tau`` must collide inside each string's first
+  overlap threshold must collide inside each string's first
   ``D - tau + 1`` grams under ANY global total order — here ascending
   global document frequency, so each string indexes only its
-  ``d*q + 1`` rarest grams and hot grams (the df² blowup of a plain
-  gram-inverted-index join) never enter the index.
+  ``d*q + 1`` rarest grams and hot grams never enter the
+  inverted-index join.
 - The length filter ``|len(s) - len(t)| <= d`` is applied before
   verification, and verification is Spark's built-in JVM-side
   ``levenshtein`` — no Python in the hot path.
@@ -23,9 +32,10 @@ Why this scales where naive blocking does not:
   cross within that (tiny, length-bounded) set so completeness is
   unconditional, not probabilistic.
 
-Everything here is one groupBy (global gram dfs), one window (per-id
-rarity rank), one equi-join on prefix grams, and a distinct — all
-shuffle-partitioned by gram/id, no driver-side loops, no UDFs.
+Everything here is one groupBy (global gram dfs), one window (per-
+string rarity rank), one equi-join on prefix grams, a distinct, and
+two output-proportional expansion joins — all shuffle-partitioned by
+gram/text/id, no driver-side loops, no UDFs.
 """
 
 from __future__ import annotations
@@ -34,8 +44,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _distinct_qgrams(df: DataFrame, id_col: str, text_col: str, q: int):
-    """(id, text, gram) with DISTINCT per-id grams; strings shorter
+def _distinct_qgrams(df: DataFrame, text_col: str, q: int):
+    """(text, gram) with DISTINCT per-text grams; strings shorter
     than ``q`` contribute their whole text as a single gram so they
     still participate in the index."""
     grams = F.array_distinct(
@@ -45,9 +55,54 @@ def _distinct_qgrams(df: DataFrame, id_col: str, text_col: str, q: int):
         )
     )
     return df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        F.explode(grams).alias("gram"),
+        F.col(text_col).alias("_text"), F.explode(grams).alias("gram")
+    )
+
+
+def _edjoin_text_pairs(
+    uniq: DataFrame, max_dist: int, q: int
+) -> DataFrame:
+    """Ed-Join core over a frame of DISTINCT ``_text`` values: all
+    unordered text pairs (t_l < t_r lexicographically) within
+    ``max_dist``, as ``(t_l, t_r, distance)``."""
+    grams = _distinct_qgrams(uniq, "_text", q)
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    ranked = grams.join(gram_df, "gram").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_text").orderBy("gram_df", "gram")
+        ),
+    )
+    prefix = ranked.filter(F.col("rn") <= max_dist * q + 1).select(
+        "_text", "gram"
+    )
+
+    cand = (
+        prefix.select(F.col("_text").alias("t_l"), "gram")
+        .join(prefix.select(F.col("_text").alias("t_r"), "gram"), "gram")
+        .filter(F.col("t_l") < F.col("t_r"))
+        .select("t_l", "t_r")
+        .distinct()
+    )
+
+    # zero-overlap-capable stragglers: <= d*q distinct grams means the
+    # overlap threshold max(D_s, D_t) - d*q can reach 0 only if BOTH
+    # sides are this short (the length filter forbids a short/long
+    # qualifying pair), so a broadcast cross within the set suffices
+    n_grams = grams.groupBy("_text").agg(F.count(F.lit(1)).alias("ng"))
+    short = n_grams.filter(F.col("ng") <= max_dist * q).select("_text")
+    short_cand = (
+        short.select(F.col("_text").alias("t_l"))
+        .crossJoin(F.broadcast(short.select(F.col("_text").alias("t_r"))))
+        .filter(F.col("t_l") < F.col("t_r"))
+    )
+
+    return (
+        cand.unionByName(short_cand)
+        .distinct()
+        .filter(F.abs(F.length("t_l") - F.length("t_r")) <= F.lit(max_dist))
+        .withColumn("distance", F.levenshtein("t_l", "t_r"))
+        .filter(F.col("distance") <= F.lit(max_dist))
     )
 
 
@@ -62,61 +117,29 @@ def edjoin_pairs(
     max_dist``, as ``(id_l, id_r, distance)``. Exact and complete —
     the prefix filter only prunes candidates that provably cannot
     qualify; every survivor is re-verified with exact Levenshtein."""
-    grams = _distinct_qgrams(df, id_col, text_col, q)
-    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
-    ranked = grams.join(gram_df, "gram").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("_id").orderBy("gram_df", "gram")
-        ),
-    )
-    prefix_len = max_dist * q + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        "_id", "_text", "gram"
-    )
+    rows = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    uniq = rows.select("_text").distinct()
+    tpairs = _edjoin_text_pairs(uniq, max_dist, q)
 
-    left = prefix.select(
-        F.col("_id").alias("id_l"), F.col("_text").alias("t_l"), "gram"
-    )
-    right = prefix.select(
-        F.col("_id").alias("id_r"), F.col("_text").alias("t_r"), "gram"
-    )
-    cand = (
-        left.join(right, "gram")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r", "t_l", "t_r")
-        .distinct()
-    )
-
-    # zero-overlap-capable stragglers: <= d*q distinct grams means the
-    # overlap threshold max(D_s, D_t) - d*q can reach 0 only if BOTH
-    # sides are this short (the length filter forbids a short/long
-    # qualifying pair), so a broadcast cross within the set suffices
-    n_grams = grams.groupBy("_id", "_text").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    short = n_grams.filter(F.col("n_grams") <= max_dist * q).select(
-        "_id", "_text"
-    )
-    short_cand = (
-        short.select(F.col("_id").alias("id_l"), F.col("_text").alias("t_l"))
-        .crossJoin(
-            F.broadcast(
-                short.select(
-                    F.col("_id").alias("id_r"), F.col("_text").alias("t_r")
-                )
-            )
+    # expansion joins: text-level pairs back to id-level pairs. Both
+    # are output-proportional — every produced row is in the answer.
+    lids = rows.select(F.col("_id").alias("id_a"), F.col("_text").alias("t_l"))
+    rids = rows.select(F.col("_id").alias("id_b"), F.col("_text").alias("t_r"))
+    near = (
+        tpairs.join(lids, "t_l")
+        .join(rids, "t_r")
+        .select(
+            F.least("id_a", "id_b").alias("id_l"),
+            F.greatest("id_a", "id_b").alias("id_r"),
+            "distance",
         )
+    )
+    # distance-0 pairs: rows sharing one exact text — a self-equi-join
+    # on the text, emitted once per unordered id pair
+    dup = (
+        rows.select(F.col("_id").alias("id_l"), "_text")
+        .join(rows.select(F.col("_id").alias("id_r"), "_text"), "_text")
         .filter(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", F.lit(0).alias("distance"))
     )
-
-    return (
-        cand.unionByName(short_cand)
-        .distinct()
-        .filter(
-            F.abs(F.length("t_l") - F.length("t_r")) <= F.lit(max_dist)
-        )
-        .withColumn("distance", F.levenshtein("t_l", "t_r"))
-        .filter(F.col("distance") <= F.lit(max_dist))
-        .select("id_l", "id_r", "distance")
-    )
+    return near.unionByName(dup).select("id_l", "id_r", "distance")
