@@ -549,3 +549,73 @@ def snapshot_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, total_price double, pruned boolean",
     )
+
+
+@register(
+    "snapshot_zorder_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (hour(ts) BETWEEN 6 AND 8) AS BIGINT)
+               AS hr_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    FILTER (hour(ts) BETWEEN 6 AND 8) AS DOUBLE)
+               AS hr_value_sum,
+           CAST(COUNT(*) FILTER (CAST(FLOOR(value) AS INT) % 8 = 3)
+               AS BIGINT) AS vb_rows,
+           TRUE AS hr_pruned,
+           TRUE AS vb_pruned
+    FROM events
+    """,
+    tags=("lakehouse", "sources", "data-skipping"),
+    doc="MULTI-dimensional data skipping (round 9): events land in a "
+    "snapshot table clustered on the Z-order (Morton) key of "
+    "(hour-of-day, value-bucket) — functions/zorder.py interleaves "
+    "the bits in codegen, so file min/max stats stay narrow on BOTH "
+    "columns — then two independent range reads each prune files via "
+    "the manifest zone maps: one on the hour band, one on the value "
+    "bucket. A single-column sort would prune only its own column; "
+    "the hr_pruned/vb_pruned verdicts assert files_read < "
+    "files_total on each dimension, with the exact predicates still "
+    "applied on rows. Oracle recomputes both aggregates from events "
+    "directly (sources/snapshot_table.py:read_snapshot_pruned, "
+    "sources/writers.py:write_zordered shape).",
+)
+def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.zorder import zorder_key
+    from ..sources import snapshot_table as st
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hr"),
+        (F.floor("value").cast("int") % 8).alias("vb"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    clustered = (
+        ev.withColumn("__z", zorder_key("hr", "vb", bits=5))
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    root = _scratch("snap_zorder", sf_dir)
+    try:
+        st.write_snapshot(clustered, root)
+        hr_df, hr_info = st.read_snapshot_pruned(spark, root, "hr", 6, 8)
+        hr_agg = hr_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("hr_rows"),
+            F.sum("value").cast("double").alias("hr_value_sum"),
+        ).collect()[0]
+        vb_df, vb_info = st.read_snapshot_pruned(spark, root, "vb", 3, 3)
+        vb_rows = vb_df.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                hr_agg["hr_rows"],
+                hr_agg["hr_value_sum"],
+                vb_rows,
+                hr_info["files_read"] < hr_info["files_total"],
+                vb_info["files_read"] < vb_info["files_total"],
+            )
+        ],
+        "hr_rows bigint, hr_value_sum double, vb_rows bigint, "
+        "hr_pruned boolean, vb_pruned boolean",
+    )
