@@ -979,6 +979,7 @@ EDJOIN_SAMPLE_TARGET = 2000
     GROUP BY d ORDER BY d
     """,
     tags=("advanced", "string-similarity", "dedup"),
+    bench=True,
     doc="Scalable edit-distance self-join (Ed-Join, Xiao et al. VLDB "
     "2008 — operators/stringsim.py): all part-name pairs within "
     "Levenshtein distance 2, found via q-gram PREFIX FILTERING under "

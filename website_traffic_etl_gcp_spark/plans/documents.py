@@ -3119,6 +3119,7 @@ BM25_TOP_K = 5
     ) WHERE rnk <= {BM25_TOP_K}
     """,
     tags=("documents", "retrieval"),
+    bench=True,
     doc="BM25 top-k retrieval over the documents corpus: five "
     "deterministic query terms (df ranks 20-24 — under the stopword "
     "head, present at every SF) each retrieve their top-5 docs by "

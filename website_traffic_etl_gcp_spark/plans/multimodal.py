@@ -239,6 +239,7 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("multimodal",),
+    bench=True,
     doc="REAL compressed-container decode (round 9): each document is "
     "encoded as a valid non-interlaced 8-bit grayscale PNG — zlib "
     "IDAT (stdlib DEFLATE), chunk CRCs, and per-row filter cycling "
