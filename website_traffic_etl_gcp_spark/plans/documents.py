@@ -3085,7 +3085,7 @@ BM25_TOP_K = 5
         SELECT doc_id, COUNT(*) AS dl FROM filtered GROUP BY doc_id
     ),
     stats AS (
-        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
     ),
     df AS (
         SELECT token, COUNT(DISTINCT doc_id) AS df
@@ -3099,12 +3099,16 @@ BM25_TOP_K = 5
         ) WHERE trank BETWEEN {BM25_TERM_RANK_LO} AND {BM25_TERM_RANK_HI}
     ),
     scored AS (
+        -- constants use e0 literals: DuckDB parses bare 0.5/1.2 as
+        -- DECIMAL and computes the idf at decimal precision, which
+        -- diverges from Spark's pure-double arithmetic by 1 ulp
         SELECT q.token, tf.doc_id,
-               ((s.n_docs - q.df + 0.5) / (q.df + 0.5))
-                   * (tf.tf * ({BM25_K1} + 1.0))
-                   / (tf.tf + {BM25_K1}
-                      * (1.0 - {BM25_B}
-                         + {BM25_B} * dl.dl / s.avgdl)) AS bm25
+               ((s.n_docs - q.df + 0.5e0) / (q.df + 0.5e0))
+                   * (tf.tf * {BM25_K1 + 1.0}e0)
+                   / (tf.tf + {BM25_K1}e0
+                      * ({1.0 - BM25_B}e0
+                         + {BM25_B}e0 * dl.dl * s.n_docs / s.sum_dl))
+               AS bm25
         FROM tf
         JOIN queries q USING (token)
         JOIN dl USING (doc_id), stats s
@@ -3141,7 +3145,7 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     queries = (
@@ -3174,7 +3178,8 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(BM25_K1)
                     * (
                         F.lit(1.0 - BM25_B)
-                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                        + F.lit(BM25_B) * F.col("dl") * F.col("n_docs")
+                        / F.col("sum_dl")
                     )
                 )
             ).alias("bm25"),
