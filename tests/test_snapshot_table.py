@@ -611,3 +611,40 @@ def test_pruned_read_disjoint_range_is_empty_frame(spark, tmp_path):
     assert info["files_read"] == 0
     assert pruned.count() == 0
     assert pruned.columns == ["k", "v"]
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta's TIMESTAMP AS OF: a wall-clock instant resolves to the
+    newest version committed at or before it; instants before the
+    oldest retained commit raise."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 3), root)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    st.write_snapshot(_df(spark, 0, 10), root, mode="overwrite")
+
+    assert st.version_as_of(root, t_between) == 1
+    assert st.read_snapshot_as_of(spark, root, t_between).count() == 3
+    assert st.read_snapshot_as_of(spark, root, _time.time()).count() == 10
+    with pytest.raises(st.NoSuchSnapshot):
+        st.version_as_of(root, t_between - 3600)
+
+
+def test_streaming_sink_commits_carry_zone_maps(spark, tmp_path):
+    """The streaming snapshot sink goes through the same _commit, so
+    every micro-batch manifest carries per-file zone maps and a
+    pruned read over the streamed table skips non-overlapping
+    batches' files — data skipping needs no extra sink logic."""
+    from website_traffic_etl_gcp_spark.streaming import snapshot_sink as sk
+
+    root = str(tmp_path / "t")
+    writer = sk.snapshot_batch_writer(root)
+    for bid, (lo, hi) in enumerate(((0, 100), (1000, 1100), (5000, 5100))):
+        writer(_df(spark, lo, hi).repartition(1), bid)
+    m = st.read_manifest(root)
+    assert set(m["stats"]) == set(m["files"])
+    pruned, info = st.read_snapshot_pruned(spark, root, "k", 1000, 1099)
+    assert info["files_total"] == 3 and info["files_read"] == 1
+    assert pruned.count() == 100

@@ -348,6 +348,30 @@ def _read_aligned(spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
     )
 
 
+def version_as_of(root: str, ts: float) -> int:
+    """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the newest
+    RETAINED version whose commit time is <= ``ts``. Raises
+    :class:`NoSuchSnapshot` when ``ts`` predates the oldest retained
+    commit (vacuum may have dropped history)."""
+    best = 0
+    for v in snapshot_versions(root):
+        if read_manifest(root, v).get("committed_at", 0.0) <= ts:
+            best = max(best, v)
+    if best == 0:
+        raise NoSuchSnapshot(
+            f"no retained version of {root} committed at or before {ts}"
+        )
+    return best
+
+
+def read_snapshot_as_of(
+    spark: SparkSession, root: str, ts: float
+) -> DataFrame:
+    """``read_snapshot`` at the version current as of wall-clock
+    ``ts`` (epoch seconds) — what a reader at that moment saw."""
+    return read_snapshot(spark, root, version_as_of(root, ts))
+
+
 def read_snapshot_pruned(
     spark: SparkSession,
     root: str,
