@@ -206,3 +206,42 @@ def test_snapshot_cli_merge_requires_source_and_keys(tmp_path, spark):
     proc = _cli("snapshot", "merge", root)
     assert proc.returncode == 1
     assert "merge needs --source and --keys" in proc.stderr
+
+
+def test_snapshot_cli_read_prune_and_as_of(tmp_path, spark):
+    """snapshot read: zone-map pruned range read reports skipped
+    files; --as-of resolves timestamp time travel."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.sources import snapshot_table as st
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(4, "k")
+    st.write_snapshot(df, root)
+    t_v1 = _time.time()
+    _time.sleep(0.05)
+    st.write_snapshot(
+        spark.range(0, 3).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        ),
+        root,
+        mode="overwrite",
+    )
+
+    proc = _cli(
+        "snapshot", "read", root, "--version", "1",
+        "--prune", "k,100,150", "--limit", "5",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "zone maps: read 1/4 files (3 pruned)" in proc.stdout
+
+    proc = _cli(
+        "snapshot", "read", root, "--as-of", str(t_v1), "--limit", "3"
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # v1 had 400 rows of k*2 values; v2 zeroed them — as-of must see v1
+    assert "zone maps" not in proc.stdout

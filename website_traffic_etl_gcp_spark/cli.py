@@ -106,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         "merge (sources/snapshot_table.py)",
     )
     sn_p.add_argument(
-        "action", choices=("history", "compact", "vacuum", "merge")
+        "action", choices=("history", "compact", "vacuum", "merge", "read")
     )
     sn_p.add_argument("root", help="Snapshot table root directory")
     sn_p.add_argument(
@@ -126,6 +126,14 @@ def main(argv: list[str] | None = None) -> int:
                       help="Versions to retain (vacuum only)")
     sn_p.add_argument("--target-mb", type=int, default=128,
                       help="Target data-file size (compact only)")
+    sn_p.add_argument("--version", type=int, default=None,
+                      help="Snapshot version to read (read only)")
+    sn_p.add_argument("--as-of", type=float, default=None, dest="as_of",
+                      help="Epoch-seconds timestamp time travel (read only)")
+    sn_p.add_argument("--prune", default=None, metavar="COL,LO,HI",
+                      help="Zone-map pruned range read (read only)")
+    sn_p.add_argument("--limit", type=int, default=20,
+                      help="Rows to print (read only)")
     args = parser.parse_args(argv)
 
     if args.command == "run":
@@ -313,6 +321,35 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         spark = get_spark(f"snapshot-{args.action}")
+        if args.action == "read":
+            version = args.version
+            if args.as_of is not None:
+                version = st.version_as_of(args.root, args.as_of)
+            if args.prune:
+                col, lo, hi = args.prune.split(",")
+
+                def _num(s: str):
+                    try:
+                        return int(s)
+                    except ValueError:
+                        try:
+                            return float(s)
+                        except ValueError:
+                            return s  # string-typed zone maps prune too
+
+                df, info = st.read_snapshot_pruned(
+                    spark, args.root, col, _num(lo), _num(hi),
+                    version=version,
+                )
+                print(
+                    f"zone maps: read {info['files_read']}/"
+                    f"{info['files_total']} files "
+                    f"({info['files_pruned']} pruned)"
+                )
+            else:
+                df = st.read_snapshot(spark, args.root, version)
+            df.show(args.limit, truncate=False)
+            return 0
         if args.action == "compact":
             out = st.compact_snapshot(
                 spark, args.root,
