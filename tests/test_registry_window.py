@@ -77,13 +77,13 @@ CHANGED_R9 = (
     "multimodal_png_metadata",  # NEW r9: real PNG decode (zlib + 5 filter types)
     "snapshot_zonemap_prune",  # NEW r9: manifest zone-map file skipping
     "snapshot_zorder_prune",  # NEW r9: multi-dim skipping via Z-order + zone maps
+    "bigram_kn_prob",  # NEW r9: interpolated Kneser-Ney bigram LM, bit-exact
 )
 
 # r6-green rotation, oldest driver evidence first
 ROTATED_R6 = (
     "etl_traffic_transform",
     "funnel_conversion",
-    "daily_active_users",
     "retention_cohorts",
     "q3_shipping_priority",
 )
@@ -105,6 +105,7 @@ SECTION_REPRESENTATIVES = (
 # MUST lead with them. The round-10 edition of this test consumes this
 # list, the same way this edition consumed round 8's MUST_LEAD_R9.
 MUST_LEAD_R10 = (
+    "daily_active_users",
     "q2_min_cost_supplier",
     "q4_late_shipment_priority",
     "q5_local_supplier_volume",

@@ -86,14 +86,15 @@ _PRIORITY_ORDER = (
     "multimodal_png_metadata",  # NEW r9: real PNG decode (zlib + 5 filter types)
     "snapshot_zonemap_prune",  # NEW r9: manifest zone-map file skipping
     "snapshot_zorder_prune",  # NEW r9: multi-dim skipping via Z-order + zone maps
+    "bigram_kn_prob",  # NEW r9: interpolated Kneser-Ney bigram LM, bit-exact
     # ---- (c) r6-green rotation (oldest driver evidence first) ----
     "etl_traffic_transform",  # §2A rep
     "funnel_conversion",
-    "daily_active_users",
     "retention_cohorts",  # §2C rep
     "q3_shipping_priority",  # §2B rep
     # (§2E2 representation moved to part_name_fuzzy_pairs above; the
-    # r6-green rows that did not fit — q2_min_cost_supplier,
+    # r6-green rows that did not fit — daily_active_users,
+    # q2_min_cost_supplier,
     # q4_late_shipment_priority,
     # q5_local_supplier_volume,
     # salted_event_value_sum,

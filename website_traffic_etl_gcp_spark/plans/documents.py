@@ -3193,3 +3193,86 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BM25_TOP_K)
         .select("token", "doc_id", "bm25", "rnk")
     )
+
+
+# Kneser-Ney absolute discount (the standard 0.75) — e0 double literal
+# in the SQL twin so DuckDB computes in pure double like Spark
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "bigram_kn_prob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    bi AS (
+        SELECT a.token AS w1, b.token AS w2, COUNT(*) AS c12
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    uni AS (
+        SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1_fwd
+        FROM bi GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM bi GROUP BY w2),
+    total AS (SELECT COUNT(*) AS n_types FROM bi)
+    SELECT w1, w2, c12,
+           (GREATEST(c12 - {KN_DISCOUNT}e0, 0.0e0) / c1)
+               + (({KN_DISCOUNT}e0 * n1_fwd / c1)
+                  * (CAST(n1_bwd AS DOUBLE) / n_types)) AS p_kn
+    FROM bi JOIN uni USING (w1) JOIN cont USING (w2), total
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("documents", "lm"),
+    doc="Interpolated Kneser-Ney bigram probabilities for the top-20 "
+    "bigrams (Kneser & Ney 1995; Chen & Goodman 1998 — the standard "
+    "n-gram LM smoother): P(w2|w1) = max(c12 - D, 0)/c1 + "
+    "(D*N1+(w1,.)/c1) * (N1+(.,w2)/n_types), D = 0.75. The "
+    "continuation distribution counts distinct CONTEXTS, not raw "
+    "frequency — the property that makes KN the right unigram "
+    "backoff. All inputs are exact integer counts from the same one-"
+    "explode bigram aggregation as bigram_next_token_prob; the "
+    "arithmetic is pure double with identical expression shape on "
+    "both engines (e0 literals in the SQL twin), so the comparison "
+    "is bit-exact, not round-6.",
+)
+def bigram_kn_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("w2", F.lead("token", 1).over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("token").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    total = bi.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(KN_DISCOUNT), F.lit(0.0))
+        / F.col("c1")
+    ) + (
+        (F.lit(KN_DISCOUNT) * F.col("n1_fwd") / F.col("c1"))
+        * (F.col("n1_bwd").cast("double") / F.col("n_types"))
+    )
+    return (
+        bi.join(uni, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c12", p_kn.alias("p_kn"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )
