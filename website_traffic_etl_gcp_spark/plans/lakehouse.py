@@ -327,11 +327,10 @@ def xls_extract_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(object download, distributed BIFF8 decode, transform, CSV "
     "hand-off upload, typed warehouse load), not an intermediate. "
     "Object ops are driver-side control-plane (as in the reference); "
-    "decode and load are distributed.",
+    "decode, transform, the CSV hand-off write, and the load are all "
+    "distributed — no corpus-width collect() anywhere in the body.",
 )
 def etl_gcs_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import csv
-
     from pyspark.sql.types import (
         DoubleType,
         StringType,
@@ -388,25 +387,40 @@ def etl_gcs_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_xls_many(spark, local_xls, schema), fixed_ts=FIXED_TS
     )
 
-    # LOAD: CSV hand-off into the bucket, then the warehouse load
-    csv_local = os.path.join(staging, "handoff.csv")
-    with open(csv_local, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["time", "traffic", "created_at"])
-        for r in out.select("time", "traffic", "created_at").collect():
-            w.writerow([r["time"], r["traffic"], r["created_at"]])
+    # LOAD: CSV hand-off into the bucket, then the warehouse load.
+    # The hand-off CSV is written by the EXECUTORS (coalesced to the
+    # reference's one-file contract) — the only driver-side step left
+    # is the object-store move of the finished part file, the same
+    # control-plane op the reference's upload_to_gcs performs.
+    csv_stage = os.path.join(staging, "handoff_csv")
+    (
+        out.select("time", "traffic", "created_at")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(csv_stage)
+    )
+    part = next(
+        os.path.join(csv_stage, f)
+        for f in sorted(os.listdir(csv_stage))
+        if f.startswith("part-") and f.endswith(".csv")
+    )
     csv_uri = "gs://landing/stage/handoff.csv"
-    gs.upload_object(csv_local, csv_uri, client=client)
+    gs.upload_object(part, csv_uri, client=client)
     table = f"wtes_gcs_load_{uuid.uuid4().hex[:10]}"
     gs.load_csv_to_warehouse(
         spark, csv_uri, table, mode="replace", client=client
     )
-    loaded = spark.table(table).select("time", "traffic", "created_at")
-    # materialize, then drop the scratch warehouse table — the frame
-    # is small by construction (the capped fixture slice)
-    rows, schema = loaded.collect(), loaded.schema
+    # Re-land the loaded table as scratch parquet (a distributed
+    # write, no driver round-trip) so the warehouse-catalog entry can
+    # be dropped while the returned frame stays readable.
+    loaded_out = os.path.join(root, "loaded_parquet")
+    spark.table(table).select("time", "traffic", "created_at").write.mode(
+        "overwrite"
+    ).parquet(loaded_out)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    return spark.createDataFrame(rows, schema)
+    return spark.read.parquet(loaded_out)
 
 
 @register(
