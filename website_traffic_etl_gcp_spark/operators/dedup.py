@@ -353,27 +353,48 @@ def simhash_fingerprints(
     return sigs.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
-    """Candidates share at least one of the fingerprint's 12-bit bands
-    (any pair within hamming ≤ 3 flips bits in ≤3 of the 4 bands, so
-    agrees on at least one); exact hamming filter via xor+bit_count
-    afterwards.
+def banded_hamming_pairs(
+    fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    n_bands: int = SIMHASH_BANDS,
+    band_width: int = SIMHASH_BAND_WIDTH,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """The generic band-LSH hamming join behind SimHash AND the
+    perceptual media hash (operators/multimodal.py): candidates share
+    at least one ``band_width``-bit band (any pair within hamming ≤
+    ``max_hamming`` flips bits in ≤ max_hamming of the bands, so with
+    ``n_bands ≥ max_hamming + 1`` it agrees on at least one); exact
+    hamming filter via xor+bit_count afterwards. Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b, one row per pair.
 
     ``n_salts`` spreads a hot band value's pair generation over that
-    many reducers (identical-doc floods); output unchanged."""
+    many reducers (identical-item floods); output unchanged."""
+    if n_bands < max_hamming + 1:  # the soundness precondition
+        raise ValueError(
+            f"{n_bands} bands cannot guarantee recall at hamming "
+            f"{max_hamming}; need ≥ {max_hamming + 1}"
+        )
+    band_mask = (1 << band_width) - 1
+    fps = fps.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band_idx"),
-                F.shiftright(F.col("simhash"), SIMHASH_BAND_WIDTH * j)
-                .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                F.shiftright(F.col("simhash"), band_width * j)
+                .bitwiseAND(F.lit(band_mask))
                 .alias("band_val"),
             )
-            for j in range(SIMHASH_BANDS)
+            for j in range(n_bands)
         ]
     )
-    # self-joined twice below — persist so the fingerprint groupBy
-    # (one explode + SIMHASH_BITS sums) runs once, not per join side
+    # self-joined twice below — persist so the fingerprint computation
+    # runs once, not per join side
     keyed = (
         fps.select("doc_id", "simhash", F.explode(bands).alias("b"))
         .select("doc_id", "simhash", "b.band_idx", "b.band_val")
@@ -392,30 +413,39 @@ def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
     # a qualifying pair meets in EVERY band its fingerprints agree on
-    # (up to all 4) — instead of a distinct over that multiplied output
-    # (an O(candidates) shuffle), keep the pair only in its FIRST
+    # (up to all n_bands) — instead of a distinct over that multiplied
+    # output (an O(candidates) shuffle), keep the pair only in its FIRST
     # agreeing band, computable row-locally from the xor's zero bands.
     # Map-side exact dedup: the join output needs no exchange at all.
     first_agreeing_band = F.coalesce(
         *[
             F.when(
-                F.shiftright(xor, SIMHASH_BAND_WIDTH * j).bitwiseAND(
-                    F.lit(SIMHASH_BAND_MASK)
+                F.shiftright(xor, band_width * j).bitwiseAND(
+                    F.lit(band_mask)
                 )
                 == 0,
                 F.lit(j),
             )
-            for j in range(SIMHASH_BANDS)
+            for j in range(n_bands)
         ]
     )
     return joined.filter(
-        (ham <= SIMHASH_MAX_HAMMING)
+        (ham <= max_hamming)
         & (F.col("a.band_idx") == first_agreeing_band)
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         ham.alias("hamming"),
     )
+
+
+def simhash_near_pairs(fps: DataFrame, n_salts: int | None = None) -> DataFrame:
+    """Candidates share at least one of the fingerprint's 12-bit bands
+    (any pair within hamming ≤ 3 flips bits in ≤3 of the 4 bands, so
+    agrees on at least one); exact hamming filter via xor+bit_count
+    afterwards. Thin wrapper over :func:`banded_hamming_pairs` with
+    the SimHash constants."""
+    return banded_hamming_pairs(fps, n_salts=n_salts)
 
 
 def _canon_edges(edges: DataFrame) -> DataFrame:

@@ -231,58 +231,149 @@ def chunk_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(batches, CHUNK_SCHEMA)
 
 
+# ---- perceptual hash tier (real containers, real pixel hash) -------------
+
 PHASH_SCHEMA = StructType(
     [
         StructField("item_id", LongType()),
-        StructField("phash", StringType()),
+        StructField("phash", LongType()),
+        StructField("pix_md5", StringType()),
     ]
 )
 
 REENCODE_MOD = 20
 REENCODE_OFFSET = 10_000_000
+PERTURB_MOD = 13
+PERTURB_OFFSET = 20_000_000
+
+# 64-bit difference hash over 64 linear pixel cells, banded 4×16 for
+# LSH candidate generation (the SimHash soundness rule: hamming ≤ 3
+# flips ≤ 3 bands, so 4 bands guarantee one agreeing band)
+PHASH_BITS = 64
+PHASH_MAX_HAMMING = 3
+PHASH_BANDS = PHASH_MAX_HAMMING + 1
+PHASH_BAND_WIDTH = PHASH_BITS // PHASH_BANDS
+# the planted pixel perturbation is confined to cell PERTURB_CELL, so
+# it can flip ONLY the two dHash bits that compare against that cell
+# (PERTURB_CELL-1 and PERTURB_CELL) — both inside band 0, leaving
+# bands 1-3 bit-identical: banding provably catches every planted pair
+PERTURB_CELL = 5
 
 
-def with_containers(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """A media landing corpus with MIXED container formats: every doc
-    as container A (``imgA|<content>``), plus every ``REENCODE_MOD``-th
-    doc AGAIN as container B (``reencB|<content>``) under a re-keyed
-    item_id — byte-different payloads carrying the SAME decoded
-    content, the JPEG-vs-PNG-of-one-image situation a media corpus
-    accumulates from re-encodes and mirrors."""
-    a = df.select(
-        F.col("doc_id").alias("item_id"),
-        F.concat(F.lit("imgA|"), F.col(text_col)).cast(
-            BinaryType()
-        ).alias("payload"),
+def dhash64(pixels: bytes) -> int:
+    """64-bit difference hash over the decoded pixel sequence: split
+    the N pixels into 64 linear cells (cell k = [kN/64, (k+1)N/64)),
+    bit k = mean(cell k) > mean(cell k+1 mod 64). Exact integer
+    cross-multiplication — no floats — so every engine and every run
+    reproduces the same bits. An empty cell (N < 64) has mean 0.
+    Returned as a SIGNED int64 (Spark LongType two's complement)."""
+    n = len(pixels)
+    sums, cnts = [], []
+    for k in range(64):
+        lo, hi = k * n // 64, (k + 1) * n // 64
+        sums.append(sum(pixels[lo:hi]))
+        cnts.append(hi - lo)
+    h = 0
+    for k in range(64):
+        s1, c1 = sums[k], cnts[k]
+        s2, c2 = sums[(k + 1) % 64], cnts[(k + 1) % 64]
+        if c1 == 0:
+            gt = False  # mean 0 is never strictly greater
+        elif c2 == 0:
+            gt = s1 > 0
+        else:
+            gt = s1 * c2 > s2 * c1  # mean_k > mean_{k+1}, exact
+        if gt:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perturb_pixels(pixels: bytes) -> bytes:
+    """The planted near-dup edit: bump every pixel in dHash cell
+    ``PERTURB_CELL`` by +7 (mod 256). Confining the edit to one cell
+    bounds the hash damage to 2 bits (see PERTURB_CELL note), and the
+    cell is empty — pixels unchanged — exactly when
+    6N//64 == 5N//64, a condition the SQL oracle reproduces."""
+    n = len(pixels)
+    lo, hi = PERTURB_CELL * n // 64, (PERTURB_CELL + 1) * n // 64
+    return (
+        pixels[:lo]
+        + bytes((p + 7) % 256 for p in pixels[lo:hi])
+        + pixels[hi:]
     )
-    b = df.filter(F.col("doc_id") % REENCODE_MOD == 0).select(
-        (F.col("doc_id") + REENCODE_OFFSET).alias("item_id"),
-        F.concat(F.lit("reencB|"), F.col(text_col)).cast(
-            BinaryType()
-        ).alias("payload"),
-    )
-    return a.unionByName(b)
 
 
-def content_phash(df: DataFrame, id_col: str = "item_id") -> DataFrame:
-    """Container-invariant content hash via Arrow batches: strip the
-    container header (everything through the first ``|``), hash the
-    DECODED content — so byte-different re-encodes of the same media
-    collide. The stand-in hashes decoded bytes directly; a real
-    perceptual hash (pHash DCT / aHash) runs on decoded pixels at this
-    exact point with identical plumbing, and near-dup banding over
-    hash bits reuses the SimHash band machinery."""
+def encode_mixed_media(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """A media landing corpus with MIXED REAL containers: every doc as
+    a BMP, every ``REENCODE_MOD``-th doc AGAIN as a PNG of the SAME
+    pixel grid (byte-different container, identical decoded pixels —
+    the JPEG-vs-PNG-of-one-image situation a media corpus accumulates
+    from re-encodes and mirrors), and every ``PERTURB_MOD``-th doc
+    AGAIN as a BMP with a small planted pixel perturbation (the
+    near-dup a byte hash can never catch)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                content = text.encode("utf-8")
+                w, h = _bmp_dims(content)
+                pixels = media.embed_content(content, w * h)
+                ids.append(doc_id)
+                payloads.append(media.encode_bmp(w, h, pixels))
+                if doc_id % REENCODE_MOD == 0:
+                    ids.append(doc_id + REENCODE_OFFSET)
+                    payloads.append(media.encode_png(w, h, pixels))
+                if doc_id % PERTURB_MOD == 0:
+                    ids.append(doc_id + PERTURB_OFFSET)
+                    payloads.append(
+                        media.encode_bmp(w, h, perturb_pixels(pixels))
+                    )
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), text_col
+    ).mapInPandas(batches, StructType([
+        StructField("item_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]))
+
+
+def media_dhash(df: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """REAL perceptual hashing: sniff the container by magic bytes
+    (BMP ``BM`` / PNG signature), decode it with the vendored codec,
+    and compute the 64-bit dHash over the DECODED PIXEL GRID — so
+    byte-different re-encodes of the same image collide exactly and
+    small pixel edits land within banding distance. ``pix_md5`` is
+    the decoded grid's md5 (pins container invariance: a re-encode
+    matches, a perturbation differs)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, md5s = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                if raw[:2] == b"BM":
+                    _w, _h, pixels = media.decode_bmp(raw)
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    _w, _h, pixels = media.decode_png(raw)
+                else:
+                    raise media.MediaFormatError(
+                        f"unknown container magic {raw[:8]!r}"
+                    )
+                hashes.append(dhash64(pixels))
+                md5s.append(hashlib.md5(pixels).hexdigest())
             yield pd.DataFrame(
                 {
                     "item_id": pdf[id_col],
-                    "phash": pdf["payload"].map(
-                        lambda p: hashlib.md5(
-                            bytes(p).split(b"|", 1)[1]
-                        ).hexdigest()[:15]
-                    ),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                    "pix_md5": md5s,
                 }
             )
 

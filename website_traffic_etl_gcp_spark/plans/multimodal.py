@@ -170,50 +170,111 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_dedup_phash",
     oracle=f"""
-    WITH items AS (
-        SELECT doc_id AS item_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + {mm.REENCODE_OFFSET}, text FROM documents
-        WHERE doc_id % {mm.REENCODE_MOD} = 0
+    WITH dims AS (
+        SELECT doc_id,
+               w * CAST(CEIL((octet_length(encode(text)) + 4) / (w * 1.0))
+                        AS BIGINT) AS n
+        FROM (
+            SELECT doc_id, text,
+                   16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       % 512 AS w
+            FROM documents
+        )
     )
-    SELECT MIN(item_id) AS canonical_id,
-           MAX(item_id) AS dup_id,
-           CAST(COUNT(*) AS BIGINT) AS n_copies
-    FROM items
-    GROUP BY md5(text) HAVING COUNT(*) >= 2
-    ORDER BY 1
+    SELECT doc_id AS canonical_id,
+           doc_id + {mm.REENCODE_OFFSET} AS dup_id,
+           'reencode' AS kind,
+           TRUE AS caught,
+           FALSE AS pixels_differ
+    FROM documents WHERE doc_id % {mm.REENCODE_MOD} = 0
+    UNION ALL
+    SELECT doc_id,
+           doc_id + {mm.PERTURB_OFFSET},
+           'perturbed',
+           TRUE,
+           ({mm.PERTURB_CELL + 1} * n) // 64 > ({mm.PERTURB_CELL} * n) // 64
+    FROM dims WHERE doc_id % {mm.PERTURB_MOD} = 0
+    ORDER BY 1, 2
     """,
     tags=("multimodal", "dedup"),
-    doc="Container-invariant media dedup — the binary-column twin of "
-    "dedup_exact: a mixed-format landing corpus (every doc as "
-    "container A, every 20th AGAIN as a byte-different container-B "
-    "re-encode) dedupes on the CONTENT hash computed after the "
-    "Arrow-batched decode step (operators/multimodal.py:"
-    "content_phash), so re-encodes of the same media collide while "
-    "byte-level hashing would miss every one of them. One "
-    "hash-groupBy after a pure map — the dedup_exact scale shape; a "
-    "real perceptual hash (pHash/aHash over decoded pixels) slots "
-    "into the same batch point, and near-dup banding over hash bits "
-    "reuses the SimHash machinery. The oracle recomputes dup groups "
-    "from CONTENT (not the planted list): on corpora with natural "
-    "exact duplicates — the derived sf1 tables have 80 such groups — "
-    "both engines must find them identically.",
+    doc="REAL perceptual media dedup (round 10, replacing the md5 "
+    "stand-in): a mixed landing corpus — every doc as a BMP, every "
+    "20th AGAIN as a PNG of the SAME pixels (byte-different "
+    "container), every 13th AGAIN as a BMP with a planted one-cell "
+    "pixel perturbation — is decoded by the vendored codecs (magic-"
+    "byte sniff → decode_bmp/decode_png) and hashed with a 64-bit "
+    "dHash over the DECODED PIXEL GRID (integer-exact cell-mean "
+    "comparisons, operators/multimodal.py:dhash64). Banding reuses "
+    "the SimHash LSH machinery (operators/dedup.py:"
+    "banded_hamming_pairs, 4×16-bit bands, hamming ≤ 3): re-encodes "
+    "collide exactly (hamming 0) and the perturbation touches ≤ 2 "
+    "bits confined to band 0, so every planted pair is caught BY "
+    "CONSTRUCTION — which is what lets the oracle pin caught=TRUE "
+    "exactly. pixels_differ pins the decoded-grid md5 contract: "
+    "equal across containers, different under perturbation (except "
+    "the SQL-predictable empty-cell case). A byte-level hash would "
+    "miss every planted pair in this corpus.",
 )
 def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from ..operators import dedup
+
     docs = load_table(spark, sf_dir, "documents")
-    hashed = mm.content_phash(mm.with_containers(docs))
-    return (
-        hashed.groupBy("phash")
-        .agg(
-            F.min("item_id").alias("canonical_id"),
-            F.max("item_id").alias("dup_id"),
-            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    hashed = mm.media_dhash(mm.encode_mixed_media(docs)).persist()
+    pairs = dedup.banded_hamming_pairs(
+        hashed,
+        id_col="item_id",
+        hash_col="phash",
+        n_bands=mm.PHASH_BANDS,
+        band_width=mm.PHASH_BAND_WIDTH,
+        max_hamming=mm.PHASH_MAX_HAMMING,
+    )
+    planted = (
+        docs.filter(F.col("doc_id") % mm.REENCODE_MOD == 0)
+        .select(
+            F.col("doc_id").alias("canonical_id"),
+            (F.col("doc_id") + mm.REENCODE_OFFSET).alias("dup_id"),
+            F.lit("reencode").alias("kind"),
         )
-        .filter(F.col("n_copies") >= 2)
-        .select("canonical_id", "dup_id", "n_copies")
-        .orderBy("canonical_id")
+        .unionByName(
+            docs.filter(F.col("doc_id") % mm.PERTURB_MOD == 0).select(
+                F.col("doc_id").alias("canonical_id"),
+                (F.col("doc_id") + mm.PERTURB_OFFSET).alias("dup_id"),
+                F.lit("perturbed").alias("kind"),
+            )
+        )
+    )
+    caught = pairs.select(
+        F.col("doc_a").alias("canonical_id"),
+        F.col("doc_b").alias("dup_id"),
+        F.lit(True).alias("hit"),
+    )
+    md5s = hashed.select("item_id", "pix_md5")
+    return (
+        planted.join(caught, ["canonical_id", "dup_id"], "left")
+        .join(
+            md5s.select(
+                F.col("item_id").alias("canonical_id"),
+                F.col("pix_md5").alias("md5_a"),
+            ),
+            "canonical_id",
+        )
+        .join(
+            md5s.select(
+                F.col("item_id").alias("dup_id"),
+                F.col("pix_md5").alias("md5_b"),
+            ),
+            "dup_id",
+        )
+        .select(
+            "canonical_id",
+            "dup_id",
+            "kind",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("caught"),
+            (F.col("md5_a") != F.col("md5_b")).alias("pixels_differ"),
+        )
+        .orderBy("canonical_id", "dup_id")
     )
 
 
