@@ -146,12 +146,49 @@ def test_embed_extract_round_trip():
         media.extract_content(struct.pack("<I", 99) + b"short")
 
 
-# ---- the stubbed video tier stays loud -----------------------------------
+# ---- AVI (uncompressed RIFF motion container) -----------------------------
 
 
-def test_decode_image_flag_still_raises():
-    with pytest.raises(NotImplementedError, match="fake=True"):
-        mm.decode_image(b"payload")
+def test_avi_roundtrip():
+    w, h = 17, 9
+    frames = [
+        bytes((i * 7 + k) % 256 for i in range(w * h)) for k in range(4)
+    ]
+    dw, dh, micros, out = media.decode_avi(media.encode_avi(w, h, frames))
+    assert (dw, dh) == (w, h)
+    assert micros == 1_000_000 // media.AVI_FPS
+    assert out == frames
+
+
+def test_avi_odd_stride_padding():
+    # width 3 pads rows to stride 4; a decoder that forgets the DWORD
+    # padding shifts every row
+    frames = [b"\x01\x02\x03\x04\x05\x06"]
+    assert media.decode_avi(media.encode_avi(3, 2, frames))[3] == frames
+
+
+def test_avi_rejections():
+    avi = media.encode_avi(4, 2, [bytes(8)])
+    with pytest.raises(media.MediaFormatError, match="not a RIFF/AVI"):
+        media.decode_avi(media.encode_wav(b"\x00\x00"))
+    with pytest.raises(media.MediaFormatError):
+        media.decode_avi(avi[:40])
+    # compressed frames are rejected, not mis-decoded
+    bad = bytearray(avi)
+    idx = bad.find(b"00db")
+    bad[idx : idx + 4] = b"00dc"
+    with pytest.raises(media.MediaFormatError, match="00dc"):
+        media.decode_avi(bytes(bad))
+    # frame-count cross-check against avih.dwTotalFrames
+    bad2 = bytearray(media.encode_avi(4, 2, [bytes(8), bytes(8)]))
+    idx2 = bad2.find(b"00db")
+    bad2[idx2 : idx2 + 4] = b"JUNK"
+    with pytest.raises(media.MediaFormatError, match="declares 2"):
+        media.decode_avi(bytes(bad2))
+    with pytest.raises(media.MediaFormatError, match="pixel buffer"):
+        media.encode_avi(4, 2, [bytes(7)])
+    with pytest.raises(media.MediaFormatError, match="at least one"):
+        media.encode_avi(4, 2, [])
 
 
 # ---- Spark-side: plans decode genuine containers -------------------------

@@ -5,16 +5,15 @@ The pattern for image/audio/video at 100 TB: keep the payload as a
 extraction as Arrow-batched ``mapInPandas`` so each executor processes
 columnar batches without per-row Python overhead.
 
-Two decode tiers exist. The BMP/WAV tier is REAL: payloads are
-structurally valid containers produced by the vendored pure-Python
-codecs (``sources/media_minimal.py`` — public BMP and RIFF/WAVE
-specs), and the metadata/resize/chunk plans genuinely parse headers,
-undo row padding + bottom-up row order, and walk RIFF chunk lists to
-recover content. The video tier stays a deterministic fake
-(``decode_image`` raises ``NotImplementedError`` unless the fake is
-requested) because no video codec can be vendored practically;
-everything around it — schema, batch iteration, partitioning, UDF
-signature — is real and tested.
+Every decode tier is REAL as of round 10: payloads are structurally
+valid containers produced by the vendored pure-Python codecs
+(``sources/media_minimal.py`` — public BMP, RIFF/WAVE, ICO, PNG, and
+uncompressed RIFF/AVI specs), and the metadata / resize / chunk /
+frame-sample / perceptual-hash plans genuinely parse headers, undo
+row padding + bottom-up row order, walk RIFF chunk lists, inflate
+and filter-reconstruct PNG scanlines, and decode per-frame AVI DIBs
+to recover content. The former deterministic-fake tier (a
+``decode_image`` stub) was deleted when the AVI codec landed.
 """
 
 from __future__ import annotations
@@ -36,62 +35,10 @@ from pyspark.sql.types import (
 
 from ..sources import media_minimal as media
 
-METADATA_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("n_bytes", LongType()),
-        StructField("checksum", StringType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-    ]
-)
-
-
-def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """Decode payload → (width, height). Real codecs are unavailable in
-    this container; ``fake=True`` derives deterministic dimensions from
-    the payload's md5 so the distributed plumbing is exercisable
-    end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "pass fake=True for the deterministic stand-in"
-        )
-    v = int(hashlib.md5(payload).hexdigest()[:8], 16)
-    return 16 + v % 512, 16 + (v // 512) % 512
-
-
 def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach a binary payload column (utf-8 bytes of the text column —
     the documents table stands in for a media corpus here)."""
     return df.withColumn("payload", F.col(text_col).cast(BinaryType()))
-
-
-def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched metadata extraction over the payload column.
-
-    ``mapInPandas``: each batch arrives as a pandas DataFrame of a few
-    thousand rows; byte lengths / checksums / fake-decode run
-    vectorized-ish per batch, never per-row through pickling.
-    """
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf["payload"]
-            dims = [decode_image(p, fake=True) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(
-                        lambda p: hashlib.md5(p).hexdigest()
-                    ),
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
-                }
-            )
-
-    return df.select(id_col, "payload").mapInPandas(batches, METADATA_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -103,44 +50,6 @@ FRAME_SCHEMA = StructType(
         StructField("height", IntegerType()),
     ]
 )
-
-RESIZE_W, RESIZE_H = 224, 224
-
-
-def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Frame sampling + resize plumbing: ONE payload row fans out to
-    1 + (n_bytes mod 4) frame rows — the one-to-many ``mapInPandas``
-    shape a video pipeline needs (a generator may yield any number of
-    output rows per Arrow batch, so fan-out never materializes
-    driver-side). Frame "decode" is the deterministic stand-in
-    (md5(payload ':' idx)); the resize step is represented by the
-    fixed target dims a preprocessing pipeline would normalize to."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ids, idxs, sums = [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                n_frames = 1 + len(payload) % 4
-                for k in range(n_frames):
-                    ids.append(doc_id)
-                    idxs.append(k)
-                    sums.append(
-                        hashlib.md5(
-                            payload + b":" + str(k).encode()
-                        ).hexdigest()
-                    )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int64"),
-                    "frame_checksum": sums,
-                    "width": pd.Series([RESIZE_W] * len(ids), dtype="int32"),
-                    "height": pd.Series([RESIZE_H] * len(ids), dtype="int32"),
-                }
-            )
-
-    return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)
-
 
 RESIZE_SCHEMA = StructType(
     [
@@ -162,30 +71,6 @@ def aspect_fit(w: int, h: int, box: int = RESIZE_BOX) -> tuple[int, int]:
     so any engine reproduces it exactly."""
     long_side = max(w, h)
     return max(1, (w * box) // long_side), max(1, (h * box) // long_side)
-
-
-def resize_dims(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """The resize step of an image-preprocessing pipeline, as Arrow
-    batch plumbing: fake-decode dims from the payload, compute the
-    aspect-fit target. The actual pixel resample is the stubbed codec
-    part (see ``decode_image``); the batch shape — one row in, one row
-    out, pure per-batch compute — is the real contract."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            dims = [decode_image(p, fake=True) for p in pdf["payload"]]
-            outs = [aspect_fit(w, h) for w, h in dims]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
-                    "out_w": pd.Series([o[0] for o in outs], dtype="int32"),
-                    "out_h": pd.Series([o[1] for o in outs], dtype="int32"),
-                }
-            )
-
-    return df.select(id_col, "payload").mapInPandas(batches, RESIZE_SCHEMA)
 
 
 CHUNK_SCHEMA = StructType(
@@ -626,6 +511,94 @@ def sample_frames_ico(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---- AVI tier (vendored motion container) --------------------------------
+
+VID_FRAME_W = 96
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_checksum", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("micros_per_frame", LongType()),
+    ]
+)
+
+
+def encode_avi_corpus(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Encode each document as a real uncompressed RIFF/AVI: 1 +
+    (n_bytes mod 4) video frames (the same fan-out contract as the
+    ICO tier), frame k carrying the length-prefixed bytes of
+    ``text + '@' + k`` in its 96-wide 8-bpp DIB. Every frame in one
+    file shares the stream's declared dimensions (the AVI single-strf
+    contract); the '@k' suffix is one digit for k ≤ 3, so the frame
+    height is identical across frames by construction."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8")
+                n_frames = 1 + len(raw) % 4
+                w = VID_FRAME_W
+                h = -(-(len(raw) + 2 + 4) // w)  # +2 = '@' + 1 digit
+                frames = [
+                    media.embed_content(
+                        raw + b"@" + str(k).encode(), w * h
+                    )
+                    for k in range(n_frames)
+                ]
+                payloads.append(media.encode_avi(w, h, frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, _PAYLOAD_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL motion-container decode: walk each AVI's RIFF structure
+    (hdrl validation, movi '00db' DIB chunks via the shared WAV chunk
+    walker), undo per-frame bottom-up row padding, recover every
+    frame's content, and emit one row per frame — the video
+    frame-sampling shape with fan-out driven by the CONTAINER's
+    actual frame list, cross-checked against avih.dwTotalFrames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums, ws, hs, ns, mi = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, micros, frames = media.decode_avi(bytes(payload))
+                for k, pixels in enumerate(frames):
+                    content = media.extract_content(pixels)
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sums.append(hashlib.md5(content).hexdigest())
+                    ws.append(w)
+                    hs.append(h)
+                    ns.append(len(frames))
+                    mi.append(micros)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_checksum": sums,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(ns, dtype="int64"),
+                    "micros_per_frame": pd.Series(mi, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
+    )
 
 
 # ---- PNG tier (vendored zlib-backed codec) -------------------------------

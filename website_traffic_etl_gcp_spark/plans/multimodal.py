@@ -1,16 +1,17 @@
 """§2F — Multimodal queries: binary payload + Arrow-batched decode.
 
-The metadata / resize / audio-chunk plans run REAL container codecs:
-each document is encoded as a structurally valid BMP (8-bpp, padded
-bottom-up rows) or RIFF/WAVE PCM16 file by the vendored pure-Python
-writers, then genuinely parsed back by the vendored readers
-(sources/media_minimal.py) inside mapInPandas — header validation,
-row-padding/bottom-up undo, RIFF chunk walking. The oracle pins are
+Every plan here runs REAL container codecs: each document is encoded
+as a structurally valid BMP (8-bpp, padded bottom-up rows), RIFF/WAVE
+PCM16, multi-frame ICO, zlib PNG, or uncompressed RIFF/AVI file by
+the vendored pure-Python writers, then genuinely parsed back by the
+vendored readers (sources/media_minimal.py) inside mapInPandas —
+header validation, row-padding/bottom-up undo, RIFF chunk walking,
+PNG filter reconstruction, per-frame DIB decode. The oracle pins are
 content-derived (md5 / octet_length / the SQL-reproducible dimension
 formulas), so a decoder that mis-parses strides, row order, or chunk
-offsets corrupts the checksum and fails the gate. The video
-frame-sample plan keeps the deterministic fake (no video codec can be
-vendored practically; see operators/multimodal.py:decode_image)."""
+offsets corrupts the checksum and fails the gate. The perceptual-hash
+plan additionally proves container INVARIANCE (BMP-vs-PNG re-encodes
+collide on the decoded-pixel dHash) and bounded near-dup recall."""
 
 from __future__ import annotations
 
@@ -276,6 +277,47 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id", "dup_id")
     )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+                AS BIGINT) AS frame_idx,
+           md5(text || '@' ||
+               CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+                    AS VARCHAR)) AS frame_checksum,
+           CAST({mm.VID_FRAME_W} AS INT) AS width,
+           CAST(CEIL((octet_length(encode(text)) + 6)
+                     / {mm.VID_FRAME_W}.0) AS INT) AS height,
+           CAST(1 + octet_length(encode(text)) % 4 AS BIGINT) AS n_frames,
+           CAST({1_000_000 // mm.media.AVI_FPS} AS BIGINT)
+               AS micros_per_frame
+    FROM documents
+    """,
+    tags=("multimodal",),
+    doc="REAL motion-container decode (round 10 — closes the last "
+    "§2F cell, replacing the deleted decode_image stub): each "
+    "document is packed as a structurally valid uncompressed "
+    "RIFF/AVI (vendored writer, sources/media_minimal.py:encode_avi "
+    "— hdrl with MainAVIHeader + vids/DIB stream header + 8-bpp "
+    "BI_RGB strf, movi with one '00db' DIB per frame in BMP "
+    "pixel-array convention) with 1..4 frames, then the vendored "
+    "reader walks the RIFF lists with the SAME chunk walker as the "
+    "WAV decoder, validates the stream contract, rejects compressed "
+    "'00dc' frames, undoes per-frame bottom-up DWORD-padded rows, "
+    "and cross-checks the frame count against avih.dwTotalFrames — "
+    "inside a generator mapInPandas whose fan-out is driven by the "
+    "container's actual frame list. frame_checksum is the md5 of "
+    "each recovered frame's content and micros_per_frame comes from "
+    "the decoded avih, so a list-offset, stride, or row-order bug "
+    "fails the hash gate. operators/multimodal.py:encode_avi_corpus/"
+    "sample_video_frames.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_video_frames(mm.encode_avi_corpus(docs))
 
 
 @register(

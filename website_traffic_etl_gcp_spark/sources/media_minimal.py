@@ -56,6 +56,9 @@ __all__ = [
     "decode_wav",
     "encode_ico",
     "decode_ico",
+    "encode_avi",
+    "decode_avi",
+    "AVI_FPS",
     "encode_png",
     "decode_png",
     "embed_content",
@@ -224,24 +227,42 @@ def encode_wav(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def decode_wav(data: bytes) -> tuple[int, int, bytes]:
-    """Parse a RIFF/WAVE PCM16-mono file → ``(sample_rate, n_frames,
-    sample_bytes)``. Walks the chunk list generically: unknown chunks
-    are skipped, odd-sized chunks honor the RIFF pad byte."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise MediaFormatError("not a RIFF/WAVE file")
+def _riff_header(data: bytes, form: bytes) -> None:
+    """Validate the outer RIFF header against ``form`` (``WAVE`` /
+    ``AVI ``) and the declared size against the actual byte count."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != form:
+        raise MediaFormatError(f"not a RIFF/{form.decode().strip()} file")
     (riff_size,) = struct.unpack_from("<I", data, 4)
     if riff_size + 8 != len(data):
         raise MediaFormatError(
             f"RIFF size {riff_size} != file length {len(data)} - 8"
         )
-    pos, fmt_seen, sample_rate, samples = 12, False, None, None
-    while pos + 8 <= len(data):
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """The shared RIFF chunk walker (WAV *and* AVI decode): yields
+    ``(chunk_id, body)`` from ``data[pos:end]``, skipping nothing —
+    callers decide which ids they care about. Unknown chunks are
+    therefore skipped for free, truncation is an error, and odd-sized
+    chunks honor the RIFF pad byte."""
+    while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (csize,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + csize]
-        if len(body) != csize:
+        if len(body) != csize or pos + 8 + csize > end:
             raise MediaFormatError(f"chunk {cid!r} truncated")
+        yield cid, body
+        pos += 8 + csize + (csize & 1)  # RIFF pad byte on odd sizes
+
+
+def decode_wav(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a RIFF/WAVE PCM16-mono file → ``(sample_rate, n_frames,
+    sample_bytes)``. Walks the chunk list generically: unknown chunks
+    are skipped, odd-sized chunks honor the RIFF pad byte."""
+    _riff_header(data, b"WAVE")
+    fmt_seen, sample_rate, samples = False, None, None
+    for cid, body in _riff_chunks(data, 12, len(data)):
+        csize = len(body)
         if cid == b"fmt ":
             if csize < 16:
                 raise MediaFormatError("fmt chunk too small")
@@ -257,12 +278,210 @@ def decode_wav(data: bytes) -> tuple[int, int, bytes]:
             sample_rate, fmt_seen = rate, True
         elif cid == b"data":
             samples = body
-        pos += 8 + csize + (csize & 1)  # RIFF pad byte on odd sizes
     if not fmt_seen:
         raise MediaFormatError("missing fmt chunk")
     if samples is None:
         raise MediaFormatError("missing data chunk")
     return sample_rate, len(samples) // 2, samples
+
+
+# ---- AVI (RIFF motion container; uncompressed DIB frames) ----------------
+#
+# The public AVI RIFF form (Microsoft "AVI RIFF File Reference"):
+# RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+# '00db'*)). Only the uncompressed subset is implemented — one 'vids'
+# stream with the 'DIB ' handler, 8-bpp BI_RGB frames stored exactly
+# like a BMP pixel array (bottom-up rows, DWORD padding) in '00db'
+# ("db" = uncompressed DIB) chunks. Compressed '00dc' chunks, audio
+# streams, multi-stream files, and idx1-dependent ordering are
+# deliberately rejected with clear errors. The chunk walking reuses
+# the same `_riff_chunks` walker as the WAV decoder.
+
+AVI_FPS = 10
+_AVI_MICROS_PER_FRAME = 1_000_000 // AVI_FPS
+_AVI_MAIN_HEADER = struct.Struct("<14I")  # MainAVIHeader, 56 bytes
+_AVI_STREAM_HEADER = struct.Struct("<4s4sIHHIIIIIIIIhhhh")  # 56 bytes
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + list_type + body
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        cid + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def encode_avi(width: int, height: int, frames: list[bytes],
+               fps: int = AVI_FPS) -> bytes:
+    """Serialize ``frames`` (each ``width*height`` logical top-down
+    8-bpp pixel bytes) as a structurally valid uncompressed AVI:
+    hdrl (avih + one vids/DIB strl), movi with one '00db' DIB per
+    frame (bottom-up rows, DWORD padding — the BMP pixel-array
+    convention)."""
+    if not frames:
+        raise MediaFormatError("AVI needs at least one frame")
+    stride = bmp_stride(width)
+    dibs = []
+    for i, pixels in enumerate(frames):
+        if len(pixels) != width * height:
+            raise MediaFormatError(
+                f"frame {i} pixel buffer {len(pixels)} != "
+                f"{width}x{height}"
+            )
+        pad = b"\x00" * (stride - width)
+        dibs.append(
+            b"".join(
+                pixels[r * width : (r + 1) * width] + pad
+                for r in range(height - 1, -1, -1)
+            )
+        )
+    frame_bytes = stride * height
+    avih = _AVI_MAIN_HEADER.pack(
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        frame_bytes * fps,         # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0,                         # dwFlags
+        len(frames),               # dwTotalFrames
+        0,                         # dwInitialFrames
+        1,                         # dwStreams
+        frame_bytes,               # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,                # dwReserved[4]
+    )
+    strh = _AVI_STREAM_HEADER.pack(
+        b"vids", b"DIB ",
+        0, 0, 0, 0,                # flags, priority, language, initial
+        1, fps,                    # dwScale / dwRate = frame rate
+        0, len(frames),            # dwStart, dwLength (frames)
+        frame_bytes, 0xFFFF, 0,    # sugBufSize, quality, sampleSize
+        0, 0, width, height,       # rcFrame
+    )
+    palette = b"".join(
+        struct.pack("<BBBB", i, i, i, 0)
+        for i in range(_BMP_PALETTE_ENTRIES)
+    )
+    strf = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_SIZE, width, height, 1, 8, 0,
+        frame_bytes, 0, 0, _BMP_PALETTE_ENTRIES, 0,
+    ) + palette
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00db", d) for d in dibs)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an uncompressed AVI → ``(width, height,
+    micros_per_frame, [frame_pixels, ...])`` with logical top-down
+    8-bpp pixels per frame. Validates the hdrl contract (one vids/DIB
+    stream, 8-bpp BI_RGB strf matching the avih dims), walks movi
+    with the shared RIFF walker, rejects compressed '00dc' frames,
+    undoes bottom-up ordering + DWORD row padding, and cross-checks
+    the decoded frame count against avih.dwTotalFrames."""
+    _riff_header(data, b"AVI ")
+    width = height = None
+    micros = total_frames = None
+    strh_seen = strf_seen = False
+    frames: list[bytes] = []
+    for cid, body in _riff_chunks(data, 12, len(data)):
+        if cid != b"LIST":
+            continue
+        ltype = body[:4]
+        inner = body[4:]
+        if ltype == b"hdrl":
+            for hid, hbody in _riff_chunks(inner, 0, len(inner)):
+                if hid == b"avih":
+                    if len(hbody) < _AVI_MAIN_HEADER.size:
+                        raise MediaFormatError("avih too small")
+                    vals = _AVI_MAIN_HEADER.unpack_from(hbody, 0)
+                    micros, total_frames = vals[0], vals[4]
+                    if vals[6] != 1:
+                        raise MediaFormatError(
+                            f"only single-stream AVI supported "
+                            f"(got {vals[6]} streams)"
+                        )
+                    width, height = vals[8], vals[9]
+                elif hid == b"LIST" and hbody[:4] == b"strl":
+                    sbody = hbody[4:]
+                    for sid, sc in _riff_chunks(sbody, 0, len(sbody)):
+                        if sid == b"strh":
+                            if len(sc) < _AVI_STREAM_HEADER.size:
+                                raise MediaFormatError("strh too small")
+                            sv = _AVI_STREAM_HEADER.unpack_from(sc, 0)
+                            if sv[0] != b"vids":
+                                raise MediaFormatError(
+                                    f"non-video stream {sv[0]!r}"
+                                )
+                            if sv[1] not in (b"DIB ", b"\x00\x00\x00\x00"):
+                                raise MediaFormatError(
+                                    f"compressed handler {sv[1]!r} "
+                                    "unsupported"
+                                )
+                            strh_seen = True
+                        elif sid == b"strf":
+                            (
+                                bi_size, bw, bh, planes, bpp, comp,
+                                _sz, _x, _y, _cu, _ci,
+                            ) = _BMP_INFO_HEADER.unpack_from(sc, 0)
+                            if bi_size < _BMP_INFO_SIZE:
+                                raise MediaFormatError(
+                                    "unsupported strf header"
+                                )
+                            if planes != 1 or bpp != 8 or comp != 0:
+                                raise MediaFormatError(
+                                    "only uncompressed 8-bpp AVI "
+                                    "frames supported"
+                                )
+                            if width is not None and (
+                                bw != width or bh != height
+                            ):
+                                raise MediaFormatError(
+                                    f"strf dims {bw}x{bh} != avih "
+                                    f"{width}x{height}"
+                                )
+                            strf_seen = True
+        elif ltype == b"movi":
+            for fid, fbody in _riff_chunks(inner, 0, len(inner)):
+                if fid == b"00dc":
+                    raise MediaFormatError(
+                        "compressed '00dc' frames unsupported"
+                    )
+                if fid != b"00db":
+                    continue  # rec lists / padding chunks
+                if width is None:
+                    raise MediaFormatError("movi before hdrl")
+                stride = bmp_stride(width)
+                if len(fbody) != stride * height:
+                    raise MediaFormatError(
+                        f"frame {len(frames)}: DIB size {len(fbody)} "
+                        f"!= stride {stride} × height {height}"
+                    )
+                frames.append(
+                    b"".join(
+                        fbody[r * stride : r * stride + width]
+                        for r in range(height - 1, -1, -1)
+                    )
+                )
+    if width is None or not strh_seen or not strf_seen:
+        raise MediaFormatError("missing hdrl/strh/strf")
+    if total_frames != len(frames):
+        raise MediaFormatError(
+            f"avih declares {total_frames} frames, movi holds "
+            f"{len(frames)}"
+        )
+    return width, height, micros, frames
 
 
 # ---- ICO (multi-image container; embedded BMPs) --------------------------
