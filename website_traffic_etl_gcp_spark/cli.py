@@ -308,7 +308,8 @@ def main(argv: list[str] | None = None) -> int:
             for v in versions:
                 m = st.read_manifest(args.root, v)
                 print(
-                    f"v{v}  mode={m['mode']:9s} files={len(m['files'])} "
+                    f"v{v}  mode={m['mode']:9s} "
+                    f"files={st.manifest_n_files(m)} "
                     f"parent={m['parent']}"
                 )
             return 0

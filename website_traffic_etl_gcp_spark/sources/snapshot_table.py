@@ -25,10 +25,24 @@ log — both public designs) use over immutable files:
   manifests beyond a retention count and deletes data files no
   retained manifest references.
 
-At 100 TB the manifest holds file PATHS (thousands of entries, KBs of
-JSON), never data; commit cost is O(files-in-commit), independent of
-table size, and on an object store the pointer rename maps to the
-same conditional-put primitive the real formats use.
+At 100 TB the manifest holds file PATHS, never data; commit cost is
+O(files-in-commit), independent of table size, and on an object store
+the pointer rename maps to the same conditional-put primitive the
+real formats use.
+
+Manifest scaling (round 10): a table that accumulates 10⁵+ files
+cannot keep its whole file list + zone maps in ONE JSON the driver
+parses per read. Past ``CHUNK_TARGET_FILES`` entries the manifest
+switches to the Iceberg manifest-list shape: the version file holds
+CHUNK DESCRIPTORS (path, n_files, per-column min/max ranges) and the
+file lists + per-file zone maps live in immutable chunk files under
+``_snapshots/chunks/``. Appends carry the parent's descriptors
+VERBATIM (O(new files + n_chunks) commit cost — the parent's chunk
+files are never reread or rewritten), and a pruned read skips whole
+chunks by their range summary before opening any of them, so driver
+cost is O(chunks + files-in-overlapping-chunks), sub-linear in table
+file count for selective predicates. Small tables stay on the inline
+single-JSON format — both formats are readable forever.
 """
 
 from __future__ import annotations
@@ -44,6 +58,11 @@ from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 _LATEST = "_latest"
+_CHUNK_DIR = "chunks"
+
+# past this many file entries a manifest stores chunk descriptors
+# instead of an inline list (overridable for tests via env)
+CHUNK_TARGET_FILES = int(os.environ.get("SPARK_GRAFT_MANIFEST_CHUNK", "512"))
 
 
 class CommitConflict(Exception):
@@ -104,6 +123,102 @@ def read_manifest(root: str, version: int | None = None) -> dict:
             f"version {v} of {root} does not exist (vacuumed or never "
             "committed)"
         ) from e
+
+
+def _read_chunk(root: str, rel: str) -> dict:
+    with open(os.path.join(root, rel)) as f:
+        return json.load(f)
+
+
+def _chunk_ranges(files: list[str], stats: dict) -> dict:
+    """Chunk-level column ranges: for each column where EVERY file in
+    the chunk has a recorded stat, [min of mins, max of maxs]. A
+    column any file lacks is omitted — a range that ignored that file
+    could prune a chunk containing unprunable (must-read) data."""
+    if not files:
+        return {}
+    first = stats.get(files[0])
+    if first is None:
+        return {}
+    ranges = {c: list(v) for c, v in first.items()}
+    for f in files[1:]:
+        s = stats.get(f)
+        if s is None:
+            return {}
+        for c in list(ranges):
+            if c not in s:
+                del ranges[c]
+            else:
+                lo, hi = s[c]
+                if lo < ranges[c][0]:
+                    ranges[c][0] = lo
+                if hi > ranges[c][1]:
+                    ranges[c][1] = hi
+    return ranges
+
+
+def _pack_chunks(root: str, files: list[str], stats: dict) -> list[dict]:
+    """Write ``files`` (+ their zone maps) into immutable chunk files
+    of ≤ CHUNK_TARGET_FILES entries each; return the descriptors the
+    manifest stores. Chunk files are uuid-named and never mutated, so
+    descriptors can be carried across versions verbatim."""
+    chunk_dir = os.path.join(_snap_dir(root), _CHUNK_DIR)
+    os.makedirs(chunk_dir, exist_ok=True)
+    descriptors = []
+    for i in range(0, len(files), CHUNK_TARGET_FILES):
+        group = files[i : i + CHUNK_TARGET_FILES]
+        gstats = {f: stats[f] for f in group if f in stats}
+        rel = os.path.join(
+            _SNAP_DIR, _CHUNK_DIR, f"c-{uuid.uuid4().hex[:16]}.json"
+        )
+        tmp = os.path.join(root, rel + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": group, "stats": gstats}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, rel))
+        descriptors.append(
+            {
+                "path": rel,
+                "n_files": len(group),
+                "ranges": _chunk_ranges(group, gstats),
+            }
+        )
+    return descriptors
+
+
+def manifest_files(root: str, m: dict) -> list[str]:
+    """The full (relative) file list of a manifest, resolving chunk
+    descriptors when present. O(files) — use only where the caller
+    inherently needs every file (full reads, merge, compaction,
+    vacuum); pruned reads go through the chunk descriptors instead."""
+    if "chunks" in m:
+        out: list[str] = []
+        for ch in m["chunks"]:
+            out.extend(_read_chunk(root, ch["path"])["files"])
+        return out
+    return m["files"]
+
+
+def manifest_stats(root: str, m: dict) -> dict:
+    """All per-file zone maps of a manifest (inline or chunked)."""
+    if "chunks" in m:
+        stats: dict = {}
+        for ch in m["chunks"]:
+            stats.update(_read_chunk(root, ch["path"]).get("stats", {}))
+        return stats
+    return m.get("stats", {})
+
+
+def manifest_n_files(m: dict) -> int:
+    """File count without materializing chunked lists."""
+    if "chunks" in m:
+        return sum(ch["n_files"] for ch in m["chunks"])
+    return len(m["files"])
+
+
+def manifest_chunk_paths(m: dict) -> list[str]:
+    return [ch["path"] for ch in m.get("chunks", [])]
 
 
 def _list_parquet(staged_dir: str) -> list[str]:
@@ -180,34 +295,61 @@ def _commit(
     appends) keep the evolution chain intact."""
     os.makedirs(_snap_dir(root), exist_ok=True)
     version = parent + 1
-    rel = [os.path.relpath(f, root) for f in files]
+    new_rel = sorted(os.path.relpath(f, root) for f in files)
     extra = dict(extra or {})
-    parent_stats: dict = {}
-    if parent > 0:
-        parent_m = read_manifest(root, parent)
-        if mode == "append":
-            rel = parent_m["files"] + rel
-        if "schema" not in extra and "schema" in parent_m:
-            extra["schema"] = parent_m["schema"]
-        parent_stats = parent_m.get("stats", {})
+    parent_m = read_manifest(root, parent) if parent > 0 else None
+    if (
+        parent_m is not None
+        and "schema" not in extra
+        and "schema" in parent_m
+    ):
+        extra["schema"] = parent_m["schema"]
     # per-file zone maps (the Delta add-file stats model): carry over
     # the parent's entries for files that survive into this version,
     # footer-scan only the NEW files — O(new files) driver work, the
     # same cost class as writing the manifest itself
-    stats = {f: parent_stats[f] for f in rel if f in parent_stats}
-    for f in rel:
-        if f not in stats:
+    append_to = parent_m if mode == "append" and parent_m else None
+    if append_to is not None and "chunks" in append_to:
+        # chunked parent: carry descriptors VERBATIM, chunk the new
+        # files — O(new files + n_chunks), parent chunks never reread
+        new_stats = {}
+        for f in new_rel:
             s = _file_zone_map(os.path.join(root, f))
             if s:
-                stats[f] = s
-    if stats:
-        extra["stats"] = stats
+                new_stats[f] = s
+        body = {
+            "chunks": append_to["chunks"]
+            + _pack_chunks(root, new_rel, new_stats)
+        }
+    else:
+        if append_to is not None:
+            rel = append_to["files"] + new_rel
+            parent_stats = append_to.get("stats", {})
+        else:
+            rel = new_rel
+            parent_stats = (
+                manifest_stats(root, parent_m) if parent_m else {}
+            )
+        stats = {f: parent_stats[f] for f in rel if f in parent_stats}
+        for f in rel:
+            if f not in stats:
+                s = _file_zone_map(os.path.join(root, f))
+                if s:
+                    stats[f] = s
+        if len(rel) > CHUNK_TARGET_FILES:
+            # crossing the threshold (or a large overwrite/merge):
+            # move the list + zone maps out of the version file
+            body = {"chunks": _pack_chunks(root, sorted(rel), stats)}
+        else:
+            body = {"files": sorted(rel)}
+            if stats:
+                body["stats"] = stats
     manifest = {
         "version": version,
         "parent": parent,
         "mode": mode,
         "committed_at": time.time(),
-        "files": sorted(rel),
+        **body,
         **extra,
     }
     path = _manifest_path(root, version)
@@ -317,7 +459,7 @@ def read_snapshot(
     is resolved NOW; later commits, deletes, or pointer moves do not
     change what this frame reads."""
     m = read_manifest(root, version)
-    paths = [os.path.join(root, f) for f in m["files"]]
+    paths = [os.path.join(root, f) for f in manifest_files(root, m)]
     if not paths:
         raise NoSuchSnapshot(f"version {m['version']} of {root} is empty")
     return _read_aligned(spark, paths, m)
@@ -393,24 +535,57 @@ def read_snapshot_pruned(
     from add-file stats: at 100 TB a point/range query touches the
     handful of files whose min/max admit the predicate instead of
     every file in the table. Files without a recorded stat for
-    ``col`` are always read (unprunable, correct)."""
+    ``col`` are always read (unprunable, correct).
+
+    On a CHUNKED manifest the descriptors' range summaries are
+    checked first and non-overlapping chunks are never opened, so the
+    driver does O(chunks + files-in-overlapping-chunks) work — the
+    ``chunks_read``/``chunks_pruned`` info keys report it."""
+
+    def _overlaps(rng) -> bool:
+        if rng is None:
+            return True  # no stat → unprunable → must read
+        rmin, rmax = rng
+        if lo is not None and rmax < lo:
+            return False
+        if hi is not None and rmin > hi:
+            return False
+        return True
+
     m = read_manifest(root, version)
-    stats = m.get("stats", {})
     keep: list[str] = []
-    for f in m["files"]:
-        s = stats.get(f, {}).get(col)
-        if s is not None:
-            fmin, fmax = s
-            if lo is not None and fmax < lo:
+    if "chunks" in m:
+        files_total = manifest_n_files(m)
+        chunks_read = 0
+        for ch in m["chunks"]:
+            if not _overlaps((ch.get("ranges") or {}).get(col)):
                 continue
-            if hi is not None and fmin > hi:
-                continue
-        keep.append(f)
-    info = {
-        "files_total": len(m["files"]),
-        "files_read": len(keep),
-        "files_pruned": len(m["files"]) - len(keep),
-    }
+            chunks_read += 1
+            cd = _read_chunk(root, ch["path"])
+            cstats = cd.get("stats", {})
+            keep.extend(
+                f for f in cd["files"]
+                if _overlaps(cstats.get(f, {}).get(col))
+            )
+        info = {
+            "files_total": files_total,
+            "files_read": len(keep),
+            "files_pruned": files_total - len(keep),
+            "chunks_total": len(m["chunks"]),
+            "chunks_read": chunks_read,
+            "chunks_pruned": len(m["chunks"]) - chunks_read,
+        }
+    else:
+        stats = m.get("stats", {})
+        keep = [
+            f for f in m["files"]
+            if _overlaps(stats.get(f, {}).get(col))
+        ]
+        info = {
+            "files_total": len(m["files"]),
+            "files_read": len(keep),
+            "files_pruned": len(m["files"]) - len(keep),
+        }
     if not keep:
         # nothing overlaps: a correctly-typed empty frame
         df = read_snapshot(spark, root, m["version"]).limit(0)
@@ -476,7 +651,7 @@ def merge_snapshot(
     for _ in range(max_retries):
         parent = current_version(root)
         m = read_manifest(root, parent)
-        all_rel = m["files"]
+        all_rel = manifest_files(root, m)
         tgt = spark.read.parquet(
             *[os.path.join(root, f) for f in all_rel]
         )
@@ -583,17 +758,21 @@ def read_increment(
     new-files-only, and silently returning additions would drop
     retractions."""
     to_v = current_version(root) if to_version is None else to_version
-    base = set(read_manifest(root, from_version)["files"]) \
-        if from_version > 0 else set()
+    base = (
+        set(manifest_files(root, read_manifest(root, from_version)))
+        if from_version > 0
+        else set()
+    )
     new_m = read_manifest(root, to_v)
-    missing = base - set(new_m["files"])
+    new_files = manifest_files(root, new_m)
+    missing = base - set(new_files)
     if missing:
         raise ValueError(
             f"versions {from_version}→{to_v} of {root} removed "
             f"{len(missing)} file(s) (a non-append commit) — the "
             "increment is not expressible as new files only"
         )
-    added = [f for f in new_m["files"] if f not in base]
+    added = [f for f in new_files if f not in base]
     if not added:  # same-schema empty frame, not None/raise
         return read_snapshot(spark, root, to_v).limit(0)
     # align to to_version's declared schema: increments spanning an
@@ -626,7 +805,9 @@ def compact_snapshot(
     for _ in range(max_retries):
         parent = current_version(root)
         m = read_manifest(root, parent)
-        paths = [os.path.join(root, f) for f in m["files"]]
+        paths = [
+            os.path.join(root, f) for f in manifest_files(root, m)
+        ]
         bytes_total = sum(
             os.path.getsize(p) for p in paths if os.path.exists(p)
         )
@@ -683,13 +864,27 @@ def vacuum(
     drop = versions[:-keep_last] if keep_last else versions
     keep = versions[len(drop):]
     referenced: set[str] = set()
+    referenced_chunks: set[str] = set()
     for v in keep:
-        referenced.update(read_manifest(root, v)["files"])
+        m = read_manifest(root, v)
+        referenced.update(manifest_files(root, m))
+        referenced_chunks.update(manifest_chunk_paths(m))
     dropped_referenced: set[str] = set()
+    dropped_chunks: set[str] = set()
     for v in drop:
-        dropped_referenced.update(read_manifest(root, v)["files"])
+        m = read_manifest(root, v)
+        dropped_referenced.update(manifest_files(root, m))
+        dropped_chunks.update(manifest_chunk_paths(m))
     for v in drop:
         os.remove(_manifest_path(root, v))
+    # chunk files shared with a retained manifest survive (appends
+    # carry descriptors verbatim across versions); the rest of the
+    # dropped manifests' chunks are unreachable history
+    for rel in dropped_chunks - referenced_chunks:
+        try:
+            os.remove(os.path.join(root, rel))
+        except FileNotFoundError:
+            pass
     removed_files = skipped_in_flight = 0
     now = time.time()
     data_root = os.path.join(root, "data")
