@@ -24,19 +24,20 @@ import duckdb
 from website_traffic_etl_gcp_spark import plans
 from website_traffic_etl_gcp_spark.session import get_spark
 
-# Queries whose oracle SQL stays tractable in DuckDB at sf1 (the
-# pair-generating dedup oracles and the recursive closure are
-# intentionally excluded — their SQL twins are quadratic-ish shapes
-# DuckDB runs at test SFs only).
-# Round 9: the sweep is now ALL registry queries minus an explicit
-# exclusion list with per-query rationale (SURVEY §5 mirrors it).
-# Every exclusion is an oracle-SQL tractability limit in DuckDB at
-# 6M-row scale, never an engine limit — the Spark side of each
-# excluded query runs fine at sf1 (bench.py covers several).
-SF1_EXCLUDED = {
+# Round 10: ZERO exclusions. Queries whose ORACLE SQL is a
+# quadratic-ish pairwise/recursive-closure shape DuckDB cannot run
+# over 50k documents (never an engine limit — the Spark side is
+# df-capped/logarithmic and runs at sf1 in bench.py) are swept
+# against a DETERMINISTIC MOD-K SAMPLE of the sf1 documents table
+# instead: the FRAME shrinks, the query and its oracle stay
+# byte-identical, so both engines still must agree exactly at a
+# 10×-test-SF document count. This is the part_name_fuzzy_pairs
+# precedent (its oracle samples part names mod-k inside the query);
+# here the sampling lives in the sweep harness so the query text
+# stays unchanged.
+SF1_SAMPLED = {
     # exact-Jaccard / pairwise-similarity truth SQL: the oracle
-    # generates candidate PAIRS (quadratic-ish shapes kept to test
-    # SFs by design; the engine side is df-capped and linear)
+    # generates candidate PAIRS
     "dedup_ngram_jaccard": "pairwise exact-Jaccard oracle",
     "dedup_jaccard_dfcap": "pairwise exact-Jaccard oracle",
     "dedup_containment_pairs": "pairwise containment oracle",
@@ -55,7 +56,10 @@ SF1_EXCLUDED = {
     "dedup_incremental_clusters": "recursive closure over pairwise edges",
 }
 
-SF1_QUERIES = [n for n in plans.REGISTRY if n not in SF1_EXCLUDED]
+SAMPLE_MOD = 10  # keep doc_id % 10 == 0 → 5k of the 50k sf1 documents
+
+SF1_QUERIES = [n for n in plans.REGISTRY if n not in SF1_SAMPLED]
+SAMPLED_QUERIES = [n for n in plans.REGISTRY if n in SF1_SAMPLED]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -67,6 +71,50 @@ def frame_hash(df):
     df = df[sorted(df.columns)].round(6)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return hashlib.md5(df.to_csv(index=False).encode()).hexdigest(), len(df)
+
+
+def _table_pattern(sf_dir: str, t: str) -> str:
+    p = os.path.join(sf_dir, f"{t}.parquet")
+    return os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+
+
+def build_sample_dir(sf_dir: str, con) -> str:
+    """A derived frame next to ``sf_dir``: documents filtered to
+    ``doc_id % SAMPLE_MOD == 0`` (deterministic — both engines see the
+    identical subset), every other table symlinked unchanged."""
+    sample_dir = sf_dir.rstrip("/") + f"_docmod{SAMPLE_MOD}"
+    marker = os.path.join(sample_dir, ".complete")
+    if os.path.exists(marker):
+        return sample_dir
+    os.makedirs(sample_dir, exist_ok=True)
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet("
+        f"'{_table_pattern(sf_dir, 'documents')}') "
+        f"WHERE doc_id % {SAMPLE_MOD} = 0 ORDER BY doc_id) TO "
+        f"'{os.path.join(sample_dir, 'documents.parquet')}' "
+        f"(FORMAT PARQUET)"
+    )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        dst = os.path.join(sample_dir, f"{t}.parquet")
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(dst) and os.path.exists(src):
+            os.symlink(os.path.abspath(src), dst)
+    open(marker, "w").write("ok")
+    return sample_dir
+
+
+def run_one(spark, con, spec, sf_dir):
+    t0 = time.perf_counter()
+    sh, sn = frame_hash(spec.builder(spark, sf_dir).toPandas())
+    oh, on = frame_hash(con.execute(spec.oracle).df())
+    return {
+        "rows": sn,
+        "oracle_rows": on,
+        "hash_match": sh == oh and sn == on,
+        "sec": round(time.perf_counter() - t0, 1),
+    }
 
 
 def main() -> int:
@@ -92,33 +140,61 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     failed = 0
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name in SF1_QUERIES:
-        spec = plans.REGISTRY[name]
-        t0 = time.perf_counter()
+        if only and name not in only:
+            continue
         try:
-            sh, sn = frame_hash(spec.builder(spark, sf_dir).toPandas())
-            oh, on = frame_hash(con.execute(spec.oracle).df())
-            ok = sh == oh and sn == on
-            results[name] = {
-                "rows": sn,
-                "oracle_rows": on,
-                "hash_match": ok,
-                "sec": round(time.perf_counter() - t0, 1),
-            }
+            results[name] = run_one(spark, con, plans.REGISTRY[name], sf_dir)
+            ok = results[name]["hash_match"]
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             ok = False
             results[name] = {"error": str(e)[:300]}
         if not ok:
             failed += 1
-        print(f"{name}: {'OK' if ok else 'FAIL'} {results[name]}")
+        print(f"{name}: {'OK' if ok else 'FAIL'} {results[name]}", flush=True)
 
+    # pairwise/closure families: identical query + oracle over the
+    # deterministic documents mod-sample (frame change, not query
+    # change — see SF1_SAMPLED note)
+    sample_dir = build_sample_dir(sf_dir, con)
+    con2 = duckdb.connect()
+    for t in TABLES:
+        con2.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_table_pattern(sample_dir, t)}')"
+        )
+    for name in SAMPLED_QUERIES:
+        if only and name not in only:
+            continue
+        try:
+            results[name] = run_one(
+                spark, con2, plans.REGISTRY[name], sample_dir
+            )
+            results[name]["frame"] = (
+                f"sf1 documents doc_id%{SAMPLE_MOD}==0 "
+                f"({SF1_SAMPLED[name]})"
+            )
+            ok = results[name]["hash_match"]
+        except Exception as e:  # noqa: BLE001
+            ok = False
+            results[name] = {"error": str(e)[:300]}
+        if not ok:
+            failed += 1
+        print(f"{name}: {'OK' if ok else 'FAIL'} {results[name]}", flush=True)
+
+    n_total = len(results)
     with open(out_path, "w") as f:
         json.dump(
-            {"sf_dir": sf_dir, "n_queries": len(SF1_QUERIES),
+            {"sf_dir": sf_dir, "n_queries": n_total,
+             "n_sampled_frame": len(
+                 [n for n in results if n in SF1_SAMPLED]
+             ),
+             "sample_mod": SAMPLE_MOD,
              "n_failed": failed, "results": results},
             f, indent=1, sort_keys=True,
         )
-    print(f"{len(SF1_QUERIES) - failed}/{len(SF1_QUERIES)} matched -> {out_path}")
+    print(f"{n_total - failed}/{n_total} matched -> {out_path}")
     return 1 if failed else 0
 
 
