@@ -77,13 +77,13 @@ CHANGED_R10 = (
     "snapshot_zonemap_prune",  # pruned read gained the chunk-skipping tier
     "snapshot_zorder_prune",  # pruned read gained the chunk-skipping tier
     "streaming_cdc_merge_orders",  # merge_snapshot path reworked
+    "streaming_video_frames",  # NEW r10: streaming AVI ingest, real frame decode
 )
 
-# the start of the r7-green rotation (both live in the dedup module
-# this round's banded-hamming refactor touched)
+# the start of the r7-green rotation (lives in the dedup module this
+# round's banded-hamming refactor touched)
 ROTATED_R7 = (
     "dedup_containment_pairs",
-    "dedup_keep_list",
 )
 
 # every registry §2 section keeps a representative inside the window
@@ -103,6 +103,7 @@ SECTION_REPRESENTATIVES = (
 # after round 10 lands, no registry query's evidence is older than r7,
 # and consuming this list at r11 keeps every row within 4 rounds)
 MUST_LEAD_R11 = (
+    "dedup_keep_list",  # displaced from the r10 window by streaming_video_frames
     "cms_heavy_hitters",
     "daily_volume_anomaly",
     "dq_events_expectations",

@@ -86,9 +86,9 @@ _PRIORITY_ORDER = (
     "snapshot_zonemap_prune",  # pruned read gained the chunk-skipping tier
     "snapshot_zorder_prune",  # pruned read gained the chunk-skipping tier
     "streaming_cdc_merge_orders",  # merge_snapshot path reworked
+    "streaming_video_frames",  # NEW r10: streaming AVI ingest, real frame decode
     # ---- (c) r7-green rotation (oldest remaining evidence) ----
     "dedup_containment_pairs",  # oldest-r7 rotation; lives in the edited dedup.py
-    "dedup_keep_list",  # oldest-r7 rotation; lives in the edited dedup.py
 )
 
 

@@ -505,3 +505,40 @@ def streaming_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.media_ingest import run_streaming_wav_chunks
 
     return run_streaming_wav_chunks(spark, sf_dir)
+
+
+@register(
+    "streaming_video_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+                AS BIGINT) AS frame_idx,
+           md5(text || '@' ||
+               CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+                    AS VARCHAR)) AS frame_checksum,
+           CAST(96 AS INT) AS width,
+           CAST(CEIL((octet_length(encode(text)) + 6) / 96.0) AS INT)
+               AS height,
+           CAST(1 + octet_length(encode(text)) % 4 AS BIGINT) AS n_frames,
+           CAST(100000 AS BIGINT) AS micros_per_frame
+    FROM documents
+    """,
+    tags=("streaming", "multimodal"),
+    doc="Streaming MOTION-CONTAINER ingest (round 10, §2F×§2G): real "
+    "uncompressed RIFF/AVI files (vendored writer) land as binary "
+    "columns in a drop dir; the file stream drains them and each "
+    "micro-batch walks the RIFF lists, validates the vids/DIB stream "
+    "contract, and decodes EVERY frame's DIB (bottom-up padded-row "
+    "undo, frame count cross-checked against avih) inside a generator "
+    "mapInPandas — the 1..4-row fan-out per container happens "
+    "executor-side, with exactly-once batch_id-keyed writes. Decode "
+    "is a pure map: O(batch bytes), zero corpus state, zero shuffle, "
+    "so ingest scales with arrival rate alone. Oracle recomputes "
+    "every frame checksum and the decoded header constants from the "
+    "source documents (streaming/media_ingest.py:"
+    "run_streaming_video_frames).",
+)
+def streaming_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.media_ingest import run_streaming_video_frames
+
+    return run_streaming_video_frames(spark, sf_dir)

@@ -28,16 +28,16 @@ from ..catalog import load_table
 from ..operators import multimodal as mm
 from .doc_ingest import _reap_at_exit, _write_batch
 
-__all__ = ["run_streaming_wav_chunks"]
+__all__ = ["run_streaming_wav_chunks", "run_streaming_video_frames"]
 
 
-def _scratch(sf_dir: str) -> str:
+def _scratch(sf_dir: str, kind: str = "stream_wav") -> str:
     return os.path.join(
         os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ),
         ".scratch",
-        "stream_wav",
+        kind,
         os.path.basename(sf_dir.rstrip("/")),
         uuid.uuid4().hex[:12],
     )
@@ -60,6 +60,43 @@ def run_streaming_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batch_df: DataFrame, batch_id: int) -> None:
         _write_batch(mm.chunk_wav(batch_df), out_path, batch_id)
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(decode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _reap_at_exit(root)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_path)
+
+
+def run_streaming_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The motion-container twin of :func:`run_streaming_wav_chunks`:
+    real uncompressed AVI payloads land continuously, each micro-batch
+    walks the RIFF lists and decodes every DIB frame
+    (operators/multimodal.py:sample_video_frames), and frame rows land
+    under the same batch_id-keyed exactly-once contract. Per batch the
+    work is O(batch bytes); fan-out (1..4 frame rows per container) is
+    generator-side inside mapInPandas, never driver-side."""
+    root = _scratch(sf_dir, kind="stream_avi")
+    landing = os.path.join(root, "landing")
+    out_path = os.path.join(root, "frames")
+    ckpt = os.path.join(root, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm.encode_avi_corpus(docs).write.mode("overwrite").parquet(landing)
+
+    def decode(batch_df: DataFrame, batch_id: int) -> None:
+        _write_batch(mm.sample_video_frames(batch_df), out_path, batch_id)
 
     schema = spark.read.parquet(landing).schema
     stream = (
