@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 
 from ..sources import media_minimal as media
 
+
 def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach a binary payload column (utf-8 bytes of the text column —
     the documents table stands in for a media corpus here)."""
@@ -285,7 +286,8 @@ _PAYLOAD_SCHEMA = StructType(
 
 def _bmp_dims(content: bytes) -> tuple[int, int]:
     """Container dimensions for a document's BMP encoding: width from
-    the content md5 (same spread as the fake-decode tier), height the
+    the content md5 (a deterministic spread the SQL oracle can
+    reproduce), height the
     minimal row count that fits the length-prefixed content — both
     reproducible in SQL, so the oracle can pin what the decoder must
     recover from the real header."""
@@ -354,7 +356,7 @@ def extract_bmp_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def resize_dims_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resize planning over REAL decoded dimensions: parse each BMP
     header, aspect-fit the decoded (w, h) into the 224px box. Same
-    integer arithmetic as the fake tier, but the inputs come out of a
+    integer arithmetic as aspect_fit documents, with inputs from a
     genuine container parse."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
