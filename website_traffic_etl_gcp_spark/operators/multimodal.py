@@ -128,9 +128,14 @@ PHASH_SCHEMA = StructType(
 )
 
 REENCODE_MOD = 20
-REENCODE_OFFSET = 10_000_000
 PERTURB_MOD = 13
-PERTURB_OFFSET = 20_000_000
+# item re-keying: item_id = doc_id * ITEM_STRIDE + tier — collision-
+# proof for ANY doc_id distribution (an additive offset collides the
+# moment doc ids span past it; the derived sf1 corpus reaches 9e7)
+ITEM_STRIDE = 4
+TIER_ORIGINAL = 0
+TIER_REENCODE = 1
+TIER_PERTURB = 2
 
 # 64-bit difference hash over 64 linear pixel cells, banded 4×16 for
 # LSH candidate generation (the SimHash soundness rule: hamming ≤ 3
@@ -206,13 +211,14 @@ def encode_mixed_media(df: DataFrame, id_col: str = "doc_id",
                 content = text.encode("utf-8")
                 w, h = _bmp_dims(content)
                 pixels = media.embed_content(content, w * h)
-                ids.append(doc_id)
+                base = doc_id * ITEM_STRIDE
+                ids.append(base + TIER_ORIGINAL)
                 payloads.append(media.encode_bmp(w, h, pixels))
                 if doc_id % REENCODE_MOD == 0:
-                    ids.append(doc_id + REENCODE_OFFSET)
+                    ids.append(base + TIER_REENCODE)
                     payloads.append(media.encode_png(w, h, pixels))
                 if doc_id % PERTURB_MOD == 0:
-                    ids.append(doc_id + PERTURB_OFFSET)
+                    ids.append(base + TIER_PERTURB)
                     payloads.append(
                         media.encode_bmp(w, h, perturb_pixels(pixels))
                     )

@@ -182,15 +182,15 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
     )
-    SELECT doc_id AS canonical_id,
-           doc_id + {mm.REENCODE_OFFSET} AS dup_id,
+    SELECT doc_id * {mm.ITEM_STRIDE} AS canonical_id,
+           doc_id * {mm.ITEM_STRIDE} + {mm.TIER_REENCODE} AS dup_id,
            'reencode' AS kind,
            TRUE AS caught,
            FALSE AS pixels_differ
     FROM documents WHERE doc_id % {mm.REENCODE_MOD} = 0
     UNION ALL
-    SELECT doc_id,
-           doc_id + {mm.PERTURB_OFFSET},
+    SELECT doc_id * {mm.ITEM_STRIDE},
+           doc_id * {mm.ITEM_STRIDE} + {mm.TIER_PERTURB},
            'perturbed',
            TRUE,
            ({mm.PERTURB_CELL + 1} * n) // 64 > ({mm.PERTURB_CELL} * n) // 64
@@ -231,17 +231,18 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_width=mm.PHASH_BAND_WIDTH,
         max_hamming=mm.PHASH_MAX_HAMMING,
     )
+    base = F.col("doc_id") * mm.ITEM_STRIDE
     planted = (
         docs.filter(F.col("doc_id") % mm.REENCODE_MOD == 0)
         .select(
-            F.col("doc_id").alias("canonical_id"),
-            (F.col("doc_id") + mm.REENCODE_OFFSET).alias("dup_id"),
+            base.alias("canonical_id"),
+            (base + mm.TIER_REENCODE).alias("dup_id"),
             F.lit("reencode").alias("kind"),
         )
         .unionByName(
             docs.filter(F.col("doc_id") % mm.PERTURB_MOD == 0).select(
-                F.col("doc_id").alias("canonical_id"),
-                (F.col("doc_id") + mm.PERTURB_OFFSET).alias("dup_id"),
+                base.alias("canonical_id"),
+                (base + mm.TIER_PERTURB).alias("dup_id"),
                 F.lit("perturbed").alias("kind"),
             )
         )
