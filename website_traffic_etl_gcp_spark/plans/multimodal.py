@@ -298,6 +298,7 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal",),
+    bench=True,
     doc="REAL motion-container decode (round 10 — closes the last "
     "§2F cell, replacing the deleted decode_image stub): each "
     "document is packed as a structurally valid uncompressed "
