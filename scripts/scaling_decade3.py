@@ -37,6 +37,13 @@ def _run(spark, names, sf_dir, repeats=2):
             ).save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # queries persist() intermediates and never unpersist (the
+            # frame dies with the query in production); across 4 passes
+            # × the whole suite at sf10 those cached partitions starve
+            # the unified pool until a broadcast build OOMs. Each run
+            # re-persists what it needs, so clearing between runs
+            # changes no measurement — on-disk index scratch survives.
+            spark.catalog.clearCache()
         out[name] = round(best, 3)
         print(f"{sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]}s", flush=True)
     return out
