@@ -63,6 +63,21 @@ def get_spark(app_name: str = "website-traffic-etl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing can only SHRINK from the initial reducer
+        # count, never widen it: with the static 32 alone, a 10×-data
+        # stage keeps 32 oversized partitions and spills (measured as
+        # the superlinear tail of the sf1→sf10 decade). Fan the initial
+        # count out 8× and let AQE coalesce small stages back down —
+        # small-SF plans end at the same width, big-SF stages get the
+        # parallelism the data actually needs. On a real cluster this
+        # is the same doctrine with thousands of initial partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                str(int(shuffle_parts) * 8),
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata's events.ts is parquet TIMESTAMP(NANOS); read as int64
