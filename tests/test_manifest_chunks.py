@@ -137,6 +137,37 @@ def test_chunked_schema_evolution(spark, tmp_path, small_chunks):
         )
 
 
+def test_repack_collapses_per_commit_chunks(spark, tmp_path, small_chunks):
+    """Per-micro-batch appends on a chunked table add one tiny chunk
+    descriptor per commit; repack_manifests rewrites them into full
+    chunks (metadata only — the data files must be byte-identical and
+    the content unchanged), and incremental readers still work across
+    the repack because no file was removed."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 12, parts=3), root)  # 3 files → 2 chunks
+    for lo in range(12, 20, 2):  # four 1-file appends
+        st.write_snapshot(
+            _df(spark, lo, lo + 2, parts=1), root, mode="append"
+        )
+    m = st.read_manifest(root)
+    assert len(m["chunks"]) == 6  # 2 + 4 × 1
+    files_before = sorted(st.manifest_files(root, m))
+    out = st.repack_manifests(root)
+    assert out["chunks_before"] == 6
+    assert out["chunks_after"] == 4  # ceil(7 files / 2 per chunk)
+    m2 = st.read_manifest(root)
+    assert sorted(st.manifest_files(root, m2)) == files_before
+    assert sorted(
+        r["k"] for r in st.read_snapshot(spark, root).collect()
+    ) == list(range(20))
+    # zone maps survived the repack (no footer rescans needed to prune)
+    _, info = st.read_snapshot_pruned(spark, root, "k", 0, 3)
+    assert info["files_read"] < info["files_total"]
+    # repack removes no files → increments spanning it still resolve
+    inc = st.read_increment(spark, root, from_version=1)
+    assert sorted(r["k"] for r in inc.collect()) == list(range(12, 20))
+
+
 def test_pruned_read_is_sublinear_at_ten_thousand_files(
     spark, tmp_path, monkeypatch
 ):

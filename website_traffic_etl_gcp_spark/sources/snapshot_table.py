@@ -831,6 +831,38 @@ def compact_snapshot(
     )
 
 
+def repack_manifests(root: str, max_retries: int = 5) -> dict:
+    """Metadata-only manifest compaction (Iceberg's rewrite-manifests):
+    a table fed by per-micro-batch appends accumulates one small chunk
+    descriptor per commit — after 10⁴ batches the version file itself
+    is O(commits). Repack reads the current file list + zone maps,
+    rewrites them as optimally-packed chunk files (or back inline under
+    the threshold), and commits a new version naming the SAME data
+    files: zero data movement, O(files) metadata work, and every chunk
+    descriptor afterwards covers CHUNK_TARGET_FILES entries. Readers of
+    old versions are untouched; vacuum reaps the superseded chunk
+    files once their manifests age out."""
+    for _ in range(max_retries):
+        parent = current_version(root)
+        m = read_manifest(root, parent)
+        files = [os.path.join(root, f) for f in manifest_files(root, m)]
+        n_before = len(m.get("chunks", []))
+        try:
+            version = _commit(root, files, "repack-manifest", parent)
+        except CommitConflict:
+            continue
+        new_m = read_manifest(root, version)
+        return {
+            "version": version,
+            "n_files": manifest_n_files(new_m),
+            "chunks_before": n_before,
+            "chunks_after": len(new_m.get("chunks", [])),
+        }
+    raise CommitConflict(
+        f"could not repack manifests of {root} after {max_retries} attempts"
+    )
+
+
 def snapshot_versions(root: str) -> list[int]:
     try:
         names = os.listdir(_snap_dir(root))
