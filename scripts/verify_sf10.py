@@ -1,0 +1,118 @@
+"""Spot-verify registry queries against their DuckDB oracles at sf10.
+
+The pytest gate pins sf0.001 + sf0.01, the sf1 sweep covers all 179
+queries; this pushes an INCLUSION list of queries whose oracle SQL is
+linear-ish (aggregates, rollups, joins — no pairwise shapes) to the
+top of the measured range: sf10 = 60M-row lineitem / 10M events /
+500k docs / 200k vectors, 100× the test SF. Proof that correctness
+holds at the largest locally-derived scale, not just where the tests
+run. Writes CORRECTNESS_SF10.json.
+
+Usage: python scripts/verify_sf10.py [sf_dir] [out_json] [only,csv]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from website_traffic_etl_gcp_spark import plans
+from website_traffic_etl_gcp_spark.session import get_spark
+from verify_sf1 import TABLES, _table_pattern, frame_hash, run_one  # noqa: E402
+
+# Linear-oracle queries spanning every §2 section. Chosen for DuckDB
+# tractability at 60M rows (aggregate / join / window shapes); the
+# pairwise and closure families have their sampled-frame sf1 rows.
+SF10_QUERIES = [
+    # §2A ETL
+    "etl_traffic_transform",
+    "etl_traffic_hourly",
+    "incremental_hourly_rollup",
+    # §2B relational (TPC-H shapes over 60M lineitem)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_nation_profit",
+    "q18_large_volume_customers",
+    "top_customers_by_revenue",
+    # §2C events (10M rows)
+    "daily_active_users",
+    "sessionize_events",
+    "error_rate_hourly",
+    "rolling_7d_event_volume",
+    # §2D documents (500k docs)
+    "dedup_exact",
+    "doc_stats_by_source",
+    "text_token_count",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "top_bigrams",
+    "dsir_importance_weights",
+    "doc_lm_perplexity",
+    # §2E embeddings (200k vectors)
+    "centroid_by_label",
+    "embedding_quantize_int8",
+    "ivf_cell_occupancy",
+    # §2E2 advanced
+    "value_percentiles_approx",
+    "salted_event_value_sum",
+    "revenue_rollup_nation_year",
+    # §2F/§2G/§2H
+    "multimodal_metadata",
+    "multimodal_video_frames",
+    "streaming_hourly_counts",
+    "snapshot_zonemap_prune",
+]
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        repo, ".bigdata", "sf10"
+    )
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        repo, "CORRECTNESS_SF10.json"
+    )
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    spark = get_spark("verify-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_table_pattern(sf_dir, t)}')"
+        )
+    results: dict[str, dict] = {}
+    failed = 0
+    for name in SF10_QUERIES:
+        if only and name not in only:
+            continue
+        try:
+            results[name] = run_one(spark, con, plans.REGISTRY[name], sf_dir)
+            ok = results[name]["hash_match"]
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            ok = False
+            results[name] = {"error": str(e)[:300]}
+        if not ok:
+            failed += 1
+        print(f"{name}: {'OK' if ok else 'FAIL'} {results[name]}", flush=True)
+    n = len(results)
+    with open(out_path, "w") as f:
+        json.dump(
+            {"sf_dir": sf_dir, "n_queries": n, "n_failed": failed,
+             "results": results},
+            f, indent=1, sort_keys=True,
+        )
+    print(f"{n - failed}/{n} matched -> {out_path}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -182,6 +182,10 @@ def test_snapshot_cli_lifecycle(tmp_path, spark):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "v3" in proc.stdout
 
+    proc = _cli("snapshot", "repack", root)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "v4" in proc.stdout and "metadata only" in proc.stdout
+
     proc = _cli("snapshot", "vacuum", root, "--keep-last", "1")
     assert proc.returncode == 0, proc.stderr[-2000:]
     got = {

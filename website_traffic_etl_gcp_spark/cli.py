@@ -103,10 +103,13 @@ def main(argv: list[str] | None = None) -> int:
     sn_p = sub.add_parser(
         "snapshot",
         help="Snapshot-table maintenance: history, compact, vacuum, "
-        "merge (sources/snapshot_table.py)",
+        "merge, repack (sources/snapshot_table.py)",
     )
     sn_p.add_argument(
-        "action", choices=("history", "compact", "vacuum", "merge", "read")
+        "action",
+        choices=(
+            "history", "compact", "vacuum", "merge", "read", "repack"
+        ),
     )
     sn_p.add_argument("root", help="Snapshot table root directory")
     sn_p.add_argument(
@@ -319,6 +322,14 @@ def main(argv: list[str] | None = None) -> int:
                 f"dropped versions {out['dropped_versions']}, kept "
                 f"{out['kept_versions']}, removed {out['removed_files']} "
                 "files"
+            )
+            return 0
+        if args.action == "repack":
+            out = st.repack_manifests(args.root)
+            print(
+                f"v{out['version']}: {out['n_files']} files, chunk "
+                f"descriptors {out['chunks_before']} -> "
+                f"{out['chunks_after']} (metadata only)"
             )
             return 0
         spark = get_spark(f"snapshot-{args.action}")
