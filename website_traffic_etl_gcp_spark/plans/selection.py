@@ -826,36 +826,56 @@ def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Per-(w1,w2) log-probs are integer micro-nats, per-doc sums are "
     "exact int64 weighted by the doc's bigram counts, one final "
     "int->double division (+ a 6dp-rounded exp for the familiar ppl "
-    "number). Scale shape: the LM table is O(distinct corpus "
-    "bigrams); docs join it on the bigram key carrying DISTINCT "
-    "per-doc bigrams with counts, never token instances — two "
-    "groupBys and one keyed join, corpus-linear. Docs with <2 tokens "
-    "have no bigrams and are absent by construction.",
+    "number). Scale shape (r11 rework of the sf10 superlinear flag): "
+    "bigrams are built IN-ROW with zip_with over the token array — "
+    "token instances never shuffle (the old plan's window-lead "
+    "shuffled every token with its string payload) — and every "
+    "shuffle key is a 64-bit hash: bid = xxhash64(w1, w2), "
+    "w1id = xxhash64(w1). Map-side combine reduces instance volume "
+    "to distinct per-doc bigrams BEFORE the wire, so the two "
+    "doc-sized shuffles (the per-doc count and the LM join) carry "
+    "~24-byte int rows, never strings; the LM table itself is "
+    "O(distinct corpus bigrams) on int keys. Vocabulary is counted "
+    "over in-row-distinct hashed tokens (no second string explode). "
+    "Docs with <2 tokens have no bigrams and are absent by "
+    "construction.",
 )
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    tok = d.select(
+    toks = d.select("doc_id", word_tokens("text").alias("t"))
+    # in-row bigram ids: no window, no token-instance shuffle
+    big = toks.filter(F.size("t") >= 2).select(
         "doc_id",
-        F.posexplode(F.split(normalize_text("text"), " ")).alias(
-            "pos", "token"
-        ),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(
+                    F.xxhash64(a).alias("w1id"),
+                    F.xxhash64(a, b).alias("bid"),
+                ),
+            )
+        ).alias("bg"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    dbi = (
-        tok.withColumn("w2", F.lead("token", 1).over(w))
-        .filter(F.col("w2").isNotNull())
-        .groupBy("doc_id", F.col("token").alias("w1"), "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
+    dbi = big.groupBy(
+        "doc_id",
+        F.col("bg.w1id").alias("w1id"),
+        F.col("bg.bid").alias("bid"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bi = dbi.groupBy("bid").agg(
+        F.sum("n").alias("c12"), F.max("w1id").alias("w1id")
     )
-    bi = dbi.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
-    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    voc = tok.agg(F.countDistinct("token").alias("v"))
+    uni = bi.groupBy("w1id").agg(F.sum("c12").alias("c1"))
+    voc = toks.select(
+        F.explode(
+            F.array_distinct(F.transform("t", lambda x: F.xxhash64(x)))
+        ).alias("tid")
+    ).agg(F.countDistinct("tid").alias("v"))
     lp = (
-        bi.join(uni, "w1")
+        bi.join(uni, "w1id")
         .crossJoin(F.broadcast(voc))
         .select(
-            "w1",
-            "w2",
+            "bid",
             (
                 _micro_nats(F.col("c12") + 1)
                 - _micro_nats(F.col("c1") + F.col("v"))
@@ -863,7 +883,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = (
-        dbi.join(lp, ["w1", "w2"])
+        dbi.join(lp, "bid")
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("bigint").alias("n_bigrams"),
