@@ -30,10 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from website_traffic_etl_gcp_spark.plans.embeddings import (
+    HOT_CELL_FACTOR,
     SEM_PLANES,
     SEMDEDUP_CELL_CAP,
     _emb,
     semantic_cell_frame,
+    skew_refine_cells,
 )
 from website_traffic_etl_gcp_spark.session import get_spark
 
@@ -66,19 +68,24 @@ def main() -> int:
         SEM_PLANES,
     )
     expected_cell = n / (nl * (1 << p))
-    occ = (
-        semantic_cell_frame(emb)
-        .groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.max("c").alias("max_occ"),
-            F.expr("percentile_approx(c, 0.99)").alias("p99_occ"),
-            F.avg("c").alias("avg_occ"),
-            F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"),
+
+    def _occ_stats(frame):
+        return (
+            frame.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.max("c").alias("max_occ"),
+                F.expr("percentile_approx(c, 0.99)").alias("p99_occ"),
+                F.avg("c").alias("avg_occ"),
+                F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+
+    base = _occ_stats(semantic_cell_frame(emb))
+    # the r11 skew-adaptive scheme the query actually runs with
+    occ = _occ_stats(skew_refine_cells(semantic_cell_frame(emb, with_sig=True)))
     uniform_pairs = (nl * (1 << p)) * (
         expected_cell * (expected_cell - 1) / 2
     )
@@ -88,6 +95,7 @@ def main() -> int:
         "n_labels": nl,
         "depth_p": p,
         "cell_cap": SEMDEDUP_CELL_CAP,
+        "hot_cell_factor": HOT_CELL_FACTOR,
         "expected_cell_size": round(expected_cell, 2),
         "n_cells_nonempty": occ["n_cells"],
         "max_cell_occupancy": occ["max_occ"],
@@ -100,11 +108,18 @@ def main() -> int:
         "pairwork_vs_quadratic": round(
             occ["pairs"] / (n * (n - 1) / 2), 6
         ),
+        # the global-depth scheme alone, for before/after comparison
+        "base_max_cell_occupancy": base["max_occ"],
+        "base_p99_cell_occupancy": base["p99_occ"],
+        "base_within_cell_pairs": int(base["pairs"]),
         "wall_sec": round(time.perf_counter() - t0, 1),
     }
     ok = (
         expected_cell <= SEMDEDUP_CELL_CAP
         and report["pairwork_skew_ratio"] <= SKEW_BUDGET
+        # the r11 done-bar: no refined cell above the split trigger
+        # x expected (integer rule => children land under the line)
+        and occ["max_occ"] <= HOT_CELL_FACTOR * expected_cell
     )
     report["within_bounds"] = ok
     with open(out_path, "w") as f:

@@ -693,9 +693,18 @@ SEMDEDUP_CELL_CAP = 512
 SEM_PLANES = 2 * sim.LSH_PLANES
 SEM_SEED2 = sim.LSH_SEED + 977
 
+# a cell holding ≥ HOT_CELL_FACTOR × the mean occupancy is a hot
+# shuffle partition at 100 TB — the IVF analog of a skewed join key.
+# Round 11: also the per-cell SPLIT trigger for the semantic-dedup
+# scheme (skew_refine_cells) — the sf10 pin measured a 4.2× hot cell
+# under the global-depth rule alone.
+HOT_CELL_FACTOR = 2
+
 
 def semantic_cell_frame(
-    emb: DataFrame, stats_of: DataFrame | None = None
+    emb: DataFrame,
+    stats_of: DataFrame | None = None,
+    with_sig: bool = False,
 ) -> DataFrame:
     """(vec_id, cell_id, unit) for the scaled semantic-dedup cells:
     cell = cluster label refined by the low p sign-bits of the seeded
@@ -710,7 +719,12 @@ def semantic_cell_frame(
     ``stats_of`` pins the (n, n_labels) used to derive p to a
     DIFFERENT frame — the admission-time probe assigns incoming
     vectors with the ADMITTED corpus's depth so both sides agree on
-    the cell scheme."""
+    the cell scheme.
+
+    ``with_sig`` appends the raw refinement signature and the depth
+    inputs (``sig``, ``p``, ``n``, ``nl``) so a caller can deepen
+    individual hot cells afterwards (skew_refine_cells) — the
+    occupancy-dependent step that can NOT be a per-row map."""
     from ..functions.vectors import norm
 
     stats = (stats_of if stats_of is not None else emb).agg(
@@ -750,6 +764,7 @@ def semantic_cell_frame(
             F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
         )
     )
+    extra_cols = ["sig", "p", "n", "nl"] if with_sig else []
     return (
         emb.crossJoin(F.broadcast(stats.withColumn("p", p)))
         .select(
@@ -757,6 +772,7 @@ def semantic_cell_frame(
             "embedding",
             norm(F.col("embedding")).alias("__vn"),
             cell.alias("cell_id"),
+            *([sig.alias("sig"), "p", "n", "nl"] if with_sig else []),
         )
         .select(
             "vec_id",
@@ -765,6 +781,71 @@ def semantic_cell_frame(
                 "embedding",
                 lambda x: x.cast("double") / F.col("__vn"),
             ).alias("unit"),
+            *extra_cols,
+        )
+    )
+
+
+def skew_refine_cells(asg: DataFrame) -> DataFrame:
+    """Per-cell depth: split every cell whose occupancy exceeds
+    HOT_CELL_FACTOR × the expected size by just enough further
+    signature bits to bring its children back under the line —
+    extra = min q with occ·nl·2^p ≤ HOT_CELL_FACTOR·n·2^q, capped at
+    the SEM_PLANES budget. Input is ``semantic_cell_frame(...,
+    with_sig=True)``; output is the (vec_id, cell_id, unit) contract
+    with hot cells re-keyed (cold cells keep their ids bit-for-bit:
+    the low p signature bits are a prefix of every deeper mask).
+
+    Scale shape: occupancy is one groupBy over ≤ labels·2^p cells;
+    only the HOT subset (a skew tail, ≤ nl·2^p/HOT_CELL_FACTOR rows
+    of two ints) broadcasts back — the corpus itself is touched by
+    exactly one map-side join, no extra shuffle. The integer rule is
+    engine-portable, so the DuckDB oracle replays it exactly.
+    int64 headroom: occ·nl·2^p < n·nl·2^p ≈ n²·HOT/cap — fine through
+    the measured decades and the ~3.4B-vector depth budget."""
+    sentinel = SEM_PLANES + 1
+    occ = asg.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.first("p").alias("p"),
+        F.first("n").alias("n"),
+        F.first("nl").alias("nl"),
+    )
+    extra = F.least(
+        F.aggregate(
+            F.array(*[F.lit(q) for q in range(SEM_PLANES + 1)]),
+            F.lit(sentinel),
+            lambda acc, q: F.when(
+                (acc == sentinel)
+                & (
+                    F.col("occ")
+                    * F.col("nl")
+                    * F.pow(F.lit(2.0), F.col("p")).cast("bigint")
+                    <= F.lit(HOT_CELL_FACTOR)
+                    * F.col("n")
+                    * F.pow(F.lit(2.0), q).cast("bigint")
+                ),
+                q,
+            ).otherwise(acc),
+        ),
+        F.lit(SEM_PLANES) - F.col("p"),
+    ).cast("bigint")
+    hot = occ.select("cell_id", extra.alias("extra")).filter(
+        F.col("extra") > 0
+    )
+    mask = lambda bits: F.pow(F.lit(2.0), bits).cast("bigint") - 1  # noqa: E731
+    return (
+        asg.join(F.broadcast(hot), "cell_id", "left")
+        .withColumn("extra", F.coalesce("extra", F.lit(0)))
+        .select(
+            "vec_id",
+            (
+                F.col("cell_id")
+                - F.col("sig").bitwiseAND(mask(F.col("p")))
+                + F.col("sig").bitwiseAND(
+                    mask(F.col("p") + F.col("extra"))
+                )
+            ).alias("cell_id"),
+            "unit",
         )
     )
 
@@ -800,18 +881,44 @@ def _sql_unit_dot(a: str, b: str) -> str:
         FROM (SELECT unnest(range(0, {SEM_PLANES + 1})) AS q) qs, st
         WHERE st.n <= {SEMDEDUP_CELL_CAP} * st.nl * (1 << q)
     ),
-    asg AS MATERIALIZED (
-        -- MATERIALIZED: referenced three times below; inlining would
-        -- recompute the signature + unit vector per reference
+    asg0 AS MATERIALIZED (
+        -- MATERIALIZED: referenced below by the occupancy pass AND
+        -- the refined assignment; inlining would recompute the
+        -- signature + unit vector per reference
         SELECT e.vec_id,
-               CAST(e.label AS BIGINT) * {1 << SEM_PLANES}
-               + ((CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
-                   + {1 << sim.LSH_PLANES}
-                     * CAST({_sql_lsh_bucket('e.embedding', SEM_SEED2)}
-                            AS BIGINT))
-                  & ((1 << pp.p) - 1)) AS cell_id,
+               CAST(e.label AS BIGINT) * {1 << SEM_PLANES} AS lbase,
+               (CAST({_sql_lsh_bucket('e.embedding')} AS BIGINT)
+                + {1 << sim.LSH_PLANES}
+                  * CAST({_sql_lsh_bucket('e.embedding', SEM_SEED2)}
+                         AS BIGINT)) AS sig,
                {_sql_unit('e.embedding')} AS unit
-        FROM embeddings e CROSS JOIN pp
+        FROM embeddings e
+    ),
+    occ AS (
+        SELECT lbase + (sig & ((1 << pp.p) - 1)) AS cell0,
+               COUNT(*) AS occ
+        FROM asg0, pp GROUP BY 1
+    ),
+    ext AS (
+        -- per-cell extra depth: split hot cells (> {HOT_CELL_FACTOR}x
+        -- expected) by just enough further signature bits
+        SELECT cell0,
+               LEAST(COALESCE(MIN(CASE
+                         WHEN occ * st.nl * (1 << pp.p)
+                              <= {HOT_CELL_FACTOR} * st.n * (1 << qs.q)
+                         THEN qs.q END), {SEM_PLANES}),
+                     {SEM_PLANES} - pp.p) AS extra
+        FROM occ, st, pp,
+             (SELECT unnest(range(0, {SEM_PLANES + 1})) AS q) qs
+        GROUP BY cell0, pp.p
+    ),
+    asg AS MATERIALIZED (
+        SELECT a.vec_id,
+               a.lbase + (a.sig & ((1 << (pp.p + x.extra)) - 1))
+                   AS cell_id,
+               a.unit
+        FROM asg0 a CROSS JOIN pp
+        JOIN ext x ON x.cell0 = a.lbase + (a.sig & ((1 << pp.p) - 1))
     ),
     dup AS (
         SELECT a.vec_id, MIN(b.vec_id) AS dup_of
@@ -840,10 +947,16 @@ def _sql_unit_dot(a: str, b: str) -> str:
     "71× on a 10× scale-up. The 16-bit refinement signature (two "
     "independent 8-plane sets, round 9) budgets depth to 2^16 cells "
     "per label, moving the at-cap ceiling from ~13M to ~3.4B "
-    "vectors; the same composition extends further. Cell assignment is a "
-    "pure per-row map (sign bits, zero shuffle, no centroid argmin); "
-    "the whole computation is integer/rounded-deterministic, so the "
-    "oracle recomputes it EXACTLY rather than error-bounding it.",
+    "vectors; the same composition extends further. Base cell "
+    "assignment is a pure per-row map (sign bits, zero shuffle, no "
+    "centroid argmin); round 11 adds the SKEW-ADAPTIVE split "
+    f"(skew_refine_cells): any cell over {HOT_CELL_FACTOR}× the "
+    "expected occupancy — the sf10 pin caught a 4.2× hot cell, the "
+    "straggler shape at 100× — is deepened by per-cell extra "
+    "signature bits via one tiny occupancy groupBy + a broadcast "
+    "map-side re-key. The whole computation stays integer/rounded-"
+    "deterministic, so the oracle recomputes it EXACTLY (occupancy "
+    "pass included) rather than error-bounding it.",
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.partitioning import (
@@ -855,7 +968,10 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
     )
-    asg = semantic_cell_frame(emb).persist()  # feeds both self-join sides
+    # feeds both self-join sides
+    asg = skew_refine_cells(
+        semantic_cell_frame(emb, with_sig=True)
+    ).persist()
     a = asg.select(
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),
@@ -888,11 +1004,6 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
         F.col("dup_of").isNotNull().alias("is_semantic_dup"),
     )
-
-
-# a cell holding ≥ HOT_CELL_FACTOR × the mean occupancy is a hot
-# shuffle partition at 100 TB — the IVF analog of a skewed join key
-HOT_CELL_FACTOR = 2
 
 
 @register(
