@@ -786,68 +786,92 @@ def semantic_cell_frame(
     )
 
 
-def skew_refine_cells(asg: DataFrame) -> DataFrame:
+# fixed unroll of the hot-cell split: a deepened cell's CHILDREN can
+# themselves exceed the line when the signature bits are skewed for
+# near-identical vectors (sf10 measured 700 after one round vs the
+# 625 = HOT_CELL_FACTOR × expected bar), so the occupancy pass
+# repeats; a cell of IDENTICAL signatures can never split, so the
+# round count is a fixed constant both engines unroll, not a
+# converge-until loop
+SKEW_SPLIT_ROUNDS = 3
+
+
+def skew_refine_cells(
+    asg: DataFrame, rounds: int = SKEW_SPLIT_ROUNDS
+) -> DataFrame:
     """Per-cell depth: split every cell whose occupancy exceeds
     HOT_CELL_FACTOR × the expected size by just enough further
-    signature bits to bring its children back under the line —
-    extra = min q with occ·nl·2^p ≤ HOT_CELL_FACTOR·n·2^q, capped at
-    the SEM_PLANES budget. Input is ``semantic_cell_frame(...,
+    signature bits to bring its children back under the line in
+    expectation — extra = min q with occ·nl·2^p ≤ HOT_CELL_FACTOR·
+    n·2^q — then repeat on the children (``rounds`` fixed unrolled
+    passes) because within-cell signature skew can leave a child
+    above the line. Depth is tracked per cell and capped at the
+    SEM_PLANES budget. Input is ``semantic_cell_frame(...,
     with_sig=True)``; output is the (vec_id, cell_id, unit) contract
     with hot cells re-keyed (cold cells keep their ids bit-for-bit:
-    the low p signature bits are a prefix of every deeper mask).
+    the low-depth signature bits are a prefix of every deeper mask).
 
-    Scale shape: occupancy is one groupBy over ≤ labels·2^p cells;
-    only the HOT subset (a skew tail, ≤ nl·2^p/HOT_CELL_FACTOR rows
-    of two ints) broadcasts back — the corpus itself is touched by
-    exactly one map-side join, no extra shuffle. The integer rule is
-    engine-portable, so the DuckDB oracle replays it exactly.
-    int64 headroom: occ·nl·2^p < n·nl·2^p ≈ n²·HOT/cap — fine through
-    the measured decades and the ~3.4B-vector depth budget."""
+    Scale shape: each round is one occupancy groupBy over ≤
+    labels·2^SEM_PLANES cells; only the HOT subset (a skew tail)
+    broadcasts back — the corpus is touched by ``rounds`` map-side
+    joins, no extra corpus shuffle. The integer rule is engine-
+    portable, so the DuckDB oracle replays the unrolled rounds
+    exactly. int64 headroom: occ·nl·2^p < n·nl·2^p ≈ n²·HOT/cap —
+    fine through the measured decades and the ~3.4B-vector budget."""
     sentinel = SEM_PLANES + 1
-    occ = asg.groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("occ"),
-        F.first("p").alias("p"),
-        F.first("n").alias("n"),
-        F.first("nl").alias("nl"),
-    )
-    extra = F.least(
-        F.aggregate(
-            F.array(*[F.lit(q) for q in range(SEM_PLANES + 1)]),
-            F.lit(sentinel),
-            lambda acc, q: F.when(
-                (acc == sentinel)
-                & (
-                    F.col("occ")
-                    * F.col("nl")
-                    * F.pow(F.lit(2.0), F.col("p")).cast("bigint")
-                    <= F.lit(HOT_CELL_FACTOR)
-                    * F.col("n")
-                    * F.pow(F.lit(2.0), q).cast("bigint")
-                ),
-                q,
-            ).otherwise(acc),
-        ),
-        F.lit(SEM_PLANES) - F.col("p"),
-    ).cast("bigint")
-    hot = occ.select("cell_id", extra.alias("extra")).filter(
-        F.col("extra") > 0
-    )
     mask = lambda bits: F.pow(F.lit(2.0), bits).cast("bigint") - 1  # noqa: E731
-    return (
-        asg.join(F.broadcast(hot), "cell_id", "left")
-        .withColumn("extra", F.coalesce("extra", F.lit(0)))
-        .select(
-            "vec_id",
-            (
-                F.col("cell_id")
-                - F.col("sig").bitwiseAND(mask(F.col("p")))
-                + F.col("sig").bitwiseAND(
-                    mask(F.col("p") + F.col("extra"))
-                )
-            ).alias("cell_id"),
-            "unit",
+    cur = asg.withColumn("depth", F.col("p"))
+    for _ in range(rounds):
+        occ = cur.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.first("depth").alias("cdepth"),
+            F.first("p").alias("p"),
+            F.first("n").alias("n"),
+            F.first("nl").alias("nl"),
         )
-    )
+        extra = F.least(
+            F.aggregate(
+                F.array(*[F.lit(q) for q in range(SEM_PLANES + 1)]),
+                F.lit(sentinel),
+                lambda acc, q: F.when(
+                    (acc == sentinel)
+                    & (
+                        F.col("occ")
+                        * F.col("nl")
+                        * F.pow(F.lit(2.0), F.col("p")).cast("bigint")
+                        <= F.lit(HOT_CELL_FACTOR)
+                        * F.col("n")
+                        * F.pow(F.lit(2.0), q).cast("bigint")
+                    ),
+                    q,
+                ).otherwise(acc),
+            ),
+            F.lit(SEM_PLANES) - F.col("cdepth"),
+        ).cast("bigint")
+        hot = occ.select("cell_id", extra.alias("extra")).filter(
+            F.col("extra") > 0
+        )
+        cur = (
+            cur.join(F.broadcast(hot), "cell_id", "left")
+            .withColumn("extra", F.coalesce("extra", F.lit(0)))
+            .select(
+                "vec_id",
+                (
+                    F.col("cell_id")
+                    - F.col("sig").bitwiseAND(mask(F.col("depth")))
+                    + F.col("sig").bitwiseAND(
+                        mask(F.col("depth") + F.col("extra"))
+                    )
+                ).alias("cell_id"),
+                "unit",
+                "sig",
+                "p",
+                "n",
+                "nl",
+                (F.col("depth") + F.col("extra")).alias("depth"),
+            )
+        )
+    return cur.select("vec_id", "cell_id", "unit")
 
 
 def _sql_unit(v: str) -> str:
@@ -865,6 +889,52 @@ def _sql_unit(v: str) -> str:
 def _sql_unit_dot(a: str, b: str) -> str:
     """round-6 cosine of two PRE-NORMALIZED arrays (see _sql_unit)."""
     return f"round(list_inner_product({a}, {b}), 6)"
+
+
+def _sql_skew_cte(rounds: int) -> str:
+    """The DuckDB replay of ``skew_refine_cells``: ``rounds`` unrolled
+    occupancy→extra-depth→re-key passes over the base assignment
+    (CTE ``asg0`` with lbase/sig/unit, scalars ``st``/``pp``), ending
+    in the refined ``asg`` the pairwork CTEs consume."""
+    parts = [
+        """
+    r0 AS (
+        SELECT a.vec_id, a.lbase, a.sig, a.unit,
+               pp.p AS depth,
+               a.lbase + (a.sig & ((1 << pp.p) - 1)) AS cell_id
+        FROM asg0 a CROSS JOIN pp
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    o{k} AS (
+        SELECT cell_id, COUNT(*) AS occ, MIN(depth) AS depth
+        FROM r{k - 1} GROUP BY 1
+    ),
+    e{k} AS (
+        SELECT o.cell_id,
+               LEAST(COALESCE(MIN(CASE
+                         WHEN o.occ * st.nl * (1 << pp.p)
+                              <= {HOT_CELL_FACTOR} * st.n * (1 << qs.q)
+                         THEN qs.q END), {SEM_PLANES}),
+                     {SEM_PLANES} - o.depth) AS extra
+        FROM o{k} o, st, pp,
+             (SELECT unnest(range(0, {SEM_PLANES + 1})) AS q) qs
+        GROUP BY o.cell_id, o.depth, o.occ
+    ),
+    r{k} AS (
+        SELECT r.vec_id, r.lbase, r.sig, r.unit,
+               r.depth + e.extra AS depth,
+               r.cell_id - (r.sig & ((1 << r.depth) - 1))
+                         + (r.sig & ((1 << (r.depth + e.extra)) - 1))
+                   AS cell_id
+        FROM r{k - 1} r JOIN e{k} e ON e.cell_id = r.cell_id
+    )""")
+    parts.append(f"""
+    asg AS MATERIALIZED (
+        SELECT vec_id, cell_id, unit FROM r{rounds}
+    )""")
+    return ",".join(parts)
 
 
 @register(
@@ -894,32 +964,7 @@ def _sql_unit_dot(a: str, b: str) -> str:
                {_sql_unit('e.embedding')} AS unit
         FROM embeddings e
     ),
-    occ AS (
-        SELECT lbase + (sig & ((1 << pp.p) - 1)) AS cell0,
-               COUNT(*) AS occ
-        FROM asg0, pp GROUP BY 1
-    ),
-    ext AS (
-        -- per-cell extra depth: split hot cells (> {HOT_CELL_FACTOR}x
-        -- expected) by just enough further signature bits
-        SELECT cell0,
-               LEAST(COALESCE(MIN(CASE
-                         WHEN occ * st.nl * (1 << pp.p)
-                              <= {HOT_CELL_FACTOR} * st.n * (1 << qs.q)
-                         THEN qs.q END), {SEM_PLANES}),
-                     {SEM_PLANES} - pp.p) AS extra
-        FROM occ, st, pp,
-             (SELECT unnest(range(0, {SEM_PLANES + 1})) AS q) qs
-        GROUP BY cell0, pp.p
-    ),
-    asg AS MATERIALIZED (
-        SELECT a.vec_id,
-               a.lbase + (a.sig & ((1 << (pp.p + x.extra)) - 1))
-                   AS cell_id,
-               a.unit
-        FROM asg0 a CROSS JOIN pp
-        JOIN ext x ON x.cell0 = a.lbase + (a.sig & ((1 << pp.p) - 1))
-    ),
+    {_sql_skew_cte(SKEW_SPLIT_ROUNDS)},
     dup AS (
         SELECT a.vec_id, MIN(b.vec_id) AS dup_of
         FROM asg a JOIN asg b
