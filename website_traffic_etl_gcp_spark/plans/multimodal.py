@@ -222,6 +222,11 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist-and-die-with-the-query convention (package-wide): the
+    # cache outlives the builder because the returned frame is still
+    # lazy; a long-lived session running many queries should
+    # spark.catalog.clearCache() between them (bench's scaling runs
+    # do exactly that)
     hashed = mm.media_dhash(mm.encode_mixed_media(docs)).persist()
     pairs = dedup.banded_hamming_pairs(
         hashed,

@@ -47,6 +47,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 __all__ = [
     "MediaFormatError",
     "encode_bmp",
@@ -197,11 +199,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError(
             f"bfSize {file_size} != actual file length {len(data)}"
         )
-    rows = [
-        data[off_bits + r * stride : off_bits + r * stride + width]
-        for r in range(height - 1, -1, -1)
-    ]
-    return width, height, b"".join(rows)
+    # row de-padding + bottom-up flip as one strided numpy view
+    arr = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=off_bits
+    )
+    return width, height, arr.reshape(height, stride)[::-1, :width].tobytes()
 
 
 # ---- WAV -----------------------------------------------------------------
@@ -431,6 +433,8 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                                 )
                             strh_seen = True
                         elif sid == b"strf":
+                            if len(sc) < _BMP_INFO_HEADER.size:
+                                raise MediaFormatError("strf too small")
                             (
                                 bi_size, bw, bh, planes, bpp, comp,
                                 _sz, _x, _y, _cu, _ci,
@@ -468,11 +472,9 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                         f"frame {len(frames)}: DIB size {len(fbody)} "
                         f"!= stride {stride} × height {height}"
                     )
+                farr = np.frombuffer(fbody, dtype=np.uint8)
                 frames.append(
-                    b"".join(
-                        fbody[r * stride : r * stride + width]
-                        for r in range(height - 1, -1, -1)
-                    )
+                    farr.reshape(height, stride)[::-1, :width].tobytes()
                 )
     if width is None or not strh_seen or not strf_seen:
         raise MediaFormatError("missing hdrl/strh/strf")
@@ -757,37 +759,43 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError(
             f"inflated scanline data {len(raw)} != {(width + 1) * height}"
         )
-    out = bytearray()
-    prev = bytes(width)
+    # row-wise numpy reconstruction (r11): None/Sub/Up are whole-row
+    # array ops (Sub = cumsum mod 256, Up = wrapping uint8 add);
+    # Average and Paeth keep the per-byte loop — their left-neighbor
+    # dependence is inherently sequential (the same split every
+    # C decoder makes, minus the C)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    out = np.empty((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.uint8)
     for r in range(height):
-        ftype = raw[r * (width + 1)]
-        line = raw[r * (width + 1) + 1 : (r + 1) * (width + 1)]
-        row = bytearray(width)
+        ftype = int(mat[r, 0])
+        line = mat[r, 1:]
         if ftype == 0:
-            row[:] = line
+            row = line.copy()
         elif ftype == 1:
-            for i in range(width):
-                row[i] = (line[i] + (row[i - 1] if i else 0)) & 0xFF
+            # row[i] = sum(line[0..i]) mod 256 == the sequential Sub
+            row = np.cumsum(line, dtype=np.uint64).astype(np.uint8)
         elif ftype == 2:
-            for i in range(width):
-                row[i] = (line[i] + prev[i]) & 0xFF
+            row = line + prev  # uint8 wraparound == mod 256
         elif ftype == 3:
+            row = np.empty(width, dtype=np.uint8)
+            line_l, prev_l = line.tolist(), prev.tolist()
+            left = 0
             for i in range(width):
-                row[i] = (
-                    line[i] + (((row[i - 1] if i else 0) + prev[i]) >> 1)
-                ) & 0xFF
+                left = (line_l[i] + ((left + prev_l[i]) >> 1)) & 0xFF
+                row[i] = left
         elif ftype == 4:
+            row = np.empty(width, dtype=np.uint8)
+            line_l, prev_l = line.tolist(), prev.tolist()
+            left = up_left = 0
             for i in range(width):
-                row[i] = (
-                    line[i]
-                    + _paeth(
-                        row[i - 1] if i else 0,
-                        prev[i],
-                        prev[i - 1] if i else 0,
-                    )
+                left = (
+                    line_l[i] + _paeth(left, prev_l[i], up_left)
                 ) & 0xFF
+                row[i] = left
+                up_left = prev_l[i]
         else:
             raise MediaFormatError(f"unknown filter type {ftype} in row {r}")
-        out += row
-        prev = bytes(row)
-    return width, height, bytes(out)
+        out[r] = row
+        prev = row
+    return width, height, out.tobytes()
