@@ -3276,3 +3276,124 @@ def bigram_kn_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# ---- HTML boilerplate extraction (web-corpus pre-filter) ---------------
+
+# DuckDB twin of the planted-page ground truth: the wrapper built by
+# operators/html_extract.py:plant_boilerplate_html has 4 boilerplate
+# blocks (nav, 2 sidebar <li>, footer) plus the main <p> and, for every
+# third doc, an appendix <p>. The extractor's density rule keeps a
+# block iff link_density <= 1/3 AND >= 5 words, so the oracle recomputes
+# exactly which planted blocks survive.
+_RAW_WS = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_SQL_HTML_EXTRACT = f"""
+    SELECT doc_id,
+           concat_ws(' ',
+               CASE WHEN keep_main = 1 THEN raw END,
+               appendix) AS main_text,
+           CAST(4 + has_main + has_appendix AS BIGINT) AS n_blocks,
+           CAST(keep_main + has_appendix AS BIGINT) AS n_content_blocks,
+           CAST(length(concat_ws(' ',
+               CASE WHEN keep_main = 1 THEN raw END,
+               appendix)) AS BIGINT) AS content_chars
+    FROM (
+        SELECT doc_id, raw,
+               CASE WHEN length(raw) > 0 THEN 1 ELSE 0 END AS has_main,
+               CASE WHEN length(raw) > 0
+                     AND len(string_split(raw, ' ')) >= 5
+                    THEN 1 ELSE 0 END AS keep_main,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_appendix,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'appendix note for document ' || doc_id
+                         || ' with extra detail' END AS appendix
+        FROM (SELECT doc_id, {_RAW_WS} AS raw FROM documents)
+    )
+"""
+
+
+@register(
+    "text_extract_html",
+    oracle=_SQL_HTML_EXTRACT,
+    tags=("documents", "html"),
+    bench=True,
+    doc="HTML boilerplate extraction: docs are wrapped in deterministic "
+    "crawl-shaped boilerplate (nav/sidebar/footer, JVM-side concat), "
+    "then the boilerpipe text-density rule (link density + word count "
+    "per block) recovers the main content in the Arrow-batch slot. The "
+    "oracle recomputes the planted ground truth closed-form, so any "
+    "parser/classifier defect mismatches.",
+)
+def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import html_extract as hx
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id", hx.plant_boilerplate_html("doc_id", "text").alias("html")
+    )
+    return hx.extract_main_content(planted, "html")
+
+
+@register(
+    "text_extract_html_quality",
+    oracle=f"""
+    SELECT doc_id, content_chars,
+           CAST(round((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
+             + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
+             + (1.0 - CAST(n_digit AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
+             ) * 1e6, 0) AS BIGINT) AS score_micro
+    FROM (
+        SELECT doc_id, content_chars,
+               greatest(length(main_text), 1) AS n_chars_norm,
+               greatest(len(string_split(main_text, ' ')), 1) AS n_tokens,
+               {ts.sql_count_in_set("string_split(main_text, ' ')", ts.STOPWORDS)} AS n_stop,
+               length(regexp_replace(main_text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               length(regexp_replace(main_text, '[^0-9]', '', 'g')) AS n_digit
+        FROM ({_SQL_HTML_EXTRACT})
+    )
+    WHERE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
+          + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
+          + (1.0 - CAST(n_digit AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
+          >= 0.55
+    """,
+    tags=("documents", "html"),
+    doc="The extracted-HTML corpus fed straight into the existing "
+    "quality filter: same composite score as text_quality_score, "
+    "computed over the recovered main_text, thresholded at 0.55. "
+    "Extraction (Arrow batch) -> scoring (pure Catalyst) -> filter: "
+    "the real web-pipeline pre-filter chain.",
+)
+def text_extract_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = text_extract_html(spark, sf_dir)
+    toks = F.split(F.col("main_text"), " ")
+    base = ex.select(
+        "doc_id",
+        "content_chars",
+        F.greatest(F.length("main_text"), F.lit(1)).cast("bigint").alias("n_chars_norm"),
+        F.greatest(F.size(toks), F.lit(1)).cast("bigint").alias("n_tokens"),
+        ts.count_in_set(toks, ts.STOPWORDS).cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace("main_text", r"[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
+        F.length(F.regexp_replace("main_text", r"[^0-9]", "")).cast("bigint").alias("n_digit"),
+    )
+    score = (
+        F.col("n_stop").cast("double") / F.col("n_tokens").cast("double") * 0.4
+        + (
+            F.lit(1.0)
+            - F.col("n_punct").cast("double") / F.col("n_chars_norm").cast("double")
+        )
+        * 0.3
+        + (
+            F.lit(1.0)
+            - F.col("n_digit").cast("double") / F.col("n_chars_norm").cast("double")
+        )
+        * 0.3
+    )
+    return (
+        base.withColumn("q", score)
+        .filter(F.col("q") >= 0.55)
+        .select(
+            "doc_id",
+            "content_chars",
+            F.round(F.col("q") * 1e6, 0).cast("bigint").alias("score_micro"),
+        )
+    )
