@@ -308,3 +308,67 @@ def test_streaming_admit_extends_state_across_batches(spark):
     stream_ids = {r["doc_id"] for r in by_src["stream"]}
     assert stream_ids.isdisjoint(originals)
     assert all(not r["admitted"] for r in by_src["corpus"] + by_src["stream"])
+
+
+def test_bus_is_at_least_once_and_offsets_dense(spark):
+    """The produced bus delivers every message exactly twice, with
+    dense per-partition offsets and partition = key % N_PARTITIONS."""
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.streaming import bus
+
+    path = bus.produce_events_bus(spark, SF_DIR)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(path)
+        .select(F.from_json("value", bus.MSG_SCHEMA).alias("m"))
+        .select("m.*")
+    )
+    assert raw.count() == 2 * n_events
+    uniq = raw.dropDuplicates(["partition", "offset"])
+    assert uniq.count() == n_events
+    bad_part = uniq.filter(
+        F.col("partition") != F.col("key") % bus.N_PARTITIONS
+    ).count()
+    assert bad_part == 0
+    # dense offsets: per partition, max(offset) == count - 1 and
+    # distinct(offset) == count
+    per = uniq.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("offset").alias("mx"),
+        F.countDistinct("offset").alias("nd"),
+    )
+    assert per.filter((F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n"))).count() == 0
+
+
+def test_bus_foreachbatch_sink_exactly_once(spark, tmp_path):
+    """End-to-end: at-least-once bus -> watermarked offset dedup ->
+    batch_id-keyed foreachBatch sink. Landed rows equal the original
+    events exactly once, and a simulated batch retry is idempotent."""
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.streaming import bus
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    bus.consume_bus_exactly_once(spark, SF_DIR, out, ckpt)
+    landed = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert landed.count() == n_events
+    assert landed.dropDuplicates(["partition", "offset"]).count() == n_events
+    # the retry: rewrite one batch dir with the same keyed-overwrite
+    # contract — totals must not change
+    import glob as _glob
+    import os as _os
+
+    first = sorted(_glob.glob(_os.path.join(out, "batch-*")))[0]
+    src = spark.read.parquet(first)
+    # materialize before overwriting the dir the plan would lazily scan
+    replay = spark.createDataFrame(src.collect(), src.schema)
+    batch_id = int(_os.path.basename(first).split("-")[1])
+    replay.write.mode("overwrite").parquet(
+        _os.path.join(out, f"batch-{batch_id:08d}")
+    )
+    again = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert again.count() == n_events

@@ -542,3 +542,28 @@ def streaming_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.media_ingest import run_streaming_video_frames
 
     return run_streaming_video_frames(spark, sf_dir)
+
+
+@register(
+    "streaming_bus_ingest",
+    oracle="""
+    SELECT user_id % 8 AS partition,
+           strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "bus"),
+    doc="Exactly-once consumption of a vendored message-bus source "
+    "(partitioned, offset-addressed, sealed NDJSON segments; every "
+    "message delivered twice via redelivered segment twins). The "
+    "consumer dedups on (partition, offset) within the event-time "
+    "watermark and rolls up per (partition, hour). The oracle is the "
+    "batch rollup of the ORIGINAL events table with the producer's "
+    "partition rule — matching proves partition assignment, dense "
+    "offsets and exactly-once collapse. streaming/bus.py.",
+)
+def streaming_bus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import bus
+
+    return bus.bus_ingest_rollup(spark, sf_dir)

@@ -1,0 +1,201 @@
+"""A vendored message-bus-shaped streaming source: partitioned,
+offset-addressed, sealed-segment NDJSON logs — the Kafka storage model
+reduced to what a file-based transport can carry.
+
+Layout (one topic):
+
+    <bus_dir>/partition=K/part-*.txt     # sealed segments, 1 JSON msg/line
+    <bus_dir>/partition=K/redelivered-*  # at-least-once twins (links)
+
+Each message is ``{"partition": k, "offset": o, "key": user_id,
+"ts_us": epoch_micros, "event_type": s, "value": v}`` with offsets
+DENSE per partition — consumers dedup on (partition, offset), exactly
+the Kafka consumer contract. The producer materializes the canonical
+events table into the bus with Spark itself (partition = user_id %
+N_PARTITIONS, offsets via a per-partition row_number — one shuffle,
+executor-side writes; no driver loop), then plants a full set of
+redelivered segment twins so every message arrives at least twice.
+
+The consumer is an ordinary Structured Streaming file source over the
+segment lines: readStream.text → from_json → event-time watermark →
+``dropDuplicatesWithinWatermark`` on (partition, offset). State is
+bounded by the watermark delay, not by topic history, so the same
+plan holds on an unbounded production bus. Batches land through the
+same exactly-once batch_id-keyed foreachBatch sink contract as the
+other ingests (streaming/doc_ingest.py:58).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+from .rollups import run_to_completion
+
+N_PARTITIONS = 8
+
+MSG_SCHEMA = StructType(
+    [
+        StructField("partition", LongType()),
+        StructField("offset", LongType()),
+        StructField("key", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _scratch_root() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+
+
+def bus_dir(sf_dir: str, topic: str = "events") -> str:
+    return os.path.join(
+        _scratch_root(), "bus", os.path.basename(sf_dir.rstrip("/")), topic
+    )
+
+
+def produce_events_bus(
+    spark: SparkSession, sf_dir: str, at_least_once: bool = True
+) -> str:
+    """Materialize the events table as a sealed bus topic (idempotent:
+    keyed by sf_dir basename; rebuilt atomically via temp-dir rename).
+
+    With ``at_least_once`` every sealed segment gets a redelivered
+    twin (hard link), so the topic delivers each message exactly
+    twice — the delivery model a correct consumer must collapse.
+    """
+    final = bus_dir(sf_dir)
+    if os.path.exists(os.path.join(final, "_SEALED")):
+        return final
+    tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events")
+    part = (F.col("user_id") % N_PARTITIONS).cast("long")
+    w = Window.partitionBy("partition").orderBy("ts", "event_id")
+    msgs = (
+        ev.select(
+            part.alias("partition"),
+            F.col("user_id").alias("key"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("offset", F.row_number().over(w).cast("long") - 1)
+        .select(
+            "partition",
+            F.to_json(
+                F.struct("partition", "offset", "key", "ts_us", "event_type", "value")
+            ).alias("value"),
+        )
+    )
+    msgs.write.mode("overwrite").partitionBy("partition").text(tmp)
+    if at_least_once:
+        for seg in glob.glob(os.path.join(tmp, "partition=*", "part-*")):
+            if seg.endswith(".crc"):
+                continue
+            twin = os.path.join(
+                os.path.dirname(seg), f"redelivered-{os.path.basename(seg)}"
+            )
+            os.link(seg, twin)
+    # the _SUCCESS/. _* markers are hidden from the file source anyway
+    with open(os.path.join(tmp, "_SEALED"), "w") as fh:
+        fh.write("sealed\n")
+    try:
+        os.replace(tmp, final)  # atomic publish (rename over empty/absent)
+    except OSError:
+        # lost the publish race or a previous final dir exists: keep
+        # the winner, drop our build
+        if os.path.exists(os.path.join(final, "_SEALED")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(tmp, final)
+    return final
+
+
+def read_bus_stream(spark: SparkSession, bus_path: str) -> DataFrame:
+    """The consumer: a streaming scan of the sealed segments, parsed
+    and event-timed. Pure map — partition/offset/ts all come from the
+    message, so the plan is source-agnostic (a socket or queue source
+    slots in by swapping this reader)."""
+    raw = (
+        spark.readStream.option("recursiveFileLookup", "true")
+        .text(bus_path)
+    )
+    return (
+        raw.select(F.from_json("value", MSG_SCHEMA).alias("m"))
+        .select("m.*")
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+
+
+def dedup_bus_messages(msgs: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Exactly-once consumption of an at-least-once bus: drop
+    (partition, offset) twins within the event-time watermark. State
+    is O(messages per watermark window) per the engine's eviction —
+    the unbounded-topic-safe form of offset tracking."""
+    return msgs.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["partition", "offset"]
+    )
+
+
+def bus_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the bus exactly-once and roll up per (partition, hour) —
+    the rollup checks partition assignment AND dedup at once, since
+    any surviving redelivery doubles a count."""
+    path = produce_events_bus(spark, sf_dir)
+    deduped = dedup_bus_messages(read_bus_stream(spark, path))
+    landed = run_to_completion(
+        deduped.select("partition", "ts", "value"), output_mode="append"
+    )
+    return landed.groupBy(
+        "partition",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+def consume_bus_exactly_once(
+    spark: SparkSession, sf_dir: str, out_path: str, ckpt: str
+) -> None:
+    """Land the deduped bus through the exactly-once foreachBatch
+    contract: each micro-batch writes to its own batch_id-keyed subdir
+    with overwrite, so an at-least-once foreachBatch retry REPLACES
+    its prior output instead of appending (same contract as
+    doc_ingest._write_batch)."""
+    path = produce_events_bus(spark, sf_dir)
+    deduped = dedup_bus_messages(read_bus_stream(spark, path))
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch-{batch_id:08d}")
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
