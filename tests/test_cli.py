@@ -249,3 +249,35 @@ def test_snapshot_cli_read_prune_and_as_of(tmp_path, spark):
     assert proc.returncode == 0, proc.stderr[-2000:]
     # v1 had 400 rows of k*2 values; v2 zeroed them — as-of must see v1
     assert "zone maps" not in proc.stdout
+
+
+def test_snapshot_cli_maintain(tmp_path, spark):
+    """maintain action: one cron-tick call runs the repack-if-needed +
+    age-safe vacuum policy; young history survives min-age."""
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.sources import snapshot_table as st
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    st.write_snapshot(df, root)
+    st.write_snapshot(df, root, mode="append")
+    st.write_snapshot(df, root, mode="append")
+
+    proc = _cli(
+        "snapshot", "maintain", root, "--keep-last", "1",
+        "--min-age", "3600", "--retention", "0",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "vacuum dropped []" in proc.stdout  # all too young
+    assert st.snapshot_versions(root) == [1, 2, 3]
+
+    proc = _cli(
+        "snapshot", "maintain", root, "--keep-last", "1",
+        "--min-age", "0", "--retention", "0",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert st.snapshot_versions(root) == [3]
+    assert st.read_snapshot(spark, root).count() == 30

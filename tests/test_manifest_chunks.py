@@ -227,3 +227,127 @@ def test_pruned_read_is_sublinear_at_ten_thousand_files(
     # manifest resolution is descriptor-level: far under a second of
     # driver work even with the generous CI bound here
     assert resolve_s < 5.0, f"pruned-read resolution took {resolve_s:.2f}s"
+
+
+def test_maintain_policy_lifecycle(spark, tmp_path, small_chunks):
+    """The cron-tick policy: fragmented append history triggers a
+    metadata-only repack, then the age-safe vacuum expires only
+    manifests that are BOTH beyond keep_last AND older than min_age —
+    and a later tick, once age passes, finishes the expiry."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 6, parts=1), root)
+    for i in range(1, 5):  # per-micro-batch appends: 1 tiny chunk each
+        st.write_snapshot(
+            _df(spark, 6 * i, 6 * (i + 1), parts=1), root, mode="append"
+        )
+    m = st.read_manifest(root)
+    # early commits stay inline below the chunk threshold, then each
+    # append adds its own tiny descriptor: [2,1,1,1]
+    assert len(m["chunks"]) == 4
+
+    # tick 1: everything is too young to expire, but repack must fire
+    out = st.maintain_snapshot(
+        root, keep_last=2, retention_seconds=0.0,
+        min_age_seconds=3600.0, chunk_slack=1.0,
+    )
+    assert out["repacked"] is not None
+    m2 = st.read_manifest(root)
+    assert len(m2["chunks"]) == 3  # 5 files / chunk-target 2
+    assert out["vacuum"]["dropped_versions"] == []  # all younger than 1h
+    # full content still readable
+    assert sorted(r["k"] for r in st.read_snapshot(spark, root).collect()) \
+        == list(range(30))
+
+    # tick 2: age the history artificially; now keep_last governs
+    now = time.time()
+    for v in st.snapshot_versions(root)[:-2]:
+        p = st._manifest_path(root, v)
+        os.utime(p, (now - 7200, now - 7200))
+    out2 = st.maintain_snapshot(
+        root, keep_last=2, retention_seconds=0.0,
+        min_age_seconds=3600.0, chunk_slack=1.0,
+    )
+    assert out2["repacked"] is None  # already optimally packed
+    assert out2["vacuum"]["dropped_versions"] == [1, 2, 3, 4]
+    assert st.snapshot_versions(root) == [5, 6]
+    assert sorted(r["k"] for r in st.read_snapshot(spark, root).collect()) \
+        == list(range(30))
+
+
+def test_vacuum_min_age_spares_young_history(spark, tmp_path):
+    """Timestamp-based vacuum safety: a young manifest beyond
+    keep_last survives; data files of spared versions survive too."""
+    root = str(tmp_path / "t")
+    for i in range(4):
+        st.write_snapshot(
+            _df(spark, 10 * i, 10 * (i + 1)), root,
+            mode="overwrite" if i == 0 else "append",
+        )
+    out = st.vacuum(
+        root, keep_last=1, retention_seconds=0.0, min_age_seconds=3600.0
+    )
+    assert out["dropped_versions"] == []
+    assert st.snapshot_versions(root) == [1, 2, 3, 4]
+    # time travel to v1 still works — nothing was reaped
+    assert sorted(
+        r["k"] for r in st.read_snapshot(spark, root, version=1).collect()
+    ) == list(range(10))
+    # age out v1-v2 only
+    now = time.time()
+    for v in (1, 2):
+        os.utime(st._manifest_path(root, v), (now - 7200, now - 7200))
+    out2 = st.vacuum(
+        root, keep_last=1, retention_seconds=0.0, min_age_seconds=3600.0
+    )
+    assert out2["dropped_versions"] == [1, 2]
+    assert st.snapshot_versions(root) == [3, 4]
+
+
+def test_conflicted_commit_reaps_its_chunk_files(spark, tmp_path, small_chunks):
+    """A commit attempt that loses the O_EXCL race must delete the
+    chunk files it just packed — retry loops under contention must not
+    leak _snapshots/chunks/ entries."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 30, parts=5), root)  # chunked (5>2)
+    chunks_dir = os.path.join(root, "_snapshots", "chunks")
+    before = set(os.listdir(chunks_dir))
+
+    # simulate the race: v2 lands from "another writer"
+    parent = st.current_version(root)
+    m = st.read_manifest(root, parent)
+    files = [os.path.join(root, f) for f in st.manifest_files(root, m)]
+    st._commit(root, files, "append", parent)
+
+    # our attempt against the stale parent packs chunks, then conflicts
+    with pytest.raises(st.CommitConflict):
+        st._commit(root, files, "append", parent)
+    after = set(os.listdir(chunks_dir))
+    # the winner's chunks stay; the loser's packed chunks are gone
+    winner_m = st.read_manifest(root, parent + 1)
+    expected = before | {
+        os.path.basename(d["path"]) for d in winner_m["chunks"]
+    }
+    assert after == expected
+
+
+def test_vacuum_reaps_orphan_chunks_after_grace(spark, tmp_path, small_chunks):
+    """A chunk file no manifest references (crashed commit) is reaped
+    once it outlives retention_seconds — and spared inside the window."""
+    root = str(tmp_path / "t")
+    st.write_snapshot(_df(spark, 0, 30, parts=5), root)
+    chunks_dir = os.path.join(root, "_snapshots", "chunks")
+    orphan = os.path.join(chunks_dir, "c-deadbeefdeadbeef.json")
+    with open(orphan, "w") as f:
+        f.write('{"files": [], "stats": {}}')
+
+    out = st.vacuum(root, keep_last=2, retention_seconds=3600.0)
+    assert out["removed_orphan_chunks"] == 0 and os.path.exists(orphan)
+
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    out = st.vacuum(root, keep_last=2, retention_seconds=3600.0)
+    assert out["removed_orphan_chunks"] == 1 and not os.path.exists(orphan)
+    # referenced chunks untouched
+    m = st.read_manifest(root)
+    for d in m["chunks"]:
+        assert os.path.exists(os.path.join(root, d["path"]))

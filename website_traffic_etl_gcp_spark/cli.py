@@ -108,7 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     sn_p.add_argument(
         "action",
         choices=(
-            "history", "compact", "vacuum", "merge", "read", "repack"
+            "history", "compact", "vacuum", "merge", "read", "repack",
+            "maintain",
         ),
     )
     sn_p.add_argument("root", help="Snapshot table root directory")
@@ -126,7 +127,18 @@ def main(argv: list[str] | None = None) -> int:
         "survive the merge (merge only)",
     )
     sn_p.add_argument("--keep-last", type=int, default=2,
-                      help="Versions to retain (vacuum only)")
+                      help="Versions to retain (vacuum/maintain)")
+    sn_p.add_argument(
+        "--retention", type=float, default=600.0,
+        help="Orphan-file grace window in seconds (vacuum/maintain)")
+    sn_p.add_argument(
+        "--min-age", type=float, default=0.0, dest="min_age",
+        help="Never expire a manifest younger than this many seconds, "
+        "even beyond --keep-last (vacuum/maintain; time-travel safety)")
+    sn_p.add_argument(
+        "--chunk-slack", type=float, default=2.0, dest="chunk_slack",
+        help="Repack manifests when chunk descriptors exceed this "
+        "multiple of the optimal packing (maintain only)")
     sn_p.add_argument("--target-mb", type=int, default=128,
                       help="Target data-file size (compact only)")
     sn_p.add_argument("--version", type=int, default=None,
@@ -317,11 +329,37 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 0
         if args.action == "vacuum":
-            out = st.vacuum(args.root, keep_last=args.keep_last)
+            out = st.vacuum(
+                args.root, keep_last=args.keep_last,
+                retention_seconds=args.retention,
+                min_age_seconds=args.min_age,
+            )
             print(
                 f"dropped versions {out['dropped_versions']}, kept "
                 f"{out['kept_versions']}, removed {out['removed_files']} "
                 "files"
+            )
+            return 0
+        if args.action == "maintain":
+            out = st.maintain_snapshot(
+                args.root, keep_last=args.keep_last,
+                retention_seconds=args.retention,
+                min_age_seconds=args.min_age,
+                chunk_slack=args.chunk_slack,
+            )
+            rp = out["repacked"]
+            rp_msg = (
+                f"repacked -> v{rp['version']} "
+                f"({rp['chunks_before']} -> {rp['chunks_after']} chunks)"
+                if rp
+                else f"no repack ({out['chunks_current']} chunks, "
+                f"optimal {out['chunks_optimal']})"
+            )
+            vac = out["vacuum"]
+            print(
+                f"{rp_msg}; vacuum dropped {vac['dropped_versions']}, "
+                f"kept {vac['kept_versions']}, removed "
+                f"{vac['removed_files']} files"
             )
             return 0
         if args.action == "repack":

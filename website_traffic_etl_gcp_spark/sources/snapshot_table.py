@@ -309,6 +309,7 @@ def _commit(
     # footer-scan only the NEW files — O(new files) driver work, the
     # same cost class as writing the manifest itself
     append_to = parent_m if mode == "append" and parent_m else None
+    own_chunks: list[str] = []  # packed by THIS attempt; reaped on conflict
     if append_to is not None and "chunks" in append_to:
         # chunked parent: carry descriptors VERBATIM, chunk the new
         # files — O(new files + n_chunks), parent chunks never reread
@@ -317,10 +318,9 @@ def _commit(
             s = _file_zone_map(os.path.join(root, f))
             if s:
                 new_stats[f] = s
-        body = {
-            "chunks": append_to["chunks"]
-            + _pack_chunks(root, new_rel, new_stats)
-        }
+        packed = _pack_chunks(root, new_rel, new_stats)
+        own_chunks = [d["path"] for d in packed]
+        body = {"chunks": append_to["chunks"] + packed}
     else:
         if append_to is not None:
             rel = append_to["files"] + new_rel
@@ -339,7 +339,9 @@ def _commit(
         if len(rel) > CHUNK_TARGET_FILES:
             # crossing the threshold (or a large overwrite/merge):
             # move the list + zone maps out of the version file
-            body = {"chunks": _pack_chunks(root, sorted(rel), stats)}
+            packed = _pack_chunks(root, sorted(rel), stats)
+            own_chunks = [d["path"] for d in packed]
+            body = {"chunks": packed}
         else:
             body = {"files": sorted(rel)}
             if stats:
@@ -356,6 +358,16 @@ def _commit(
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as e:
+        # this attempt lost the race: its just-packed chunk files will
+        # never be referenced by any manifest — delete them here or
+        # retry loops (merge/compact/repack under contention) leak
+        # files under _snapshots/chunks/ forever. The retry repacks
+        # against the new head anyway.
+        for rel_c in own_chunks:
+            try:
+                os.remove(os.path.join(root, rel_c))
+            except FileNotFoundError:
+                pass
         raise CommitConflict(
             f"version {version} of {root} was committed concurrently"
         ) from e
@@ -875,7 +887,10 @@ def snapshot_versions(root: str) -> list[int]:
 
 
 def vacuum(
-    root: str, keep_last: int = 2, retention_seconds: float = 600.0
+    root: str,
+    keep_last: int = 2,
+    retention_seconds: float = 600.0,
+    min_age_seconds: float = 0.0,
 ) -> dict:
     """Drop manifests beyond the newest ``keep_last`` and delete data
     files no retained manifest references. Safe order: manifests go
@@ -891,10 +906,28 @@ def vacuum(
     missing files, breaking this module's core invariant. Files
     referenced by a DROPPED manifest are committed history and are
     deleted regardless of age. Pass ``0`` only when the caller can
-    guarantee no concurrent writer (single-writer vacuum)."""
+    guarantee no concurrent writer (single-writer vacuum).
+
+    ``min_age_seconds`` is the TIME-TRAVEL grace window (Iceberg's
+    ``expire_snapshots older_than``): a manifest younger than it
+    survives even beyond ``keep_last``, so an in-flight reader that
+    pinned a recent version (or an ``as-of`` query inside the window)
+    never loses its files to a concurrent vacuum. ``0`` keeps the
+    count-only behavior."""
     versions = snapshot_versions(root)
-    drop = versions[:-keep_last] if keep_last else versions
-    keep = versions[len(drop):]
+    drop = versions[:-keep_last] if keep_last else list(versions)
+    if min_age_seconds > 0:
+        cutoff = time.time() - min_age_seconds
+        aged = []
+        for v in drop:
+            try:
+                if os.path.getmtime(_manifest_path(root, v)) <= cutoff:
+                    aged.append(v)
+            except FileNotFoundError:
+                continue  # concurrent vacuum already took it
+        drop = aged
+    dropset = set(drop)
+    keep = [v for v in versions if v not in dropset]
     referenced: set[str] = set()
     referenced_chunks: set[str] = set()
     for v in keep:
@@ -917,6 +950,27 @@ def vacuum(
             os.remove(os.path.join(root, rel))
         except FileNotFoundError:
             pass
+    # orphan chunks: packed by a commit attempt that crashed between
+    # pack and manifest create (losers of the O_EXCL race clean up
+    # after themselves in _commit, but a hard crash can't). Same
+    # grace-window rule as in-flight data files: an unreferenced chunk
+    # younger than retention may belong to a commit about to land.
+    removed_orphan_chunks = 0
+    chunk_dir = os.path.join(_snap_dir(root), _CHUNK_DIR)
+    now0 = time.time()
+    if os.path.isdir(chunk_dir):
+        for fn in os.listdir(chunk_dir):
+            rel = os.path.join(_SNAP_DIR, _CHUNK_DIR, fn)
+            if rel in referenced_chunks or rel in dropped_chunks:
+                continue
+            p = os.path.join(root, rel)
+            try:
+                if now0 - os.path.getmtime(p) < retention_seconds:
+                    continue
+                os.remove(p)
+            except FileNotFoundError:
+                continue
+            removed_orphan_chunks += 1
     removed_files = skipped_in_flight = 0
     now = time.time()
     data_root = os.path.join(root, "data")
@@ -950,5 +1004,49 @@ def vacuum(
         "dropped_versions": drop,
         "kept_versions": keep,
         "removed_files": removed_files,
+        "removed_orphan_chunks": removed_orphan_chunks,
         "skipped_in_flight": skipped_in_flight,
+    }
+
+
+def maintain_snapshot(
+    root: str,
+    keep_last: int = 2,
+    retention_seconds: float = 600.0,
+    min_age_seconds: float = 0.0,
+    chunk_slack: float = 2.0,
+) -> dict:
+    """The self-maintenance policy a streaming-append table runs on a
+    schedule (one CLI call per cron tick): repack fragmented manifests,
+    then age-safe vacuum.
+
+    Repack triggers only when the chunk-descriptor count exceeds
+    ``chunk_slack`` × the optimal packing (ceil(n_files /
+    CHUNK_TARGET_FILES)) — per-micro-batch appends add one small chunk
+    per commit, so a busy sink drifts toward O(commits) descriptors;
+    a freshly-packed or low-traffic table is left untouched (repack is
+    metadata-only but still a commit, and a no-op commit would churn
+    the history vacuum is trying to bound). Vacuum then expires
+    history beyond ``keep_last`` versions AND ``min_age_seconds`` age,
+    with the ``retention_seconds`` in-flight-file grace window.
+    Everything is metadata + file ops — no SparkSession, so the policy
+    can run from a sidecar with no executor cost."""
+    m = read_manifest(root)
+    n_files = manifest_n_files(m)
+    n_chunks = len(m.get("chunks", []))
+    optimal = max(1, -(-n_files // CHUNK_TARGET_FILES)) if n_files else 1
+    repacked = None
+    if n_chunks > optimal * chunk_slack:
+        repacked = repack_manifests(root)
+    vac = vacuum(
+        root,
+        keep_last=keep_last,
+        retention_seconds=retention_seconds,
+        min_age_seconds=min_age_seconds,
+    )
+    return {
+        "repacked": repacked,
+        "chunks_current": n_chunks,
+        "chunks_optimal": optimal,
+        "vacuum": vac,
     }
