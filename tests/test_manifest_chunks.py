@@ -351,3 +351,27 @@ def test_vacuum_reaps_orphan_chunks_after_grace(spark, tmp_path, small_chunks):
     m = st.read_manifest(root)
     for d in m["chunks"]:
         assert os.path.exists(os.path.join(root, d["path"]))
+
+
+def test_repack_restores_chunk_clustering(spark, tmp_path, small_chunks):
+    """Interleaved streaming appends leave path-ordered chunks whose
+    ranges all overlap; repack re-sorts by zone-map min so chunk-level
+    pruning works again."""
+    root = str(tmp_path / "t")
+    # appends interleave the key space: 0-5, 100-105, 6-11, 106-111 ...
+    spans = [(0, 6), (100, 106), (6, 12), (106, 112), (12, 18), (112, 118)]
+    for i, (lo, hi) in enumerate(spans):
+        st.write_snapshot(
+            _df(spark, lo, hi, parts=1), root,
+            mode="overwrite" if i == 0 else "append",
+        )
+    st.repack_manifests(root)
+    m = st.read_manifest(root)
+    ranges = [d["ranges"]["k"] for d in m["chunks"]]
+    # disjoint and ascending: each chunk's min is above the previous max
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert cur[0] > prev[1], ranges
+    # pruned read on the low half must open at most half the files
+    df, info = st.read_snapshot_pruned(spark, root, "k", 0, 17)
+    assert sorted(r["k"] for r in df.collect()) == list(range(18))
+    assert info["files_read"] <= info["files_total"] // 2

@@ -187,6 +187,46 @@ def _pack_chunks(root: str, files: list[str], stats: dict) -> list[dict]:
     return descriptors
 
 
+def _repack_order(files: list[str], stats: dict) -> list[str]:
+    """Cluster-aware file order for a manifest repack: sort by the
+    zone-map min of the column whose per-file ranges are most disjoint
+    (i.e. the column the data was actually written clustered by).
+    Chunk-level min/max ranges then prune regardless of how streaming
+    appends interleaved the paths. Falls back to the given (path)
+    order when stats are missing, no column is common to every file,
+    or values don't compare (mixed types). O(files × columns) driver
+    work, repack-time only."""
+    common: set[str] | None = None
+    for f in files:
+        s = stats.get(f)
+        if not s:
+            return files
+        common = set(s) if common is None else common & set(s)
+    if not common:
+        return files
+    best_col = None
+    best_overlaps = None
+    for c in sorted(common):
+        try:
+            rngs = sorted((stats[f][c][0], stats[f][c][1]) for f in files)
+            overlaps = sum(
+                1
+                for i in range(1, len(rngs))
+                if rngs[i][0] <= rngs[i - 1][1]
+            )
+        except TypeError:
+            continue
+        if best_overlaps is None or overlaps < best_overlaps:
+            best_col, best_overlaps = c, overlaps
+    if best_col is None:
+        return files
+    col = best_col
+    try:
+        return sorted(files, key=lambda f: (stats[f][col][0], stats[f][col][1], f))
+    except TypeError:
+        return files
+
+
 def manifest_files(root: str, m: dict) -> list[str]:
     """The full (relative) file list of a manifest, resolving chunk
     descriptors when present. O(files) — use only where the caller
@@ -338,8 +378,15 @@ def _commit(
                     stats[f] = s
         if len(rel) > CHUNK_TARGET_FILES:
             # crossing the threshold (or a large overwrite/merge):
-            # move the list + zone maps out of the version file
-            packed = _pack_chunks(root, sorted(rel), stats)
+            # move the list + zone maps out of the version file.
+            # Repacks order files by zone-map min instead of path so
+            # chunk-level ranges stay disjoint even after interleaved
+            # streaming appends — path order only prunes when it
+            # happens to correlate with the clustering column.
+            ordered = sorted(rel)
+            if mode == "repack-manifest":
+                ordered = _repack_order(ordered, stats)
+            packed = _pack_chunks(root, ordered, stats)
             own_chunks = [d["path"] for d in packed]
             body = {"chunks": packed}
         else:
