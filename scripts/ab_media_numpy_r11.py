@@ -1,100 +1,46 @@
-"""Round-11 media-tier vectorization evidence.
+"""Round-11 media-tier vectorization evidence (apples-to-apples).
 
 The r10 verdict flagged the vendored codecs' pure-Python inner loops
 (dhash64's 64 slice-sums, PNG per-byte filter reconstruction, BMP/AVI
 per-row de-padding) as the per-core bottleneck at real media volume.
-Round 11 vectorized them with numpy (already a dependency via the
-Arrow/pandas UDF path). This script times the OLD pure-Python
-implementations (inlined below, byte-for-byte from git history)
-against the SHIPPED ones on realistic payloads, asserts bit-identical
-outputs first, and writes MEDIA_VEC_AB_R11.json with per-function
-throughput and speedups.
+Round 11 vectorized them with numpy. This script times the FULL old
+decode functions (imported from a git worktree pinned at the r10
+verdict commit — same entry points, same payloads) against the FULL
+shipped ones, asserts bit-identical outputs first, and writes
+MEDIA_VEC_AB_R11.json with per-function speedups. No scope mismatch:
+both arms include header parse, chunk walk, CRC and inflate where the
+codec has them.
 
-Usage: python scripts/ab_media_numpy_r11.py [out_json]
+Usage:
+    git worktree add /tmp/ab_r10 <r10-verdict-commit>
+    python scripts/ab_media_numpy_r11.py [out_json]
+Env: AB_TREE_OLD overrides the old-code worktree path.
 """
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
+import random
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from website_traffic_etl_gcp_spark.operators import multimodal as mm
-from website_traffic_etl_gcp_spark.sources import media_minimal as media
-
-REPEATS = 5
+NEW_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OLD_ROOT = os.environ.get("AB_TREE_OLD", "/tmp/ab_r10")
+PKG = "website_traffic_etl_gcp_spark"
+REPEATS = 7
 
 
-# ---- old implementations (r10, pure Python) -------------------------------
-
-def old_dhash64(pixels: bytes) -> int:
-    n = len(pixels)
-    sums, cnts = [], []
-    for k in range(64):
-        lo, hi = k * n // 64, (k + 1) * n // 64
-        sums.append(sum(pixels[lo:hi]))
-        cnts.append(hi - lo)
-    h = 0
-    for k in range(64):
-        s1, c1 = sums[k], cnts[k]
-        s2, c2 = sums[(k + 1) % 64], cnts[(k + 1) % 64]
-        if c1 == 0:
-            gt = False
-        elif c2 == 0:
-            gt = s1 > 0
-        else:
-            gt = s1 * c2 > s2 * c1
-        if gt:
-            h |= 1 << k
-    return h - (1 << 64) if h >= (1 << 63) else h
-
-
-def old_decode_bmp_rows(data: bytes, off_bits: int, stride: int,
-                        width: int, height: int) -> bytes:
-    return b"".join(
-        data[off_bits + r * stride : off_bits + r * stride + width]
-        for r in range(height - 1, -1, -1)
-    )
-
-
-def old_png_unfilter(raw: bytes, width: int, height: int) -> bytes:
-    from website_traffic_etl_gcp_spark.sources.media_minimal import _paeth
-
-    out = bytearray()
-    prev = bytes(width)
-    for r in range(height):
-        ftype = raw[r * (width + 1)]
-        line = raw[r * (width + 1) + 1 : (r + 1) * (width + 1)]
-        row = bytearray(width)
-        if ftype == 0:
-            row[:] = line
-        elif ftype == 1:
-            for i in range(width):
-                row[i] = (line[i] + (row[i - 1] if i else 0)) & 0xFF
-        elif ftype == 2:
-            for i in range(width):
-                row[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:
-            for i in range(width):
-                row[i] = (
-                    line[i] + (((row[i - 1] if i else 0) + prev[i]) >> 1)
-                ) & 0xFF
-        elif ftype == 4:
-            for i in range(width):
-                row[i] = (
-                    line[i]
-                    + _paeth(
-                        row[i - 1] if i else 0,
-                        prev[i],
-                        prev[i - 1] if i else 0,
-                    )
-                ) & 0xFF
-        out += row
-        prev = bytes(row)
-    return bytes(out)
+def _load(root: str):
+    """Import (media_minimal, multimodal) from ``root``, isolated."""
+    for mod in [m for m in sys.modules if m.startswith(PKG)]:
+        del sys.modules[mod]
+    sys.path = [p for p in sys.path if p not in (NEW_ROOT, OLD_ROOT)]
+    sys.path.insert(0, root)
+    media = importlib.import_module(f"{PKG}.sources.media_minimal")
+    mm = importlib.import_module(f"{PKG}.operators.multimodal")
+    return media, mm
 
 
 def _bench(fn, args_list):
@@ -110,100 +56,71 @@ def _bench(fn, args_list):
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "MEDIA_VEC_AB_R11.json",
+        NEW_ROOT, "MEDIA_VEC_AB_R11.json"
     )
-    import random
-
+    if not os.path.isdir(os.path.join(OLD_ROOT, PKG)):
+        raise SystemExit(
+            f"old worktree missing at {OLD_ROOT}: "
+            "git worktree add /tmp/ab_r10 <r10-verdict-commit>"
+        )
     rng = random.Random(11)
-    report = {"repeats": REPEATS, "payloads": {}}
-
-    # realistic grids: 512x512 "image" pixels
     w, h = 512, 512
     pix = bytes(rng.randrange(256) for _ in range(w * h))
-    report["payloads"]["grid"] = f"{w}x{h}"
-
-    # dhash64 — equality then timing over 20 payloads
-    assert old_dhash64(pix) == mm.dhash64(pix)
-    payloads = [
-        (bytes(rng.randrange(256) for _ in range(w * h)),)
-        for _ in range(5)
+    pix_payloads = [
+        (bytes(rng.randrange(256) for _ in range(w * h)),) for _ in range(5)
     ]
-    t_old = _bench(old_dhash64, payloads)
-    t_new = _bench(mm.dhash64, payloads)
-    report["dhash64"] = {
-        "old_sec": round(t_old, 4),
-        "new_sec": round(t_new, 4),
-        "speedup": round(t_old / t_new, 1),
+
+    # build payloads with the NEW encoders (byte formats are identical
+    # across the two commits — the old decoders must accept them, which
+    # the equality asserts below prove)
+    media_new, mm_new = _load(NEW_ROOT)
+    bmp = media_new.encode_bmp(w, h, pix)
+    png = media_new.encode_png(w, h, pix)
+    avi = media_new.encode_avi(w, h, [pix] * 4)
+
+    report = {
+        "repeats": REPEATS,
+        "payloads": {"grid": f"{w}x{h}", "avi_frames": 4},
+        "old_code": f"worktree {OLD_ROOT} (r10 verdict commit)",
+        "design": "full-function A/B: same entry points, same payloads, "
+        "best-of-N; outputs asserted bit-identical first",
     }
 
-    # BMP decode (row de-pad + flip dominates)
-    bmp = media.encode_bmp(w, h, pix)
-    assert media.decode_bmp(bmp) == (w, h, pix)
-    stride = media.bmp_stride(w)
-    off = len(bmp) - stride * h
-    t_old = _bench(
-        old_decode_bmp_rows, [(bmp, off, stride, w, h)] * 5
+    cases = {
+        "dhash64": (lambda mod: mod[1].dhash64, pix_payloads),
+        "decode_bmp": (lambda mod: mod[0].decode_bmp, [(bmp,)] * 5),
+        "decode_png": (lambda mod: mod[0].decode_png, [(png,)] * 3),
+        "decode_avi": (lambda mod: mod[0].decode_avi, [(avi,)] * 3),
+    }
+
+    # correctness parity first (old vs new outputs, all payloads)
+    media_old, mm_old = _load(OLD_ROOT)
+    old_out = {
+        name: [pick((media_old, mm_old))(*a) for a in args]
+        for name, (pick, args) in cases.items()
+    }
+    media_new, mm_new = _load(NEW_ROOT)
+    for name, (pick, args) in cases.items():
+        new_out = [pick((media_new, mm_new))(*a) for a in args]
+        assert new_out == old_out[name], f"{name} output drifted"
+
+    # timing: alternate arms so ambient load cancels; best-of-REPEATS
+    for name, (pick, args) in cases.items():
+        media_old, mm_old = _load(OLD_ROOT)
+        t_old = _bench(pick((media_old, mm_old)), args)
+        media_new, mm_new = _load(NEW_ROOT)
+        t_new = _bench(pick((media_new, mm_new)), args)
+        report[name] = {
+            "old_sec": round(t_old, 4),
+            "new_sec": round(t_new, 4),
+            "speedup": round(t_old / t_new, 1),
+        }
+
+    report["decode_png"]["note"] = (
+        "both arms include chunk walk + CRC + inflate; Average/Paeth "
+        "rows (2 of 5) keep a sequential loop (left-neighbor data "
+        "dependence), bounding the PNG win"
     )
-    t_new = _bench(media.decode_bmp, [(bmp,)] * 5)
-    report["decode_bmp"] = {
-        "old_sec": round(t_old, 4),
-        "new_sec": round(t_new, 4),
-        "speedup": round(t_old / t_new, 1),
-        "note": "old timing is the row loop alone (header parse excluded)",
-    }
-
-    # PNG decode — the filter reconstruction is the hot part; the
-    # encoder cycles all five filter types across rows
-    png = media.encode_png(w, h, pix)
-    assert media.decode_png(png) == (w, h, pix)
-    import zlib
-
-    raw = None
-    # extract the raw scanline stream once for the old-path timing
-    pos = 8
-    idat = bytearray()
-    while pos < len(png):
-        import struct as st
-
-        (length,) = st.unpack_from(">I", png, pos)
-        ctype = png[pos + 4 : pos + 8]
-        if ctype == b"IDAT":
-            idat += png[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-    raw = zlib.decompress(bytes(idat))
-    assert old_png_unfilter(raw, w, h) == pix
-    t_old = _bench(old_png_unfilter, [(raw, w, h)] * 3)
-    t_new = _bench(media.decode_png, [(png,)] * 3)
-    report["decode_png"] = {
-        "old_sec": round(t_old, 4),
-        "new_sec": round(t_new, 4),
-        "speedup": round(t_old / t_new, 1),
-        "note": "new timing includes chunk walk + CRC + inflate that "
-        "the old number excludes; Average/Paeth rows (2 of 5) keep "
-        "the sequential loop — left-neighbor dependence",
-    }
-
-    # AVI decode: 4 frames of the grid
-    avi = media.encode_avi(w, h, [pix] * 4)
-    dec = media.decode_avi(avi)
-    assert dec[3] == [pix] * 4
-    t_new = _bench(media.decode_avi, [(avi,)] * 5)
-    t_old = _bench(
-        lambda d: [
-            old_decode_bmp_rows(f, 0, stride, w, h)
-            for f in [d] * 4
-        ],
-        [(bytes(stride * h),)] * 5,
-    )
-    report["decode_avi"] = {
-        "old_sec": round(t_old, 4),
-        "new_sec": round(t_new, 4),
-        "speedup": round(t_old / t_new, 1),
-        "note": "old timing is 4x the frame de-pad loop alone; new "
-        "is the full container walk",
-    }
-
     report["pass_5x"] = report["dhash64"]["speedup"] >= 5.0
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)

@@ -160,19 +160,33 @@ def dhash64(pixels: bytes) -> int:
     reproduces the same bits. An empty cell (N < 64) has mean 0.
     Returned as a SIGNED int64 (Spark LongType two's complement).
 
-    numpy-vectorized (r11): one cumsum over the payload + prefix-sum
-    differences at the 65 cell boundaries replaces 64 Python
-    slice-sums — the per-core decode-side bottleneck at real media
-    volume. All arithmetic stays int64-exact (cell sums ≤ 255·N,
-    cross-products ≤ 255·N·(N/64+1): fine past 10^7-pixel payloads).
+    numpy-vectorized (r11): one ``np.add.reduceat`` over the payload
+    at the 64 cell starts replaces 64 Python slice-sums — the per-core
+    decode-side bottleneck at real media volume (cumsum-based prefix
+    sums measured ~10× slower than reduceat here: the uint8→int64
+    promoting cumsum is the cost, not the boundary math). All
+    arithmetic stays int64-exact (cell sums ≤ 255·N, cross-products
+    ≤ 255·N·(N/64+1): fine past 10^7-pixel payloads).
     """
     n = len(pixels)
     arr = np.frombuffer(pixels, dtype=np.uint8)
-    csum = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(arr, out=csum[1:])
     bounds = np.arange(65, dtype=np.int64) * n // 64
-    sums = csum[bounds[1:]] - csum[bounds[:-1]]
     cnts = bounds[1:] - bounds[:-1]
+    if n >= 64 and n % 64 == 0:
+        # equal cells: one reshape + axis-sum (the fastest path —
+        # boundary formula degenerates to fixed-width cells)
+        sums = arr.reshape(64, -1).sum(axis=1, dtype=np.int64)
+    elif n >= 64:
+        # all 64 cells non-empty → reduceat start indices are strictly
+        # increasing (its empty-segment quirk can't trigger)
+        sums = np.add.reduceat(arr, bounds[:-1], dtype=np.int64)
+    else:
+        # tiny payload: some cells empty; prefix-sum path handles the
+        # zero-width segments exactly (empty cell sum = 0)
+        csum = np.concatenate(
+            ([0], np.cumsum(arr, dtype=np.int64))
+        )
+        sums = csum[bounds[1:]] - csum[bounds[:-1]]
     s2, c2 = np.roll(sums, -1), np.roll(cnts, -1)
     gt = np.where(
         cnts == 0,

@@ -199,11 +199,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError(
             f"bfSize {file_size} != actual file length {len(data)}"
         )
-    # row de-padding + bottom-up flip as one strided numpy view
+    # row de-padding + bottom-up flip as one strided numpy view;
+    # materialize via ascontiguousarray — .tobytes() straight off a
+    # negative-stride view copies element-wise (~5× slower than the
+    # contiguous blit)
     arr = np.frombuffer(
         data, dtype=np.uint8, count=stride * height, offset=off_bits
     )
-    return width, height, arr.reshape(height, stride)[::-1, :width].tobytes()
+    view = arr.reshape(height, stride)[::-1, :width]
+    return width, height, np.ascontiguousarray(view).tobytes()
 
 
 # ---- WAV -----------------------------------------------------------------
@@ -473,9 +477,8 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                         f"!= stride {stride} × height {height}"
                     )
                 farr = np.frombuffer(fbody, dtype=np.uint8)
-                frames.append(
-                    farr.reshape(height, stride)[::-1, :width].tobytes()
-                )
+                fview = farr.reshape(height, stride)[::-1, :width]
+                frames.append(np.ascontiguousarray(fview).tobytes())
     if width is None or not strh_seen or not strf_seen:
         raise MediaFormatError("missing hdrl/strh/strf")
     if total_frames != len(frames):
