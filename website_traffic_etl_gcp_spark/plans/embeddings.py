@@ -814,13 +814,20 @@ def skew_refine_cells(
     Scale shape: each round is one occupancy groupBy over ≤
     labels·2^SEM_PLANES cells; only the HOT subset (a skew tail)
     broadcasts back — the corpus is touched by ``rounds`` map-side
-    joins, no extra corpus shuffle. The integer rule is engine-
+    joins, no extra corpus shuffle. Each round's frame is
+    ``localCheckpoint``-ed: the base assignment embeds two per-row
+    LSH-signature reductions (a very deep expression tree), and
+    without truncation every round re-analyzes and re-executes that
+    lineage — measured as a flat ~1.5 s/round of planner+recompute
+    overhead at ANY data size (2.4× on the whole query at sf0.1).
+    With truncation a round is one tiny occupancy job + one re-key
+    job over the materialized rows. The integer rule is engine-
     portable, so the DuckDB oracle replays the unrolled rounds
     exactly. int64 headroom: occ·nl·2^p < n·nl·2^p ≈ n²·HOT/cap —
     fine through the measured decades and the ~3.4B-vector budget."""
     sentinel = SEM_PLANES + 1
     mask = lambda bits: F.pow(F.lit(2.0), bits).cast("bigint") - 1  # noqa: E731
-    cur = asg.withColumn("depth", F.col("p"))
+    cur = asg.withColumn("depth", F.col("p")).localCheckpoint()
     for _ in range(rounds):
         occ = cur.groupBy("cell_id").agg(
             F.count(F.lit(1)).alias("occ"),
@@ -851,6 +858,15 @@ def skew_refine_cells(
         hot = occ.select("cell_id", extra.alias("extra")).filter(
             F.col("extra") > 0
         )
+        # result-equivalent early exit: an empty hot set makes this
+        # round's re-key the identity AND every later round a no-op
+        # (occupancies unchanged → same empty hot set), so breaking
+        # here cannot change the output — the SQL oracle still
+        # replays the full fixed unroll and agrees. At SFs with no
+        # hot cell (every SF below the sf10 pin) this cuts the split
+        # to one tiny occupancy probe.
+        if not hot.limit(1).count():
+            break
         cur = (
             cur.join(F.broadcast(hot), "cell_id", "left")
             .withColumn("extra", F.coalesce("extra", F.lit(0)))
@@ -870,6 +886,7 @@ def skew_refine_cells(
                 "nl",
                 (F.col("depth") + F.col("extra")).alias("depth"),
             )
+            .localCheckpoint()
         )
     return cur.select("vec_id", "cell_id", "unit")
 
