@@ -56,6 +56,8 @@ SF10_QUERIES = [
     "top_bigrams",
     "dsir_importance_weights",
     "doc_lm_perplexity",
+    "text_extract_html",
+    "text_extract_html_quality",
     # §2E embeddings (200k vectors)
     "centroid_by_label",
     "embedding_quantize_int8",
@@ -68,6 +70,7 @@ SF10_QUERIES = [
     "multimodal_metadata",
     "multimodal_video_frames",
     "streaming_hourly_counts",
+    "streaming_bus_ingest",
     "snapshot_zonemap_prune",
 ]
 
