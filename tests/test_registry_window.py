@@ -94,10 +94,13 @@ SECTION_REPRESENTATIVES = (
     "snapshot_schema_evolution",  # §2H
 )
 
-# the forty-six rows whose latest driver green is r8 — after round 11
-# lands, these hold the oldest evidence in the registry; the round-12
-# window must lead with them (46 of 50 slots)
+# the forty-six rows whose latest driver green is r8, plus the one
+# round-11 query that landed after the window was sealed — after
+# round 11 lands, these hold the oldest (or no) evidence in the
+# registry; the round-12 window must lead with them (47 of 50 slots)
 MUST_LEAD_R12 = (
+    # never driver-checked: landed after the r11 window was sealed
+    "streaming_html_extract",
     "asof_last_event_before_order",
     "bigram_next_token_prob",
     "bloom_prefiltered_revenue",

@@ -567,3 +567,53 @@ def streaming_bus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import bus
 
     return bus.bus_ingest_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_html_extract",
+    # batch-equivalence oracle: a bounded availableNow drain of the
+    # landing dir sees exactly the batch corpus, and extraction is a
+    # stateless per-row map — the streaming result IS the batch result
+    oracle=None,  # set below from the batch twin's SQL (single source)
+    tags=("streaming", "html", "documents"),
+    doc="Streaming twin of text_extract_html — the crawl-stream "
+    "pre-filter: documents land as files, each micro-batch plants "
+    "the deterministic boilerplate wrapper (JVM concat) and strips "
+    "it back out with the Arrow-batch density classifier. Stateless "
+    "map, so watermarks/state never enter; the oracle is the batch "
+    "extraction SQL verbatim (plans/documents.py).",
+)
+def streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_path
+    from ..operators import html_extract as hx
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(rollups.stream_source_dir(sf_dir, "documents"))
+    )
+    planted = stream.select(
+        "doc_id", hx.plant_boilerplate_html("doc_id", "text").alias("html")
+    )
+    return rollups.run_to_completion(
+        hx.extract_main_content(planted, "html"), output_mode="append"
+    )
+
+
+def _wire_streaming_html_oracle() -> None:
+    """Share the batch twin's oracle SQL (one source of truth for the
+    planted-page ground truth) without a circular import at module
+    import time."""
+    from dataclasses import replace
+
+    from . import documents as _docs_mod
+    from .registry import REGISTRY
+
+    REGISTRY["streaming_html_extract"] = replace(
+        REGISTRY["streaming_html_extract"],
+        oracle=_docs_mod._SQL_HTML_EXTRACT,
+    )
+
+
+_wire_streaming_html_oracle()
