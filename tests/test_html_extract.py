@@ -89,3 +89,88 @@ def test_planted_wrapper_ground_truth(spark):
     assert r4["main_text"] == "" and r4["n_content_blocks"] == 0
     assert r4["n_blocks"] == 5
     assert r4["content_chars"] == 0
+
+
+# ---- property tests: the parser must never crash and the density
+# rule's outputs must stay within the parsed text ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_html_chunks = st.lists(
+    st.one_of(
+        st.sampled_from([
+            "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+            "<nav>", "</nav>", "<script>", "</script>", "<li>", "</ul>",
+            "<br/>", "<!-- c -->", "<P CLASS='y'>", "</SPAN>", "&amp;",
+            "<", ">", "</", "<>",
+        ]),
+        st.text(
+            alphabet=st.characters(blacklist_characters="<>&"),
+            max_size=20,
+        ),
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(chunks=_html_chunks)
+def test_extractor_total_on_arbitrary_markup(chunks):
+    html = "".join(chunks)
+    main, n_blocks, n_content = hx.extract_main_text(html)
+    assert 0 <= n_content <= n_blocks
+    # output is whitespace-normalized: no runs, no edge whitespace
+    assert main == " ".join(main.split())
+    # every kept word appeared in the (entity-unescaped) input — the
+    # parser converts charrefs, so compare against the unescaped form
+    import html as html_mod
+
+    unescaped = html_mod.unescape(html)
+    for w in set(main.split()):
+        assert w in unescaped
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(blacklist_characters="<>&"), max_size=200
+    ),
+    doc_id=st.integers(min_value=0, max_value=10**9),
+)
+def test_planted_wrapper_roundtrip_property(text, doc_id):
+    """For ANY tag-free text, extraction over the planted wrapper
+    returns exactly the closed-form ground truth the oracle computes."""
+    norm = " ".join(text.split())
+    html = (
+        f"<html><head><title>doc {doc_id}</title><script>var t=0;</script>"
+        f"<style>p{{margin:0}}</style></head><body><nav>"
+        + "".join(
+            f'<a href="/p{i}">item {i}</a>' for i in range(2 + doc_id % 4)
+        )
+        + '</nav><div class="side"><ul>'
+        '<li><a href="/x">more links here</a></li>'
+        '<li><a href="/y">related posts now</a></li></ul></div>'
+        f"<article><p>{text}</p>"
+        + (
+            f"<p>appendix note for document {doc_id} with extra detail</p>"
+            if doc_id % 3 == 0
+            else ""
+        )
+        + '</article><footer><a href="/tos">terms</a> '
+        '<a href="/privacy">privacy</a> copyright 2026</footer>'
+        "</body></html>"
+    )
+    main, n_blocks, n_content = hx.extract_main_text(html)
+    keep_main = len(norm) > 0 and len(norm.split()) >= 5
+    appendix = (
+        f"appendix note for document {doc_id} with extra detail"
+        if doc_id % 3 == 0
+        else None
+    )
+    expected = " ".join(
+        [x for x in ((norm if keep_main else None), appendix) if x]
+    )
+    assert main == expected
+    assert n_blocks == 4 + (1 if norm else 0) + (1 if appendix else 0)
+    assert n_content == int(keep_main) + int(bool(appendix))

@@ -10,10 +10,11 @@ added or materially changed (the HTML boilerplate-extraction pair,
 the message-bus ingest, the shuffle-reworked perplexity plan, the
 skew-split semantic cells, the numpy-vectorized media tier, and the
 snapshot commit path). Together they fill the window exactly
-(41 + 9 = 50). The forty-six r8-green rows are DECLARED as
-MUST_LEAD_R12 below, keeping the staleness invariant ("no green row
-older than 3 rounds") an explicit chain of custody rather than an
-editable comment."""
+(41 + 9 = 50). The forty-six r8-green rows — plus the two queries
+that landed after the window was sealed and so have no driver row
+yet — are DECLARED as MUST_LEAD_R12 below, keeping the staleness
+invariant ("no green row older than 3 rounds") an explicit chain of
+custody rather than an editable comment."""
 
 from __future__ import annotations
 
@@ -94,13 +95,14 @@ SECTION_REPRESENTATIVES = (
     "snapshot_schema_evolution",  # §2H
 )
 
-# the forty-six rows whose latest driver green is r8, plus the one
-# round-11 query that landed after the window was sealed — after
+# the forty-six rows whose latest driver green is r8, plus the two
+# round-11 queries that landed after the window was sealed — after
 # round 11 lands, these hold the oldest (or no) evidence in the
-# registry; the round-12 window must lead with them (47 of 50 slots)
+# registry; the round-12 window must lead with them (48 of 50 slots)
 MUST_LEAD_R12 = (
     # never driver-checked: landed after the r11 window was sealed
     "streaming_html_extract",
+    "streaming_bus_dlq_audit",
     "asof_last_event_before_order",
     "bigram_next_token_prob",
     "bloom_prefiltered_revenue",

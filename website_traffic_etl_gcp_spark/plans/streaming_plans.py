@@ -617,3 +617,29 @@ def _wire_streaming_html_oracle() -> None:
 
 
 _wire_streaming_html_oracle()
+
+
+@register(
+    "streaming_bus_dlq_audit",
+    oracle="""
+    SELECT user_id % 8 AS partition,
+           COUNT(*) AS n_events,
+           CAST(2 AS BIGINT) AS n_poison_raw,
+           CAST(1 AS BIGINT) AS n_poison_distinct
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "bus", "dq"),
+    doc="Dead-letter handling on the message bus: one deterministic "
+    "non-JSON line per partition (delivered twice) is planted next to "
+    "the good segments; the consumer attributes it via the TRANSPORT "
+    "partition (segment path — the out-of-band metadata a real bus "
+    "provides) and routes it to the DLQ side while the good messages "
+    "dedup on (partition, offset) exactly as the clean ingest. The "
+    "oracle pins per-partition good counts AND the poison raw/distinct "
+    "constants — absorbing the poison without losing a good row. "
+    "streaming/bus.py:bus_dlq_audit.",
+)
+def streaming_bus_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import bus
+
+    return bus.bus_dlq_audit(spark, sf_dir)

@@ -73,7 +73,10 @@ def bus_dir(sf_dir: str, topic: str = "events") -> str:
 
 
 def produce_events_bus(
-    spark: SparkSession, sf_dir: str, at_least_once: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    at_least_once: bool = True,
+    topic: str = "events",
 ) -> str:
     """Materialize the events table as a sealed bus topic (idempotent:
     keyed by sf_dir basename; rebuilt atomically via temp-dir rename).
@@ -82,7 +85,7 @@ def produce_events_bus(
     twin (hard link), so the topic delivers each message exactly
     twice — the delivery model a correct consumer must collapse.
     """
-    final = bus_dir(sf_dir)
+    final = bus_dir(sf_dir, topic)
     if os.path.exists(os.path.join(final, "_SEALED")):
         return final
     tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
@@ -199,3 +202,92 @@ def consume_bus_exactly_once(
         .start()
     )
     q.awaitTermination()
+
+
+def read_bus_stream_with_meta(spark: SparkSession, bus_path: str) -> DataFrame:
+    """The consumer with transport metadata: source partition comes
+    from the segment path (the out-of-band metadata a real bus hands
+    every record), so a message whose PAYLOAD is unparseable can still
+    be attributed and dead-lettered instead of poisoning the stream.
+    Adds ``src_partition`` (from the path) and ``is_poison`` (payload
+    failed to parse or lacks the addressing fields)."""
+    raw = (
+        spark.readStream.option("recursiveFileLookup", "true")
+        .text(bus_path)
+        .withColumn(
+            "src_partition",
+            F.regexp_extract(F.input_file_name(), r"partition=(\d+)", 1)
+            .cast("long"),
+        )
+    )
+    m = F.from_json("value", MSG_SCHEMA)
+    return raw.select(
+        F.col("value").alias("raw"),
+        "src_partition",
+        m.alias("m"),
+    ).select(
+        "raw",
+        "src_partition",
+        "m.*",
+        (
+            F.col("m.partition").isNull()
+            | F.col("m.offset").isNull()
+            | F.col("m.ts_us").isNull()
+        ).alias("is_poison"),
+    )
+
+
+def plant_poison_lines(bus_path: str) -> None:
+    """Plant one deterministic non-JSON line per partition (plus its
+    at-least-once twin) — the malformed-producer scenario a DLQ has to
+    absorb. Idempotent."""
+    for k in range(N_PARTITIONS):
+        pdir = os.path.join(bus_path, f"partition={k}")
+        if not os.path.isdir(pdir):
+            continue
+        p = os.path.join(pdir, "poison-0.txt")
+        if not os.path.exists(p):
+            with open(p, "w") as fh:
+                fh.write(f"corrupt producer frame @partition {k} ###\n")
+        twin = os.path.join(pdir, "poison-0-redelivered.txt")
+        if not os.path.exists(twin):
+            os.link(p, twin)
+
+
+def bus_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a bus containing planted poison lines: good messages
+    dedup on (partition, offset) exactly as the clean ingest; poison
+    lines route to the dead-letter side keyed by the TRANSPORT
+    partition and dedup by content (no offsets inside a frame that
+    would not parse). Returns per-partition (n_events, n_poison_raw,
+    n_poison_distinct) — proving the DLQ absorbed exactly the corrupt
+    lines and lost no good rows. Uses its own topic dir so the clean
+    streaming_bus_ingest contract stays byte-identical."""
+    path = produce_events_bus(spark, sf_dir, topic="events_dlq")
+    plant_poison_lines(path)
+    msgs = read_bus_stream_with_meta(spark, path)
+    good = dedup_bus_messages(
+        msgs.filter(~F.col("is_poison")).withColumn(
+            "ts", F.timestamp_micros("ts_us")
+        )
+    )
+    landed_good = run_to_completion(
+        good.select("partition", "value"), output_mode="append"
+    )
+    landed_poison = run_to_completion(
+        msgs.filter(F.col("is_poison")).select("src_partition", "raw"),
+        output_mode="append",
+    )
+    g = landed_good.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    p = landed_poison.groupBy(F.col("src_partition").alias("partition")).agg(
+        F.count(F.lit(1)).alias("n_poison_raw"),
+        F.countDistinct("raw").alias("n_poison_distinct"),
+    )
+    return g.join(p, "partition", "full").select(
+        "partition",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_poison_raw", F.lit(0)).alias("n_poison_raw"),
+        F.coalesce("n_poison_distinct", F.lit(0)).alias("n_poison_distinct"),
+    )
