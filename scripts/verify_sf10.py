@@ -71,6 +71,8 @@ SF10_QUERIES = [
     "multimodal_video_frames",
     "streaming_hourly_counts",
     "streaming_bus_ingest",
+    "streaming_bus_dlq_audit",
+    "streaming_html_extract",
     "snapshot_zonemap_prune",
 ]
 
