@@ -43,15 +43,11 @@ def _load(root: str):
     return media, mm
 
 
-def _bench(fn, args_list):
-    best = None
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for a in args_list:
-            fn(*a)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+def _time_once(fn, args_list):
+    t0 = time.perf_counter()
+    for a in args_list:
+        fn(*a)
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -104,12 +100,17 @@ def main() -> None:
         new_out = [pick((media_new, mm_new))(*a) for a in args]
         assert new_out == old_out[name], f"{name} output drifted"
 
-    # timing: alternate arms so ambient load cancels; best-of-REPEATS
+    # timing: TRULY alternate arms (old pass, new pass, old pass, ...)
+    # so a transient load spike hits both arms; best-of-REPEATS per arm
     for name, (pick, args) in cases.items():
-        media_old, mm_old = _load(OLD_ROOT)
-        t_old = _bench(pick((media_old, mm_old)), args)
-        media_new, mm_new = _load(NEW_ROOT)
-        t_new = _bench(pick((media_new, mm_new)), args)
+        t_old = t_new = None
+        for _ in range(REPEATS):
+            fn_old = pick(_load(OLD_ROOT))
+            dt = _time_once(fn_old, args)
+            t_old = dt if t_old is None else min(t_old, dt)
+            fn_new = pick(_load(NEW_ROOT))
+            dt = _time_once(fn_new, args)
+            t_new = dt if t_new is None else min(t_new, dt)
         report[name] = {
             "old_sec": round(t_old, 4),
             "new_sec": round(t_new, 4),

@@ -70,6 +70,8 @@ def test_planted_wrapper_ground_truth(spark):
         [
             Row(doc_id=3, text="the quick brown fox jumps over the dog"),
             Row(doc_id=4, text="tiny doc"),  # < 5 words -> main dropped
+            # markup metacharacters must round-trip via entity escaping
+            Row(doc_id=5, text="a <b> & &amp; </article> c d e f"),
         ]
     )
     planted = df.select(
@@ -89,6 +91,9 @@ def test_planted_wrapper_ground_truth(spark):
     assert r4["main_text"] == "" and r4["n_content_blocks"] == 0
     assert r4["n_blocks"] == 5
     assert r4["content_chars"] == 0
+    r5 = out[5]  # metacharacter text recovered verbatim, blocks intact
+    assert r5["main_text"] == "a <b> & &amp; </article> c d e f"
+    assert r5["n_blocks"] == 5 and r5["n_content_blocks"] == 1
 
 
 # ---- property tests: the parser must never crash and the density
@@ -133,15 +138,18 @@ def test_extractor_total_on_arbitrary_markup(chunks):
 
 @settings(max_examples=50, deadline=None)
 @given(
-    text=st.text(
-        alphabet=st.characters(blacklist_characters="<>&"), max_size=200
-    ),
+    text=st.text(max_size=200),
     doc_id=st.integers(min_value=0, max_value=10**9),
 )
 def test_planted_wrapper_roundtrip_property(text, doc_id):
-    """For ANY tag-free text, extraction over the planted wrapper
-    returns exactly the closed-form ground truth the oracle computes."""
+    """For ANY text — markup metacharacters included — extraction over
+    the planted wrapper returns exactly the closed-form ground truth
+    the oracle computes (the wrapper entity-escapes the payload and
+    the parser unescapes it back)."""
     norm = " ".join(text.split())
+    escaped = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
     html = (
         f"<html><head><title>doc {doc_id}</title><script>var t=0;</script>"
         f"<style>p{{margin:0}}</style></head><body><nav>"
@@ -151,7 +159,7 @@ def test_planted_wrapper_roundtrip_property(text, doc_id):
         + '</nav><div class="side"><ul>'
         '<li><a href="/x">more links here</a></li>'
         '<li><a href="/y">related posts now</a></li></ul></div>'
-        f"<article><p>{text}</p>"
+        f"<article><p>{escaped}</p>"
         + (
             f"<p>appendix note for document {doc_id} with extra detail</p>"
             if doc_id % 3 == 0

@@ -167,7 +167,19 @@ def plant_boilerplate_html(
     is what the DuckDB oracle recomputes.
     """
     did = F.col(id_col) if isinstance(id_col, str) else id_col
-    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    # entity-escape the payload (& first) so text containing markup
+    # metacharacters survives planting: the parser unescapes char
+    # references back to the original text, so the closed-form ground
+    # truth (extraction returns the raw text) holds for ANY corpus,
+    # not just metacharacter-free ones
+    txt = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
     nav_links = F.concat_ws(
         "",
         F.transform(

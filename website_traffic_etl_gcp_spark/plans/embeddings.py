@@ -1030,10 +1030,11 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
     )
-    # feeds both self-join sides
-    asg = skew_refine_cells(
-        semantic_cell_frame(emb, with_sig=True)
-    ).persist()
+    # feeds both self-join sides — already materialized: the refine
+    # loop localCheckpoints its final frame, so both join sides read
+    # the checkpoint blocks directly (a second persist() here would
+    # store the hottest columns twice)
+    asg = skew_refine_cells(semantic_cell_frame(emb, with_sig=True))
     a = asg.select(
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),

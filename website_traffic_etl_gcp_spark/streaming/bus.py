@@ -19,15 +19,22 @@ redelivered segment twins so every message arrives at least twice.
 The consumer is an ordinary Structured Streaming file source over the
 segment lines: readStream.text → from_json → event-time watermark →
 ``dropDuplicatesWithinWatermark`` on (partition, offset). State is
-bounded by the watermark delay, not by topic history, so the same
-plan holds on an unbounded production bus. Batches land through the
-same exactly-once batch_id-keyed foreachBatch sink contract as the
-other ingests (streaming/doc_ingest.py:58).
+bounded by the watermark delay, not by topic history — the standard
+watermark contract, which carries the standard watermark assumption:
+dedup is guaranteed for redeliveries that arrive within the delay of
+the first delivery's event time, and data later than the watermark is
+dropped like in any watermarked pipeline. (The bounded availableNow
+drain used by the registry queries sees everything in one batch, so
+the assumption is trivially met there; a production deployment sizes
+the delay to the bus's actual retry/lag bound.) Batches land through
+the same exactly-once batch_id-keyed foreachBatch sink contract as
+the other ingests (streaming/doc_ingest.py:58).
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 import uuid
@@ -67,9 +74,42 @@ def _scratch_root() -> str:
 
 
 def bus_dir(sf_dir: str, topic: str = "events") -> str:
-    return os.path.join(
-        _scratch_root(), "bus", os.path.basename(sf_dir.rstrip("/")), topic
+    # key by basename + a hash of the ABSOLUTE path: two corpora that
+    # share a basename (pytest tmp dirs, testdata/sf1 vs .bigdata/sf1)
+    # must not reuse each other's sealed bus
+    src = os.path.abspath(sf_dir).rstrip("/")
+    key = (
+        f"{os.path.basename(src)}-"
+        f"{hashlib.md5(src.encode()).hexdigest()[:8]}"
     )
+    return os.path.join(_scratch_root(), "bus", key, topic)
+
+
+def _source_stamp(sf_dir: str) -> str:
+    """A freshness stamp of the events table (file count, total bytes,
+    max mtime-ns) — a regenerated corpus under the same path must
+    invalidate the sealed bus."""
+    from ..catalog import table_path
+
+    p = table_path(sf_dir, "events")
+    files = (
+        [p]
+        if os.path.isfile(p)
+        else sorted(
+            glob.glob(os.path.join(p, "*.parquet"))
+            + glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
+    )
+    n = total = newest = 0
+    for f in files:
+        try:
+            st = os.stat(f)
+        except FileNotFoundError:
+            continue
+        n += 1
+        total += st.st_size
+        newest = max(newest, st.st_mtime_ns)
+    return f"{n}:{total}:{newest}"
 
 
 def produce_events_bus(
@@ -86,8 +126,16 @@ def produce_events_bus(
     twice — the delivery model a correct consumer must collapse.
     """
     final = bus_dir(sf_dir, topic)
-    if os.path.exists(os.path.join(final, "_SEALED")):
-        return final
+    stamp = _source_stamp(sf_dir)
+    seal = os.path.join(final, "_SEALED")
+    if os.path.exists(seal):
+        try:
+            with open(seal) as fh:
+                if fh.read().strip() == stamp:
+                    return final
+        except OSError:
+            pass
+        shutil.rmtree(final, ignore_errors=True)  # stale: source changed
     tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
     ev = load_table(spark, sf_dir, "events")
     part = (F.col("user_id") % N_PARTITIONS).cast("long")
@@ -121,7 +169,7 @@ def produce_events_bus(
             os.link(seg, twin)
     # the _SUCCESS/. _* markers are hidden from the file source anyway
     with open(os.path.join(tmp, "_SEALED"), "w") as fh:
-        fh.write("sealed\n")
+        fh.write(stamp + "\n")
     try:
         os.replace(tmp, final)  # atomic publish (rename over empty/absent)
     except OSError:
@@ -155,7 +203,10 @@ def dedup_bus_messages(msgs: DataFrame, delay: str = "2 hours") -> DataFrame:
     """Exactly-once consumption of an at-least-once bus: drop
     (partition, offset) twins within the event-time watermark. State
     is O(messages per watermark window) per the engine's eviction —
-    the unbounded-topic-safe form of offset tracking."""
+    offset tracking that stays bounded on an unbounded topic, under
+    the watermark assumption that a redelivery lands within ``delay``
+    of its first delivery (size ``delay`` to the bus's retry bound;
+    an availableNow drain satisfies it trivially)."""
     return msgs.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
         ["partition", "offset"]
     )
@@ -187,13 +238,13 @@ def consume_bus_exactly_once(
     with overwrite, so an at-least-once foreachBatch retry REPLACES
     its prior output instead of appending (same contract as
     doc_ingest._write_batch)."""
+    from .doc_ingest import _write_batch
+
     path = produce_events_bus(spark, sf_dir)
     deduped = dedup_bus_messages(read_bus_stream(spark, path))
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch-{batch_id:08d}")
-        )
+        _write_batch(batch_df, out_path, batch_id)
 
     q = (
         deduped.writeStream.foreachBatch(land)
