@@ -125,14 +125,15 @@ def test_extractor_total_on_arbitrary_markup(chunks):
     html = "".join(chunks)
     main, n_blocks, n_content = hx.extract_main_text(html)
     assert 0 <= n_content <= n_blocks
-    # output is whitespace-normalized: no runs, no edge whitespace
-    assert main == " ".join(main.split())
+    # output is ASCII-whitespace-normalized (the oracle's \s class):
+    # no runs, no edge whitespace
+    assert main == hx.ascii_ws_normalize(main)
     # every kept word appeared in the (entity-unescaped) input — the
     # parser converts charrefs, so compare against the unescaped form
     import html as html_mod
 
     unescaped = html_mod.unescape(html)
-    for w in set(main.split()):
+    for w in set(main.split(" ")):
         assert w in unescaped
 
 
@@ -145,8 +146,10 @@ def test_planted_wrapper_roundtrip_property(text, doc_id):
     """For ANY text — markup metacharacters included — extraction over
     the planted wrapper returns exactly the closed-form ground truth
     the oracle computes (the wrapper entity-escapes the payload and
-    the parser unescapes it back)."""
-    norm = " ".join(text.split())
+    the parser unescapes it back). Whitespace semantics are the
+    oracle's ASCII \s class, NOT Python str.split() (which also
+    folds NBSP/NEL)."""
+    norm = hx.ascii_ws_normalize(text)
     escaped = (
         text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )
@@ -170,7 +173,7 @@ def test_planted_wrapper_roundtrip_property(text, doc_id):
         "</body></html>"
     )
     main, n_blocks, n_content = hx.extract_main_text(html)
-    keep_main = len(norm) > 0 and len(norm.split()) >= 5
+    keep_main = len(norm) > 0 and len(norm.split(" ")) >= 5
     appendix = (
         f"appendix note for document {doc_id} with extra detail"
         if doc_id % 3 == 0
@@ -182,3 +185,23 @@ def test_planted_wrapper_roundtrip_property(text, doc_id):
     assert main == expected
     assert n_blocks == 4 + (1 if norm else 0) + (1 if appendix else 0)
     assert n_content == int(keep_main) + int(bool(appendix))
+
+
+def test_implied_head_close():
+    """HTML5 allows </head> to be omitted — <body> (or flow content)
+    implies it; the head skip must not swallow the document."""
+    main, n_blocks, n_content = hx.extract_main_text(
+        "<html><head><title>t</title><body>"
+        "<p>six plain words of real prose here</p></body></html>"
+    )
+    assert main == "six plain words of real prose here"
+    assert n_content == 1
+    # head content stays skipped even without the end tag
+    assert "t " not in main and main[:1] != "t"
+
+
+def test_unicode_whitespace_preserved():
+    """NBSP is NOT whitespace to the oracle's ASCII \\s class — the
+    extractor must keep it verbatim so closed-form parity holds."""
+    main, _, _ = hx.extract_main_text("<p>a b c d e f</p>")
+    assert main == "a b c d e f"

@@ -375,3 +375,44 @@ def test_repack_restores_chunk_clustering(spark, tmp_path, small_chunks):
     df, info = st.read_snapshot_pruned(spark, root, "k", 0, 17)
     assert sorted(r["k"] for r in df.collect()) == list(range(18))
     assert info["files_read"] <= info["files_total"] // 2
+
+
+def test_maintain_on_empty_table_is_noop(tmp_path):
+    """The cron tick firing before the first commit must be a clean
+    no-op, not a NoSuchSnapshot crash."""
+    out = st.maintain_snapshot(str(tmp_path / "never_written"))
+    assert out["repacked"] is None
+    assert out["vacuum"]["dropped_versions"] == []
+
+
+def test_vacuum_min_age_survives_concurrent_manifest_removal(
+    spark, tmp_path, monkeypatch
+):
+    """A racing vacuum can unlink a manifest between listing and
+    getmtime; the vanished version must be excluded entirely — not
+    promoted into keep, where reading it would raise."""
+    root = str(tmp_path / "t")
+    for i in range(3):
+        st.write_snapshot(
+            _df(spark, 10 * i, 10 * (i + 1)), root,
+            mode="overwrite" if i == 0 else "append",
+        )
+    real_getmtime = os.path.getmtime
+
+    def racy_getmtime(p):
+        if p.endswith("v1.json"):
+            os.remove(p)  # the "other" vacuum wins mid-listing
+            raise FileNotFoundError(p)
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", racy_getmtime)
+    out = st.vacuum(
+        root, keep_last=1, retention_seconds=0.0, min_age_seconds=0.001
+    )
+    # the vanished v1 is excluded entirely; v2 (older than the 1 ms
+    # grace) expires normally under keep_last=1
+    assert 1 not in out["kept_versions"] and 1 not in out["dropped_versions"]
+    assert out["dropped_versions"] == [2]
+    monkeypatch.undo()
+    assert st.snapshot_versions(root) == [3]
+    assert st.read_snapshot(spark, root).count() == 30

@@ -24,6 +24,7 @@ HTML parsing in any PySpark pipeline.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
@@ -32,8 +33,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-# Tags whose content never renders as body text.
-_SKIP_TAGS = frozenset({"script", "style", "head", "title", "noscript", "template"})
+# Tags whose content never renders as body text. ``head`` is handled
+# separately because HTML5 allows its end tag to be OMITTED (implied by
+# <body> or any flow content) — a depth counter would stick.
+_SKIP_TAGS = frozenset({"script", "style", "title", "noscript", "template"})
+
+# ASCII whitespace only — matching the RE2 `\s` class the DuckDB
+# oracle uses. Python's str.split() also folds Unicode spaces (NBSP,
+# NEL), which the oracle regex does NOT, so using it would break the
+# closed-form ground truth on non-ASCII-whitespace corpora.
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ascii_ws_normalize(s: str) -> str:
+    """Collapse ASCII whitespace runs to single spaces and trim."""
+    return _ASCII_WS.sub(" ", s).strip(" \t\n\r\f\v")
 
 # Tags that open/close a text block. Inline tags (a, b, span, em, ...)
 # accumulate into the current block.
@@ -70,15 +84,24 @@ class _BlockParser(HTMLParser):
         self._anchor_chars = 0
         self._skip_depth = 0
         self._anchor_depth = 0
+        self._in_head = False
 
     def _flush(self) -> None:
-        text = " ".join("".join(self._buf).split())
+        text = ascii_ws_normalize("".join(self._buf))
         if text:
             self.blocks.append((text, len(text), self._anchor_chars))
         self._buf = []
         self._anchor_chars = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "head":
+            self._in_head = True
+            return
+        if tag == "body" or (self._in_head and tag in _BLOCK_TAGS):
+            # HTML5: </head> may be omitted — <body> (or any flow
+            # content) implies it. Without this, an implied head end
+            # would skip the whole document.
+            self._in_head = False
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
             return
@@ -88,6 +111,9 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag: str) -> None:
+        if tag == "head":
+            self._in_head = False
+            return
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
@@ -97,11 +123,11 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_data(self, data: str) -> None:
-        if self._skip_depth:
+        if self._skip_depth or self._in_head:
             return
         self._buf.append(data)
         if self._anchor_depth:
-            self._anchor_chars += len(" ".join(data.split()))
+            self._anchor_chars += len(ascii_ws_normalize(data))
 
     def close(self) -> None:
         super().close()
@@ -122,7 +148,7 @@ def extract_main_text(html: str) -> tuple[str, int, int]:
     kept: list[str] = []
     for text, chars, anchor_chars in blocks:
         link_density = anchor_chars / chars if chars else 1.0
-        n_words = len(text.split())
+        n_words = len(text.split(" "))  # ASCII-space words (oracle parity)
         if link_density <= MAX_LINK_DENSITY and n_words >= MIN_CONTENT_WORDS:
             kept.append(text)
     return " ".join(kept), len(blocks), len(kept)

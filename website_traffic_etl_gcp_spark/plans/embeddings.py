@@ -829,13 +829,16 @@ def skew_refine_cells(
     mask = lambda bits: F.pow(F.lit(2.0), bits).cast("bigint") - 1  # noqa: E731
     cur = asg.withColumn("depth", F.col("p")).localCheckpoint()
     for _ in range(rounds):
+        # checkpoint the (tiny, ≤ cells rows) occupancy so the hot
+        # probe below and the broadcast build both read it — without
+        # this the groupBy job runs twice per round
         occ = cur.groupBy("cell_id").agg(
             F.count(F.lit(1)).alias("occ"),
             F.first("depth").alias("cdepth"),
             F.first("p").alias("p"),
             F.first("n").alias("n"),
             F.first("nl").alias("nl"),
-        )
+        ).localCheckpoint()
         extra = F.least(
             F.aggregate(
                 F.array(*[F.lit(q) for q in range(SEM_PLANES + 1)]),

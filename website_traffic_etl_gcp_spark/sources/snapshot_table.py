@@ -971,24 +971,38 @@ def vacuum(
                 if os.path.getmtime(_manifest_path(root, v)) <= cutoff:
                     aged.append(v)
             except FileNotFoundError:
-                continue  # concurrent vacuum already took it
+                # a concurrent vacuum already took it — it must not
+                # land in `keep` either (reading it would raise), so
+                # drop it from consideration entirely
+                versions.remove(v)
         drop = aged
     dropset = set(drop)
     keep = [v for v in versions if v not in dropset]
     referenced: set[str] = set()
     referenced_chunks: set[str] = set()
-    for v in keep:
-        m = read_manifest(root, v)
+    for v in list(keep):
+        try:
+            m = read_manifest(root, v)
+        except NoSuchSnapshot:
+            keep.remove(v)  # lost to a concurrent vacuum mid-listing
+            continue
         referenced.update(manifest_files(root, m))
         referenced_chunks.update(manifest_chunk_paths(m))
     dropped_referenced: set[str] = set()
     dropped_chunks: set[str] = set()
-    for v in drop:
-        m = read_manifest(root, v)
+    for v in list(drop):
+        try:
+            m = read_manifest(root, v)
+        except NoSuchSnapshot:
+            drop.remove(v)  # concurrent vacuum got there first
+            continue
         dropped_referenced.update(manifest_files(root, m))
         dropped_chunks.update(manifest_chunk_paths(m))
     for v in drop:
-        os.remove(_manifest_path(root, v))
+        try:
+            os.remove(_manifest_path(root, v))
+        except FileNotFoundError:
+            pass  # racing vacuum removed it between read and unlink
     # chunk files shared with a retained manifest survive (appends
     # carry descriptors verbatim across versions); the rest of the
     # dropped manifests' chunks are unreachable history
@@ -1077,8 +1091,24 @@ def maintain_snapshot(
     history beyond ``keep_last`` versions AND ``min_age_seconds`` age,
     with the ``retention_seconds`` in-flight-file grace window.
     Everything is metadata + file ops — no SparkSession, so the policy
-    can run from a sidecar with no executor cost."""
-    m = read_manifest(root)
+    can run from a sidecar with no executor cost. A table with no
+    committed snapshots yet (the cron tick firing before the first
+    write lands) is a clean no-op, not a crash."""
+    try:
+        m = read_manifest(root)
+    except NoSuchSnapshot:
+        return {
+            "repacked": None,
+            "chunks_current": 0,
+            "chunks_optimal": 0,
+            "vacuum": {
+                "dropped_versions": [],
+                "kept_versions": [],
+                "removed_files": 0,
+                "removed_orphan_chunks": 0,
+                "skipped_in_flight": 0,
+            },
+        }
     n_files = manifest_n_files(m)
     n_chunks = len(m.get("chunks", []))
     optimal = max(1, -(-n_files // CHUNK_TARGET_FILES)) if n_files else 1

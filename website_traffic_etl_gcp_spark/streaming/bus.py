@@ -95,9 +95,10 @@ def _source_stamp(sf_dir: str) -> str:
     files = (
         [p]
         if os.path.isfile(p)
+        # recursive ** already matches the top level — one glob only,
+        # or flat layouts would double-count every file in the stamp
         else sorted(
-            glob.glob(os.path.join(p, "*.parquet"))
-            + glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
         )
     )
     n = total = newest = 0
