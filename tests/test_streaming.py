@@ -372,3 +372,44 @@ def test_bus_foreachbatch_sink_exactly_once(spark, tmp_path):
     )
     again = spark.read.option("recursiveFileLookup", "true").parquet(out)
     assert again.count() == n_events
+
+
+def test_bus_seal_invalidates_on_source_change(spark, tmp_path):
+    """A regenerated corpus under the same path must rebuild the
+    sealed bus — and two corpora sharing a basename must not collide."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.streaming import bus
+
+    def make_corpus(root, n):
+        os.makedirs(root, exist_ok=True)
+        spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(F.col("id") * 1000000 + 1600000000000000).alias("ts"),
+            (F.col("id") % 5).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "events.parquet")
+        )
+
+    sf_a = str(tmp_path / "corpus_a" / "sfX")
+    sf_b = str(tmp_path / "corpus_b" / "sfX")  # SAME basename
+    make_corpus(sf_a, 10)
+    make_corpus(sf_b, 20)
+    path_a = bus.produce_events_bus(spark, sf_a)
+    path_b = bus.produce_events_bus(spark, sf_b)
+    assert path_a != path_b  # basename collision keyed apart
+    n_a = spark.read.option("recursiveFileLookup", "true").text(path_a).count()
+    n_b = spark.read.option("recursiveFileLookup", "true").text(path_b).count()
+    assert (n_a, n_b) == (20, 40)  # 2x delivery of 10 vs 20 messages
+
+    # regenerate corpus A with more rows: the stale seal must rebuild
+    make_corpus(sf_a, 15)
+    path_a2 = bus.produce_events_bus(spark, sf_a)
+    assert path_a2 == path_a
+    n_a2 = spark.read.option("recursiveFileLookup", "true").text(path_a).count()
+    assert n_a2 == 30
