@@ -1,0 +1,128 @@
+"""URL canonicalization rules (unit-level, hand-pinned expected
+values), the domain rollup's blocklist anti-join, and the full web
+pre-filter chain (HTML extract → canonicalize → domain rollup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from website_traffic_etl_gcp_spark.operators import html_extract as hx
+from website_traffic_etl_gcp_spark.operators import urls as ur
+
+
+def _canon(spark, raw: str) -> str:
+    df = spark.createDataFrame([(raw,)], "u string")
+    return df.select(ur.canonical_url(F.col("u")).alias("c")).collect()[0][
+        "c"
+    ]
+
+
+def test_canonicalization_rules_pinned(spark):
+    cases = {
+        # case-folding + default https port + fragment
+        "HTTPS://WWW.Ex.COM:443/a#frag": "https://www.ex.com/a",
+        # default http port, dup slashes, trailing slash
+        "http://ex.com:80//a//b/": "http://ex.com/a/b",
+        # non-default port kept
+        "http://ex.com:8080/a": "http://ex.com:8080/a",
+        # tracking params dropped, survivors sorted, '?' kept
+        "http://ex.com/a?utm_source=x&b=2&a=1&gclid=z": (
+            "http://ex.com/a?a=1&b=2"
+        ),
+        # query emptied entirely -> '?' dropped
+        "http://ex.com/a?utm_campaign=x&fbclid=y": "http://ex.com/a",
+        # bare host -> root path
+        "http://ex.com": "http://ex.com/",
+        # root path trailing slash survives
+        "http://ex.com/?id=1": "http://ex.com/?id=1",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_domain_is_last_two_labels(spark):
+    df = spark.createDataFrame(
+        [("http://a.b.site.co/x",), ("https://WWW.One.Com/y",)],
+        "u string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(ur.domain_col(F.col("u")).alias("d")).collect()
+    ]
+    assert got == ["site.co", "one.com"]
+
+
+def test_planted_urls_exercise_every_rule(spark):
+    """Across doc_ids 0..59 the plant must produce at least one URL
+    hitting each canonicalization rule — otherwise the oracle parity
+    proves less than it claims."""
+    df = spark.createDataFrame(
+        [(i, "src1") for i in range(60)], "doc_id bigint, source string"
+    )
+    urls = [
+        r["u"]
+        for r in df.select(ur.planted_url().alias("u")).collect()
+    ]
+    assert any(":443/" in u for u in urls)  # default https port
+    assert any(":80/" in u for u in urls)  # default http port
+    assert any(":8080/" in u for u in urls)  # non-default port
+    assert any("//" in u.split("://")[1] for u in urls)  # dup slash
+    assert any("#sect" in u for u in urls)  # fragment
+    assert any("utm_source" in u for u in urls)  # tracking
+    assert any("&b=2&a=1" in u for u in urls)  # unsorted params
+    assert any(u.startswith("HTTPS://") for u in urls)  # upper scheme
+    assert any("WWW." in u for u in urls)  # upper www host
+
+
+def test_rollup_blocklist_anti_join(spark):
+    from website_traffic_etl_gcp_spark.plans.web import (
+        domain_quality_rollup,
+    )
+    from .conftest import SF_DIR
+
+    domains = {
+        r["domain"] for r in domain_quality_rollup(spark, SF_DIR).collect()
+    }
+    assert domains, "rollup produced no domains"
+    blocked = {f"{s}.com" for s in ur.BLOCKED_SOURCES}
+    assert not (domains & blocked)
+
+
+def test_web_prefilter_chain(spark):
+    """The composed pipeline a crawl pre-filter runs: planted HTML →
+    boilerplate extraction → URL canonicalization → per-domain rollup
+    keyed by canonical domain, content stats carried through."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "srcA"),
+            (2, "short text", "srcA"),
+            (3, "another body of plain content for page three", "srcB"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    planted = docs.select(
+        "doc_id",
+        "source",
+        hx.plant_boilerplate_html("doc_id", "text").alias("html"),
+    )
+    extracted = hx.extract_main_content(planted, "html").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    url = ur.planted_url()
+    chained = (
+        extracted.select(
+            "doc_id",
+            "content_chars",
+            ur.domain_col(url).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("content_chars").alias("content_chars"),
+        )
+        .collect()
+    )
+    by_dom = {r["domain"]: r for r in chained}
+    assert set(by_dom) == {"srca.com", "srcb.com"}
+    assert by_dom["srca.com"]["n_pages"] == 2
+    assert all(r["content_chars"] > 0 for r in chained)

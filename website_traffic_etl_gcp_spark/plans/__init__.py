@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     relational,
     selection,
     streaming_plans,
+    web,
 )
 from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 

@@ -35,9 +35,14 @@ from ..catalog import load_table
 from ..functions.texthash import md5_long, normalize_text, word_tokens
 from ..operators import dedup as dd
 from ..operators.similarity import COSINE_SCALE
+from ..operators import quality_model as qm
+from ..operators import textstats as ts
 from .documents import _MD5L, _SQL_DOCS_NORM, _SQL_JACCARD_PAIRS
 from .documents import _SQL_DOCS_SH, _sql_minhash_prefix
 from .documents import JACCARD_MAX_DF, NGRAM_JACCARD_THRESHOLD
+from .documents import _QF_SH, _QF_TOKS
+from .documents import MAX_CHARS_PER_TOKEN, MAX_DUP3_DEN, MAX_DUP3_NUM
+from .documents import MAX_PUNCT_DEN, MAX_PUNCT_NUM, MIN_TOKENS
 from .embeddings import _PROBE_PRED, _probe_filter, _sql_cos
 from .registry import REGISTRY, register
 
@@ -898,4 +903,366 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         ent.alias("cross_entropy_nats"),
         F.round(F.exp(ent), 6).alias("ppl"),
+    )
+
+
+# ---- trained quality classifier (hashed char-3-gram ridge) -------------
+#
+# The CCNet-style "quality model": distill the composite heuristic
+# filter (quality_filter_verdicts' keep bit) into a linear model over
+# hashed char-3-gram counts, trained in-engine. The ENTIRE training
+# procedure — capped integer features, exact integer Gram/moment sums,
+# N_ITERS row-sum-preconditioned Richardson steps in integer
+# micro-units — is reproduced verbatim by the DuckDB oracle below, so
+# unlike most trained models the weights AND per-doc scores have an
+# EXACT cross-engine oracle. operators/quality_model.py holds the
+# Spark side; tests/test_quality_model.py asserts the AUC floor.
+
+_QC_KEEP = f"""(len({_QF_TOKS}) >= {MIN_TOKENS}
+    AND length(norm) <= {MAX_CHARS_PER_TOKEN} * len({_QF_TOKS})
+    AND {ts.sql_count_in_set(_QF_TOKS, ts.STOPWORDS)} >= 1
+    AND (CASE WHEN len({_QF_TOKS}) >= 3
+         THEN (len({_QF_TOKS}) - 2 - len({_QF_SH})) * {MAX_DUP3_DEN}
+              <= (len({_QF_TOKS}) - 2) * {MAX_DUP3_NUM}
+         ELSE TRUE END)
+    AND length(regexp_replace(norm, '[^.,;:!?]', '', 'g'))
+            * {MAX_PUNCT_DEN} <= length(norm) * {MAX_PUNCT_NUM})"""
+
+
+def _sql_qc_fdiv(a: str, s: str) -> str:
+    """Floor division for s > 0 via the posmod identity — matches
+    Python's ``//`` exactly (DuckDB's bare ``//`` on a negative
+    dividend truncates toward zero, which would diverge)."""
+    return f"((({a}) - (((({a}) % ({s})) + ({s})) % ({s}))) // ({s}))"
+
+
+def _sql_qc_with() -> str:
+    """The shared CTE chain: features → train-half moments → N_ITERS
+    unrolled integer solver steps → qc_wfin(i, w). Every value is an
+    exact int64; the final per-step CAST to BIGINT makes DuckDB error
+    loudly (instead of silently diverging from Spark) if a corpus ever
+    pushes a weight past int64."""
+    b, d = qm.N_BUCKETS, qm.N_FEATURES
+    grams_hash = _MD5L.format(x="g")
+    parts = [
+        f"""qc_d AS MATERIALIZED (SELECT doc_id, norm FROM ({_SQL_DOCS_NORM})),
+    qc_lab AS (
+        SELECT doc_id, CAST({_QC_KEEP} AS BIGINT) AS y FROM qc_d),
+    qc_feats AS MATERIALIZED (
+        SELECT doc_id, {grams_hash} % {b} AS b,
+               LEAST(COUNT(*), {qm.COUNT_CAP}) AS n
+        FROM (SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS g
+              FROM qc_d, unnest(range(1, length(norm) - 1)) AS t(i)
+              WHERE length(norm) >= 3)
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, {b}, 1 FROM qc_d),
+    qc_tr AS MATERIALIZED (SELECT * FROM qc_feats
+              WHERE doc_id % {qm.TRAIN_MOD} = 0),
+    qc_buckets AS (
+        SELECT CAST(unnest(range(0, {d})) AS BIGINT) AS i),
+    qc_xtx AS (
+        SELECT a.b AS i, b2.b AS j, SUM(a.n * b2.n) AS v
+        FROM qc_tr a JOIN qc_tr b2 USING (doc_id) GROUP BY 1, 2),
+    qc_amat AS MATERIALIZED (
+        SELECT s1.i, s2.i AS j,
+               CAST(COALESCE(x.v, 0)
+                    + CASE WHEN s1.i = s2.i
+                           THEN {qm.RIDGE_LAMBDA} ELSE 0 END AS BIGINT)
+                   AS v
+        FROM qc_buckets s1 CROSS JOIN qc_buckets s2
+        LEFT JOIN qc_xtx x ON x.i = s1.i AND x.j = s2.i),
+    qc_rowsum AS MATERIALIZED (
+        SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM qc_amat GROUP BY 1),
+    qc_cvec AS MATERIALIZED (
+        SELECT sp.i, CAST(COALESCE(cv.c, 0) AS BIGINT) AS c
+        FROM qc_buckets sp LEFT JOIN (
+            SELECT f.b AS i, SUM(f.n * l.y) AS c
+            FROM qc_tr f JOIN qc_lab l USING (doc_id) GROUP BY 1) cv
+          ON cv.i = sp.i),
+    qc_w0 AS MATERIALIZED (SELECT i, CAST(0 AS BIGINT) AS w FROM qc_buckets)"""
+    ]
+    step = _sql_qc_fdiv(f"cv.c * {qm.W_SCALE} - d.dot", "r.s")
+    for k in range(qm.N_ITERS):
+        parts.append(
+            f"""qc_w{k + 1} AS MATERIALIZED (
+        SELECT r.i, CAST(p.w + {step} AS BIGINT) AS w
+        FROM qc_rowsum r
+        JOIN qc_cvec cv ON cv.i = r.i
+        JOIN qc_w{k} p ON p.i = r.i
+        JOIN (SELECT a.i, SUM(a.v * p2.w) AS dot
+              FROM qc_amat a JOIN qc_w{k} p2 ON p2.i = a.j
+              GROUP BY 1) d ON d.i = r.i)"""
+        )
+    parts.append(
+        f"qc_wfin AS (SELECT i, w FROM qc_w{qm.N_ITERS})"
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _qc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .documents import quality_filter_verdicts
+
+    return quality_filter_verdicts(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("bigint").alias("y")
+    )
+
+
+def _qc_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[int]], list[int], list[int], list[int]]:
+    """(A, c, row_sums, W) — moments over the train half + solved
+    weights. Bounded driver state (65×65 ints)."""
+    feats = qm.char_ngram_features(_docs(spark, sf_dir))
+    tr = feats.filter(F.col("doc_id") % qm.TRAIN_MOD == 0)
+    a, c = qm.train_moments(tr, _qc_labels(spark, sf_dir))
+    s = [sum(row) for row in a]
+    return a, c, s, qm.solve_weights(a, c)
+
+
+@register(
+    "quality_classifier_train",
+    oracle=f"""
+    {_sql_qc_with()}
+    SELECT r.i AS bucket,
+           dg.v AS xtx_diag,
+           cv.c AS xty,
+           r.s AS row_sum,
+           w.w AS w_micro
+    FROM qc_rowsum r
+    JOIN qc_cvec cv ON cv.i = r.i
+    JOIN qc_wfin w ON w.i = r.i
+    JOIN (SELECT i, v FROM qc_amat WHERE i = j) dg ON dg.i = r.i
+    """,
+    tags=("documents", "selection", "model"),
+    bench=True,
+    doc="Trained quality classifier — TRAINING: ridge regression over "
+    f"hashed char-3-gram counts ({qm.N_BUCKETS} md5 buckets + "
+    "intercept, counts capped at "
+    f"{qm.COUNT_CAP}) distilling the C4/Gopher composite keep verdict "
+    f"(quality_filter_verdicts), fit on the doc_id % {qm.TRAIN_MOD} "
+    "== 0 half. The normal-equation moments are EXACT int64 sums "
+    "(capped integer features × 0/1 labels) aggregated map-side — "
+    f"shuffle ≤ {qm.N_FEATURES}² rows per partition, corpus-size-"
+    f"independent — and the solver is {qm.N_ITERS} fixed row-sum-"
+    "preconditioned Richardson steps in integer micro-units, so the "
+    "DuckDB oracle unrolls the SAME steps as CTEs and lands on the "
+    "IDENTICAL weights: an exact oracle for a trained model. Output: "
+    "one row per feature (diag/moment/row-sum/weight). Driver state "
+    "is the 65×65 Gram matrix (the pca.py/opq.py pattern); AUC floor "
+    "asserted in tests/test_quality_model.py. "
+    "operators/quality_model.py.",
+)
+def quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    a, c, s, w = _qc_train(spark, sf_dir)
+    rows = [
+        (i, a[i][i], c[i], s[i], w[i]) for i in range(qm.N_FEATURES)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket bigint, xtx_diag bigint, xty bigint, "
+        "row_sum bigint, w_micro bigint",
+    )
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    {_sql_qc_with()}
+    SELECT doc_id, n_feats, score_micro,
+           2 * score_micro >= {qm.W_SCALE} AS pred_keep
+    FROM (
+        SELECT f.doc_id,
+               CAST(COUNT(*) FILTER (f.b < {qm.N_BUCKETS}) AS BIGINT)
+                   AS n_feats,
+               CAST(SUM(f.n * w.w) AS BIGINT) AS score_micro
+        FROM qc_feats f JOIN qc_wfin w ON w.i = f.b
+        GROUP BY 1
+    )
+    """,
+    tags=("documents", "selection", "model"),
+    bench=True,
+    doc="Trained quality classifier — SCORING: every doc (train AND "
+    "held-out halves) scored map-side against the learned weights as "
+    "a codegen array literal — score_micro = Σ n_b·W_b is an exact "
+    "int64, pred_keep thresholds it at 0.5. At 100 TB this is one "
+    "linear pass over the corpus (feature groupBy + per-doc sum); "
+    "the model ships to executors as 65 literal ints, no broadcast "
+    "table, no Python. Scores are EXACTLY oracle-checked because "
+    "training is integer-deterministic (see quality_classifier_train)."
+    " Held-out AUC floor asserted in tests/test_quality_model.py.",
+)
+def quality_classifier_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, _, _, w = _qc_train(spark, sf_dir)
+    feats = qm.char_ngram_features(_docs(spark, sf_dir))
+    return qm.score_documents(feats, w)
+
+
+# ---- distributed BPE vocabulary learning -------------------------------
+#
+# operators/bpe.py: one corpus-linear word-count aggregation, then
+# N_MERGES deterministic merge rounds on the bounded distinct-word
+# table. Re-segmentation is DEFINED as leftmost non-overlapping
+# replace (identical in Spark and DuckDB), so the learned merge table
+# and the downstream fertility rollup both carry EXACT oracles — the
+# DuckDB side just unrolls the same rounds as CTEs.
+
+from ..operators import bpe as bp  # noqa: E402
+
+
+def _sql_bpe_with() -> str:
+    """Shared CTE chain: word counts → char segmentation → N_MERGES
+    unrolled (pair-count, argmax-merge, re-segment) rounds."""
+    parts = [
+        f"""bpe_seg0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+               array_to_string(
+                   list_filter(string_split(word, ''), x -> x != ''),
+                   ' ') AS seg
+        FROM (SELECT unnest(string_split(norm, ' ')) AS word
+              FROM ({_SQL_DOCS_NORM}))
+        WHERE word != ''
+        GROUP BY 1)"""
+    ]
+    for k in range(1, bp.N_MERGES + 1):
+        parts.append(
+            f"""bpe_pc{k} AS MATERIALIZED (
+        SELECT t.s[i] AS l, t.s[i + 1] AS r,
+               CAST(SUM(t.n) AS BIGINT) AS cnt
+        FROM (SELECT n, string_split(seg, ' ') AS s
+              FROM bpe_seg{k - 1}) t,
+             unnest(range(1, len(t.s))) AS u(i)
+        GROUP BY 1, 2),
+    bpe_mg{k} AS MATERIALIZED (
+        SELECT l, r, cnt FROM bpe_pc{k}
+        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    bpe_seg{k} AS MATERIALIZED (
+        SELECT word, n,
+               trim(replace(' ' || seg || ' ',
+                    COALESCE((SELECT ' ' || l || ' ' || r || ' '
+                              FROM bpe_mg{k}), chr(1)),
+                    COALESCE((SELECT ' ' || l || r || ' '
+                              FROM bpe_mg{k}), chr(1)))) AS seg
+        FROM bpe_seg{k - 1})"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_SQL_BPE_MERGES_UNION = "\n    UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
+    f"cnt AS pair_count FROM bpe_mg{k}"
+    for k in range(1, bp.N_MERGES + 1)
+)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    {_sql_bpe_with()}
+    SELECT merge_rank, lhs, rhs, pair_count
+    FROM ({_SQL_BPE_MERGES_UNION})
+    """,
+    tags=("documents", "tokenizer"),
+    bench=True,
+    doc=f"Distributed BPE vocabulary learning: {bp.N_MERGES} merge "
+    "rounds, each one pair-count groupBy over the DISTINCT-WORD table "
+    "(built by the single corpus-linear aggregation — segmentation is "
+    "a function of the word, so the merge loop is corpus-size-"
+    "independent, the sentencepiece scale trick) followed by a "
+    "deterministic argmax (count DESC, then lexicographic pair — no "
+    "floats) collected as ONE driver row and applied as a literal "
+    "replace; localCheckpoint per round keeps the iterative plan "
+    "flat (the PageRank shape). Re-segmentation is leftmost non-"
+    "overlapping replace — identical in both engines — so the merge "
+    "table has an EXACT oracle: the DuckDB side unrolls the same "
+    "rounds as CTEs. operators/bpe.py; planted-corpus merge-order "
+    "test in tests/test_bpe.py.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = bp.train_merges(_docs(spark, sf_dir))
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, pair_count bigint",
+    )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    {_sql_bpe_with()},
+    bpe_wl AS MATERIALIZED (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lang, unnest(string_split(norm, ' ')) AS word
+              FROM ({_SQL_DOCS_NORM}))
+        WHERE word != ''
+        GROUP BY 1, 2)
+    SELECT lang, n_words, n_chars, n_bpe_tokens,
+           CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS tokens_per_word,
+           CAST(n_bpe_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE)
+               AS tokens_per_char
+    FROM (
+        SELECT w.lang,
+               CAST(SUM(w.n) AS BIGINT) AS n_words,
+               CAST(SUM(w.n * length(w.word)) AS BIGINT) AS n_chars,
+               CAST(SUM(w.n * len(string_split(s.seg, ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM bpe_wl w JOIN bpe_seg{bp.N_MERGES} s USING (word)
+        GROUP BY 1
+    )
+    """,
+    tags=("documents", "tokenizer"),
+    doc="Tokenizer-coverage diagnostic RE-MEASURED under the LEARNED "
+    "BPE vocab (the companion to the char-proxy "
+    "tokenizer_fertility_by_lang): apply the trained merge table to "
+    "the distinct-word segmentation, join word instances (lang, word, "
+    "count) against per-word BPE token counts, roll up tokens-per-"
+    "word / tokens-per-char by language. All counts exact int64; the "
+    "two fertility ratios are single int→double divisions. The "
+    "corpus-side work is one explode+groupBy and one key join against "
+    "the bounded word table — corpus-linear at 100 TB. ✓exact oracle "
+    "(shared unrolled training CTEs).",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    _, segs = bp.train_merges(d)
+    wl = (
+        d.select("lang", F.explode(word_tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per_word = segs.select(
+        "word", F.size(F.split("seg", " ")).cast("bigint").alias("k")
+    )
+    agg = (
+        wl.join(per_word, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.length("word"))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.col("n") * F.col("k"))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("tokens_per_word"),
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("tokens_per_char"),
     )
