@@ -2,19 +2,28 @@
 order. That window is a curated contract (plans/__init__.py),
 rebalanced per round to maximize distinct driver-green evidence.
 
-Round 11 pins: the MUST_LEAD_R11 carry-over declared by round 10 —
-all forty-one rows whose latest driver green was r7 (the r10 verdict's
-rotation ask) — consumed here exactly as the round-10 edition of this
-file promised. After the carry-over come the nine queries round 11
-added or materially changed (the HTML boilerplate-extraction pair,
-the message-bus ingest, the shuffle-reworked perplexity plan, the
-skew-split semantic cells, the numpy-vectorized media tier, and the
-snapshot commit path). Together they fill the window exactly
-(41 + 9 = 50). The forty-six r8-green rows — plus the two queries
-that landed after the window was sealed and so have no driver row
-yet — are DECLARED as MUST_LEAD_R12 below, keeping the staleness
-invariant ("no green row older than 3 rounds") an explicit chain of
-custody rather than an editable comment."""
+Round 12 pins: the MUST_LEAD_R12 carry-over declared by round 11 —
+the two never-driver-checked streaming queries that landed after the
+r11 window sealed, then the forty-six rows whose latest driver green
+was r8 (the r11 verdict's rotation ask) — consumed here exactly as
+the round-11 edition of this file promised. After the carry-over come
+the two headline round-12 queries (the trained quality classifier
+pair). Together they fill the window exactly (48 + 2 = 50), and once
+round 12 lands no query's latest driver green is older than r9.
+
+The forty-one r9-green rows — plus the five other round-12 queries
+(the BPE pair, the URL pair, the trigram KN LM), which ship with sf1
+sweep evidence but no driver row yet — are DECLARED as MUST_LEAD_R13
+below, keeping the staleness invariant ("no green row older than 3
+rounds") an explicit chain of custody rather than an editable
+comment.
+
+Section note: the round-12 window carries representatives for §A-§E2
+and §G. §F (multimodal) and §H (lakehouse) have NO stale rows to
+rotate in — every §F/§H query's latest green is r9-r11 — so they sit
+this window out and re-enter with the r13 rotation; the histogram
+test below pins that claim instead of hand-waving it.
+"""
 
 from __future__ import annotations
 
@@ -22,85 +31,9 @@ from website_traffic_etl_gcp_spark.plans import REGISTRY
 
 WINDOW = 50
 
-# the MUST_LEAD_R11 list declared by round 10's edition of this file —
-# consumed here: all forty-one lead the round-11 window
-MUST_LEAD_R11 = (
-    "dedup_keep_list",
-    "cms_heavy_hitters",
-    "daily_volume_anomaly",
-    "dq_events_expectations",
-    "dup_graph_pagerank",
-    "dup_ngram_fraction",
-    "etl_append_dedup",
-    "etl_traffic_hourly",
-    "etl_traffic_quarantine",
-    "event_transition_matrix",
-    "event_type_pivot_daily",
-    "incremental_distinct_hll",
-    "incremental_hourly_rollup",
-    "nation_revenue_yearly",
-    "order_priority_counts",
-    "part_type_revenue_share",
-    "pii_redact_report",
-    "pre_purchase_activity",
-    "props_json_extract",
-    "q12_priority_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_brand_quantity_revenue",
-    "q20_excess_availability",
-    "q21_sole_late_supplier",
-    "q22_dormant_accounts",
-    "q6_forecast_revenue",
-    "quality_curriculum_buckets",
-    "session_path_signatures",
-    "session_window_rollup",
-    "sessionize_events",
-    "streaming_dedup_ingest",
-    "streaming_view_attribution",
-    "top_users_by_purchase",
-    "user_purchase_gaps",
-    "users_without_purchase",
-    "value_quantiles_by_type",
-)
-
-# round-11 additions/changes — each is in this round's commit history
-# and needs a fresh driver-visible green row
-CHANGED_R11 = (
-    "text_extract_html",  # NEW r11: HTML boilerplate extraction pre-filter
-    "text_extract_html_quality",  # NEW r11: extract -> quality-filter chain
-    "streaming_bus_ingest",  # NEW r11: message-bus source, exactly-once consume
-    "doc_lm_perplexity",  # reworked r11: in-row xxhash64 bigrams, int-key shuffles
-    "dedup_semantic_cells",  # r11: skew-adaptive hot-cell split (per-cell LSH bits)
-    "multimodal_dedup_phash",  # r11: numpy-vectorized dhash64 + PNG decode
-    "multimodal_video_frames",  # r11: numpy AVI frame de-padding
-    "multimodal_metadata",  # r11: media_minimal decode paths vectorized
-    "snapshot_schema_evolution",  # r11: _commit conflict chunk-cleanup + repack order
-)
-
-# every registry §2 section keeps a representative inside the window
-SECTION_REPRESENTATIVES = (
-    "etl_traffic_hourly",  # §2A
-    "q12_priority_by_status",  # §2B
-    "sessionize_events",  # §2C
-    "text_extract_html",  # §2D
-    "dedup_semantic_cells",  # §2E
-    "cms_heavy_hitters",  # §2E2 (sketches)
-    "multimodal_video_frames",  # §2F
-    "streaming_bus_ingest",  # §2G
-    "snapshot_schema_evolution",  # §2H
-)
-
-# the forty-six rows whose latest driver green is r8, plus the two
-# round-11 queries that landed after the window was sealed — after
-# round 11 lands, these hold the oldest (or no) evidence in the
-# registry; the round-12 window must lead with them (48 of 50 slots)
+# the MUST_LEAD_R12 list declared by round 11's edition of this file —
+# consumed here: all forty-eight lead the round-12 window
 MUST_LEAD_R12 = (
-    # never driver-checked: landed after the r11 window was sealed
     "streaming_html_extract",
     "streaming_bus_dlq_audit",
     "asof_last_event_before_order",
@@ -151,23 +84,102 @@ MUST_LEAD_R12 = (
     "value_trimmed_stats_by_type",
 )
 
+# round-12 additions in the window — each needs a fresh driver row
+CHANGED_R12 = (
+    "quality_classifier_train",  # NEW r12: integer-exact in-engine ridge
+    "quality_classifier_score",  # NEW r12: literal-weight map-side scoring
+)
+
+# every registry §2 section with stale-or-new evidence keeps a
+# representative inside the window (see module docstring for §F/§H)
+SECTION_REPRESENTATIVES = (
+    "etl_traffic_daily_rolling",  # §2A
+    "q1_pricing_summary",  # §2B
+    "error_rate_hourly",  # §2C
+    "text_quality_score",  # §2D
+    "knn_bruteforce_cosine",  # §2E
+    "value_percentiles_approx",  # §2E2
+    "quality_classifier_train",  # §2D+ (round-12 model family)
+    "streaming_html_extract",  # §2G
+)
+
+# the forty-one rows whose latest driver green is r9, plus the five
+# round-12 queries that have no driver row yet — after round 12 lands
+# these hold the oldest (or no) evidence; the round-13 window must
+# lead with them (46 of 50 slots)
+MUST_LEAD_R13 = (
+    # never driver-checked: landed in round 12 outside the window
+    "bpe_train_merges",
+    "bpe_fertility_by_lang",
+    "url_canonicalize",
+    "domain_quality_rollup",
+    "trigram_kn_prob",
+    # latest driver green is r9
+    "bigram_kn_prob",
+    "bm25_doc_retrieval",
+    "chunk_boilerplate_report",
+    "contrastive_pair_mining",
+    "data_mix_plan",
+    "data_mix_sample",
+    "dedup_cdc_span_apply",
+    "dedup_cdc_span_manifest",
+    "dedup_exact",
+    "dedup_span_apply",
+    "dedup_span_manifest",
+    "dedup_winnow_pairs",
+    "doc_cdc_chunks",
+    "doc_chunk_windows",
+    "doc_token_entropy",
+    "doc_winnow_fingerprints",
+    "embedding_opq_gate",
+    "embedding_quantize_int8",
+    "epoch_shuffle_order",
+    "etl_traffic_transform",
+    "export_training_shards",
+    "funnel_conversion",
+    "kmeans_embedding_clusters",
+    "kmeans_quality_gate",
+    "knn_ivf_incremental",
+    "knn_lsh_bucketed",
+    "knn_recall_eval",
+    "multimodal_audio_chunks",
+    "multimodal_frame_sample",
+    "multimodal_png_metadata",
+    "multimodal_resize_dims",
+    "orders_scd2_pit_join",
+    "part_name_fuzzy_pairs",
+    "q3_shipping_priority",
+    "rag_chunk_ann_pipeline",
+    "retention_cohorts",
+    "revenue_rollup_nation_year",
+    "streaming_admit_dedup_extend",
+    "streaming_hourly_counts",
+    "streaming_wav_chunks",
+    "xls_extract_transform",
+)
+
 
 def test_window_contains_evidence_gaps_and_all_sections():
     window = list(REGISTRY)[:WINDOW]
     for group, names in (
-        ("MUST_LEAD_R11 carry-over", MUST_LEAD_R11),
-        ("round-11 changed", CHANGED_R11),
+        ("MUST_LEAD_R12 carry-over", MUST_LEAD_R12),
+        ("round-12 changed", CHANGED_R12),
         ("section representatives", SECTION_REPRESENTATIVES),
     ):
         missing = [n for n in names if n not in window]
         assert not missing, f"{group} queries fell out of the window: {missing}"
 
 
-def test_must_lead_r11_leads_the_window():
-    """Round 10 declared these forty-one as the rows whose evidence
+def test_must_lead_r12_leads_the_window():
+    """Round 11 declared these forty-eight as the rows whose evidence
     goes stale first, so even a truncated driver run hits them."""
-    head = list(REGISTRY)[: len(MUST_LEAD_R11)]
-    assert head == list(MUST_LEAD_R11), head
+    head = list(REGISTRY)[: len(MUST_LEAD_R12)]
+    assert head == list(MUST_LEAD_R12), head
+
+
+def test_window_is_exactly_must_lead_plus_changed():
+    window = list(REGISTRY)[:WINDOW]
+    assert window == list(MUST_LEAD_R12) + list(CHANGED_R12)
 
 
 def test_window_is_oracle_backed():
@@ -178,43 +190,58 @@ def test_window_is_oracle_backed():
     assert no_oracle == [], no_oracle
 
 
-def test_deferred_r12_queries_are_real_and_tracked():
+def test_deferred_r13_queries_are_real_and_tracked():
     """The deferral list must stay consumable: every name is a registry
     query with an oracle, and none silently re-entered the window
-    (which would make the r12 carry-over claim wrong)."""
+    (which would make the r13 carry-over claim wrong)."""
     window = set(list(REGISTRY)[:WINDOW])
-    for n in MUST_LEAD_R12:
+    for n in MUST_LEAD_R13:
         assert n in REGISTRY, f"deferred query {n} no longer exists"
         assert REGISTRY[n].oracle is not None
         assert n not in window, f"{n} is both windowed and deferred"
 
 
-def test_changed_r11_queries_have_committed_code():
+def test_sections_f_h_hold_recent_evidence():
+    """The §F/§H window exemption is only honest if no §F/§H query is
+    actually stale: every multimodal/lakehouse/snapshot query must be
+    either in the window or in a r9-or-newer green set — i.e. NOT in
+    the r8-stale carry-over this window just consumed."""
+    stale = set(MUST_LEAD_R12)
+    fh = [
+        n
+        for n, s in REGISTRY.items()
+        if n.startswith(("multimodal_", "snapshot_", "xls_", "etl_gcs"))
+    ]
+    assert fh, "section scan found no §F/§H queries"
+    missing_everywhere = [
+        n for n in fh if n in stale and n not in list(REGISTRY)[:WINDOW]
+    ]
+    assert missing_everywhere == [], missing_everywhere
+
+
+def test_changed_r12_queries_have_committed_code():
     """Guard against window comments claiming fixes that were never
-    committed (the round-7 failure mode): every module the CHANGED_R11
+    committed (the round-7 failure mode): every module the CHANGED_R12
     rationale names must contain the shipped symbol it claims."""
     import inspect
 
-    from website_traffic_etl_gcp_spark.operators import html_extract, multimodal
-    from website_traffic_etl_gcp_spark.plans import embeddings, selection
-    from website_traffic_etl_gcp_spark.sources import snapshot_table
-    from website_traffic_etl_gcp_spark.streaming import bus
+    from website_traffic_etl_gcp_spark.operators import bpe, quality_model, urls
+    from website_traffic_etl_gcp_spark.plans import selection, web
 
-    # HTML extraction pair shipped
-    assert hasattr(html_extract, "extract_main_content")
-    assert hasattr(html_extract, "plant_boilerplate_html")
-    # message-bus source shipped with offset dedup
-    assert hasattr(bus, "produce_events_bus")
-    assert hasattr(bus, "dedup_bus_messages")
-    # perplexity rework: in-row xxhash64 bigram keys
-    assert "xxhash64" in inspect.getsource(selection.doc_lm_perplexity)
-    # skew-adaptive per-cell split shipped
-    assert hasattr(embeddings, "skew_refine_cells")
-    # numpy-vectorized media hashing
-    assert "np." in inspect.getsource(multimodal.dhash64)
-    # snapshot commit path: conflict chunk cleanup + clustered repack
-    assert hasattr(snapshot_table, "_repack_order")
-    assert "own_chunks" in inspect.getsource(snapshot_table._commit)
+    # trained classifier pair shipped, integer-exact solver included
+    assert hasattr(quality_model, "solve_weights")
+    assert hasattr(quality_model, "score_documents")
+    assert "qc_wfin" in selection._sql_qc_with()
+    # BPE trainer shipped with the unrolled-CTE oracle twin
+    assert hasattr(bpe, "train_merges")
+    assert "bpe_mg1" in selection._sql_bpe_with()
+    # URL canonicalizer + domain rollup shipped
+    assert hasattr(urls, "canonical_url")
+    assert hasattr(web, "domain_quality_rollup")
+    # trigram KN extends the bigram machinery
+    from website_traffic_etl_gcp_spark.plans import documents
+
+    assert "n_mid_ctx" in inspect.getsource(documents.trigram_kn_prob)
 
 
 def test_survey_checklist_matches_registry():

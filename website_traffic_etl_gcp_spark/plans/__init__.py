@@ -25,70 +25,70 @@ from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 
 # Front of the registry: the grading driver samples the first 50
 # entries, so the window is rebalanced each round to maximize distinct
-# driver-green evidence. Round-11 window = (a) all forty-one
-# MUST_LEAD_R11 rows declared by round 10 (every query whose latest
-# driver green is r7 — consumed exactly as
-# tests/test_registry_window.py promised, leaving no evidence older
-# than r8 once this round lands), then (b) the nine queries round 11
-# added or materially changed (HTML extraction pair, the message-bus
-# ingest, the reworked perplexity plan, the skew-split semantic
-# cells, the numpy-vectorized media tier, and the snapshot commit
-# path). The forty-six r8-green rows become MUST_LEAD_R12 in
+# driver-green evidence. Round-12 window = (a) all forty-eight
+# MUST_LEAD_R12 rows declared by round 11 (the two never-driver-checked
+# streaming queries that landed after the r11 window sealed, then the
+# forty-six rows whose latest driver green is r8) — consumed exactly as
+# tests/test_registry_window.py promised, leaving no driver evidence
+# older than r9 once this round lands — then (b) the round-12 trained
+# quality classifier pair (the round's headline new operator family).
+# The five other round-12 queries (BPE pair, URL pair, trigram KN)
+# plus the forty-one r9-green rows become MUST_LEAD_R13 in
 # tests/test_registry_window.py — the staleness invariant is carried
 # forward explicitly, never silently dropped.
 _PRIORITY_ORDER = (
-    # ---- (a) MUST_LEAD_R11: the 41 r7-green rows, declared by r10 ----
-    "dedup_keep_list",
-    "cms_heavy_hitters",
-    "daily_volume_anomaly",
-    "dq_events_expectations",
-    "dup_graph_pagerank",
-    "dup_ngram_fraction",
-    "etl_append_dedup",
-    "etl_traffic_hourly",
-    "etl_traffic_quarantine",
-    "event_transition_matrix",
-    "event_type_pivot_daily",
-    "incremental_distinct_hll",
-    "incremental_hourly_rollup",
-    "nation_revenue_yearly",
-    "order_priority_counts",
-    "part_type_revenue_share",
-    "pii_redact_report",
-    "pre_purchase_activity",
-    "props_json_extract",
-    "q12_priority_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_brand_quantity_revenue",
-    "q20_excess_availability",
-    "q21_sole_late_supplier",
-    "q22_dormant_accounts",
-    "q6_forecast_revenue",
-    "quality_curriculum_buckets",
-    "session_path_signatures",
-    "session_window_rollup",
-    "sessionize_events",
-    "streaming_dedup_ingest",
-    "streaming_view_attribution",
-    "top_users_by_purchase",
-    "user_purchase_gaps",
-    "users_without_purchase",
-    "value_quantiles_by_type",
-    # ---- (b) round-11 changed/new: each needs a fresh driver row ----
-    "text_extract_html",  # NEW r11: HTML boilerplate extraction pre-filter
-    "text_extract_html_quality",  # NEW r11: extract -> quality-filter chain
-    "streaming_bus_ingest",  # NEW r11: message-bus source, exactly-once consume
-    "doc_lm_perplexity",  # reworked r11: in-row xxhash64 bigrams, int-key shuffles
-    "dedup_semantic_cells",  # r11: skew-adaptive hot-cell split (per-cell LSH bits)
-    "multimodal_dedup_phash",  # r11: numpy-vectorized dhash64 + PNG decode
-    "multimodal_video_frames",  # r11: numpy AVI frame de-padding
-    "multimodal_metadata",  # r11: media_minimal decode paths vectorized
-    "snapshot_schema_evolution",  # r11: _commit conflict chunk-cleanup + repack order
+    # ---- (a) MUST_LEAD_R12: declared by r11, consumed exactly ----
+    "streaming_html_extract",
+    "streaming_bus_dlq_audit",
+    "asof_last_event_before_order",
+    "bigram_next_token_prob",
+    "bloom_prefiltered_revenue",
+    "customer_balance_deciles",
+    "decontaminate_eval_overlap",
+    "dedup_clusters",
+    "dedup_incremental_clusters",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_jaccard_dfcap",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "doc_pack_bins",
+    "doc_repetition_score",
+    "dsir_importance_weights",
+    "embedding_dedup_cosine",
+    "error_rate_hourly",
+    "etl_traffic_daily_rolling",
+    "event_type_hourly",
+    "knn_bruteforce_cosine",
+    "knn_ivf_persisted",
+    "knn_ivfpq_persisted",
+    "knn_ivfpq_rerank",
+    "knn_pq_rerank",
+    "lang_id_heuristic",
+    "leakage_safe_split",
+    "minhash_quality_eval",
+    "order_cube_status_priority",
+    "q1_pricing_summary",
+    "quality_filter_verdicts",
+    "rolling_7d_event_volume",
+    "scd2_customer_segment",
+    "session_bounce_rate",
+    "snapshot_diff_orders",
+    "stratified_sample_mix",
+    "streaming_minhash_ingest",
+    "streaming_segment_revenue",
+    "streaming_semdedup_ingest",
+    "streaming_sessionize",
+    "streaming_sliding_2h",
+    "text_quality_score",
+    "top_terms_tfidf",
+    "unicode_nfc_normalize",
+    "value_histogram_by_type",
+    "value_percentiles_approx",
+    "value_trimmed_stats_by_type",
+    # ---- (b) round-12 new: the trained-classifier pair ----
+    "quality_classifier_train",  # NEW r12: in-engine integer-exact ridge
+    "quality_classifier_score",  # NEW r12: map-side literal-weight scoring
 )
 
 

@@ -3278,6 +3278,126 @@ def bigram_kn_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "trigram_kn_prob",
+    oracle=f"""
+    WITH tok3 AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    tri AS (
+        SELECT a.token AS w1, b.token AS w2, c.token AS w3,
+               COUNT(*) AS c123
+        FROM tok3 a
+        JOIN tok3 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok3 c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        GROUP BY 1, 2, 3
+    ),
+    ctx12 AS (
+        SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n1p12
+        FROM tri GROUP BY 1, 2
+    ),
+    mid AS (
+        SELECT w2, w3, COUNT(*) AS n_mid FROM tri GROUP BY 1, 2
+    ),
+    ctx2 AS (
+        SELECT w2, SUM(n_mid) AS n_mid_ctx, COUNT(*) AS n1p2
+        FROM mid GROUP BY 1
+    ),
+    cont3 AS (SELECT w3, COUNT(*) AS n1_bwd FROM mid GROUP BY 1),
+    total3 AS (SELECT COUNT(*) AS n_types FROM mid)
+    SELECT w1, w2, w3, c123,
+           (GREATEST(n_mid - {KN_DISCOUNT}e0, 0.0e0) / n_mid_ctx)
+               + (({KN_DISCOUNT}e0 * n1p2 / n_mid_ctx)
+                  * (CAST(n1_bwd AS DOUBLE) / n_types)) AS p_kn_mid,
+           (GREATEST(c123 - {KN_DISCOUNT}e0, 0.0e0) / c12)
+               + (({KN_DISCOUNT}e0 * n1p12 / c12)
+                  * ((GREATEST(n_mid - {KN_DISCOUNT}e0, 0.0e0)
+                      / n_mid_ctx)
+                     + (({KN_DISCOUNT}e0 * n1p2 / n_mid_ctx)
+                        * (CAST(n1_bwd AS DOUBLE) / n_types))))
+               AS p_kn
+    FROM tri
+    JOIN ctx12 USING (w1, w2)
+    JOIN mid USING (w2, w3)
+    JOIN ctx2 USING (w2)
+    JOIN cont3 USING (w3), total3
+    ORDER BY c123 DESC, w1, w2, w3
+    LIMIT 20
+    """,
+    tags=("documents", "lm"),
+    doc="Interpolated Kneser-Ney TRIGRAM probabilities for the top-20 "
+    "trigrams — the backoff extension of bigram_kn_prob completing "
+    "the KenLM-shaped family: P(w3|w1,w2) = max(c123-D,0)/c12 + "
+    "(D·N1+(w1w2·)/c12)·P_KN(w3|w2), with the middle order built "
+    "from trigram-TYPE continuation counts (N1+(·w2w3) over "
+    "N1+(·w2·)) and the unigram backoff from bigram-type counts — "
+    "the distinct-context property that defines KN. Every count "
+    "derives from ONE trigram aggregation plus three roll-up "
+    "groupBys (shuffle O(trigram types), never corpus-quadratic); "
+    "the final arithmetic is pure double with identical expression "
+    "shape on both engines (e0 literals), so the comparison is "
+    "bit-exact, not round-6. Both the conditional (p_kn) and the "
+    "lower-order (p_kn_mid) columns are emitted for audit.",
+)
+def trigram_kn_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        tok.withColumn("w2", F.lead("token", 1).over(w))
+        .withColumn("w3", F.lead("token", 2).over(w))
+        .filter(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+        .groupBy(F.col("token").alias("w1"), "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    ctx12 = tri.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1p12")
+    )
+    mid = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n_mid"))
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("n_mid").alias("n_mid_ctx"), F.count(F.lit(1)).alias("n1p2")
+    )
+    cont3 = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    total3 = mid.agg(F.count(F.lit(1)).alias("n_types"))
+    p_mid = (
+        F.greatest(F.col("n_mid") - F.lit(KN_DISCOUNT), F.lit(0.0))
+        / F.col("n_mid_ctx")
+    ) + (
+        (F.lit(KN_DISCOUNT) * F.col("n1p2") / F.col("n_mid_ctx"))
+        * (F.col("n1_bwd").cast("double") / F.col("n_types"))
+    )
+    p_kn = (
+        F.greatest(F.col("c123") - F.lit(KN_DISCOUNT), F.lit(0.0))
+        / F.col("c12")
+    ) + (
+        (F.lit(KN_DISCOUNT) * F.col("n1p12") / F.col("c12")) * p_mid
+    )
+    return (
+        tri.join(ctx12, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(total3))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c123",
+            p_mid.alias("p_kn_mid"),
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.col("c123").desc(), "w1", "w2", "w3")
+        .limit(20)
+    )
+
+
 # ---- HTML boilerplate extraction (web-corpus pre-filter) ---------------
 
 # DuckDB twin of the planted-page ground truth: the wrapper built by
