@@ -128,13 +128,17 @@ def test_extractor_total_on_arbitrary_markup(chunks):
     # output is ASCII-whitespace-normalized (the oracle's \s class):
     # no runs, no edge whitespace
     assert main == hx.ascii_ws_normalize(main)
-    # every kept word appeared in the (entity-unescaped) input — the
-    # parser converts charrefs, so compare against the unescaped form
+    # no fabricated text: every non-space character of the output
+    # appears in the (entity-unescaped) input. Word-level containment
+    # is deliberately NOT asserted — an inline tag between two text
+    # runs joins them without whitespace ('0<a>0' -> word '00'),
+    # which is correct inline-tag semantics, so output words need not
+    # be input substrings.
     import html as html_mod
 
     unescaped = html_mod.unescape(html)
-    for w in set(main.split(" ")):
-        assert w in unescaped
+    for ch in set(main) - {" "}:
+        assert ch in unescaped
 
 
 @settings(max_examples=50, deadline=None)
@@ -143,7 +147,7 @@ def test_extractor_total_on_arbitrary_markup(chunks):
     doc_id=st.integers(min_value=0, max_value=10**9),
 )
 def test_planted_wrapper_roundtrip_property(text, doc_id):
-    """For ANY text — markup metacharacters included — extraction over
+    r"""For ANY text — markup metacharacters included — extraction over
     the planted wrapper returns exactly the closed-form ground truth
     the oracle computes (the wrapper entity-escapes the payload and
     the parser unescapes it back). Whitespace semantics are the
@@ -201,7 +205,33 @@ def test_implied_head_close():
 
 
 def test_unicode_whitespace_preserved():
-    """NBSP is NOT whitespace to the oracle's ASCII \\s class — the
+    r"""NBSP is NOT whitespace to the oracle's ASCII \\s class — the
     extractor must keep it verbatim so closed-form parity holds."""
     main, _, _ = hx.extract_main_text("<p>a b c d e f</p>")
     assert main == "a b c d e f"
+
+
+def test_vertical_tab_is_not_whitespace():
+    r"""RE2's \s is [\t\n\f\r ] — no \v. The normalizer must match
+    exactly, or a document containing a vertical tab diverges from
+    the closed-form oracle (round-11 advice item)."""
+    assert hx.ascii_ws_normalize("a\x0bb") == "a\x0bb"
+    assert hx.ascii_ws_normalize(" a \t\n\f\r b ") == "a b"
+    # and the density word rule then counts "a\x0bb" as ONE word
+    main, _, n = hx.extract_main_text(
+        "<p>a\x0bb one two three four five</p>"
+    )
+    assert "a\x0bb" in main
+
+
+def test_anchor_chars_use_block_normalization_rule():
+    """Anchor text split across fragments (comments/inline tags inside
+    <a>) must count whitespace once, with the same normalization as
+    the block text — so an all-anchor block has anchor_chars == chars
+    even when the anchor is fragmented (round-11 advice item)."""
+    html = "<p><a>one <!-- c --> two<b> three</b></a></p>"
+    blocks = hx.extract_blocks(html)
+    assert len(blocks) == 1
+    text, chars, anchor_chars = blocks[0]
+    assert text == "one two three"
+    assert anchor_chars == chars == len("one two three")

@@ -413,3 +413,128 @@ def test_bus_seal_invalidates_on_source_change(spark, tmp_path):
     assert path_a2 == path_a
     n_a2 = spark.read.option("recursiveFileLookup", "true").text(path_a).count()
     assert n_a2 == 30
+
+
+def test_bus_unbounded_drain_lifecycle(spark, tmp_path):
+    """The production drain shape: a processing-time-triggered consumer
+    left running while NEW segments (including a redelivery of an old
+    message) arrive mid-stream. The ledger must show multiple batches
+    with monotone per-partition offsets, and the cross-batch redelivery
+    must be dropped by the watermarked dedup state."""
+    import json
+    import os
+    import time
+
+    from website_traffic_etl_gcp_spark.streaming import bus
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(os.path.join(topic, "partition=0"))
+
+    def msg(offset, ts_us):
+        return json.dumps(
+            {
+                "partition": 0,
+                "offset": offset,
+                "key": 1,
+                "ts_us": ts_us,
+                "event_type": "view",
+                "value": 1.0,
+            }
+        )
+
+    base = 1_700_000_000_000_000
+    with open(os.path.join(topic, "partition=0", "seg-0.txt"), "w") as fh:
+        fh.write("\n".join(msg(i, base + i * 1_000_000) for i in range(5)) + "\n")
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "progress.jsonl")
+    q = bus.consume_bus_unbounded(
+        spark, topic, out, ckpt, ledger, delay="1 hour"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if os.path.exists(ledger) and len(open(ledger).readlines()) >= 1:
+                break
+            time.sleep(0.3)
+        # second segment lands MID-STREAM: three new offsets plus a
+        # redelivery of offset 2 (event time well within the watermark)
+        with open(os.path.join(topic, "partition=0", "seg-1.txt"), "w") as fh:
+            fh.write(
+                "\n".join(
+                    [msg(i, base + i * 1_000_000) for i in (5, 6, 7)]
+                    + [msg(2, base + 2_000_000)]
+                )
+                + "\n"
+            )
+        while time.time() < deadline:
+            lines = (
+                [json.loads(x) for x in open(ledger)]
+                if os.path.exists(ledger)
+                else []
+            )
+            if sum(e["n_rows"] for e in lines) >= 8:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    entries = [json.loads(x) for x in open(ledger)]
+    assert len(entries) >= 2, entries  # genuinely multi-batch
+    assert sum(e["n_rows"] for e in entries) == 8  # redelivery dropped
+    # offset progress is monotone nondecreasing across the ledger
+    seen = -1
+    for e in sorted(entries, key=lambda e: e["batch_id"]):
+        mx = e["max_offset"].get("0", seen)
+        assert mx >= seen
+        seen = mx
+    assert seen == 7
+    landed = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert landed.count() == 8
+    assert landed.dropDuplicates(["partition", "offset"]).count() == 8
+
+
+def test_bus_tmp_gc_and_span_delay(spark, tmp_path):
+    """Crashed-builder tmp dirs older than the grace window are swept
+    on the next produce; fresh ones survive. The seal's second line
+    carries the event-time span and bus_span_delay derives a delay
+    covering it."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.streaming import bus
+
+    sf = str(tmp_path / "sfY")
+    os.makedirs(sf)
+    spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.col("id") * 600_000_000 + 1_600_000_000_000_000
+        ).alias("ts"),  # 0..90 min span
+        (F.col("id") % 3).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    final = bus.bus_dir(sf)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    stale = f"{final}.tmp.deadbeef"
+    fresh = f"{final}.tmp.cafecafe"
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - bus.TMP_GRACE_SECONDS - 60
+    os.utime(stale, (old, old))
+
+    path = bus.produce_events_bus(spark, sf)
+    assert not os.path.exists(stale), "stale tmp dir not swept"
+    assert os.path.exists(fresh), "fresh tmp dir must survive the sweep"
+
+    # span = 9 * 600s = 5400s; delay = span + margin
+    assert bus.bus_span_delay(path, margin_s=3600) == "9000 seconds"
+    assert bus.bus_span_delay(str(tmp_path / "nope")) == "2 hours"

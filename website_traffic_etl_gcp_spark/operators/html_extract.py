@@ -38,16 +38,17 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 # <body> or any flow content) — a depth counter would stick.
 _SKIP_TAGS = frozenset({"script", "style", "title", "noscript", "template"})
 
-# ASCII whitespace only — matching the RE2 `\s` class the DuckDB
-# oracle uses. Python's str.split() also folds Unicode spaces (NBSP,
-# NEL), which the oracle regex does NOT, so using it would break the
-# closed-form ground truth on non-ASCII-whitespace corpora.
-_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+# The EXACT RE2 `\s` class the DuckDB oracle uses: [\t\n\f\r ] — no
+# \v (RE2's \s excludes vertical tab) and no Unicode spaces (Python's
+# str.split() folds NBSP/NEL, which the oracle regex does NOT). Using
+# any wider class would break the closed-form ground truth on a
+# corpus containing the excluded characters.
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def ascii_ws_normalize(s: str) -> str:
-    """Collapse ASCII whitespace runs to single spaces and trim."""
-    return _ASCII_WS.sub(" ", s).strip(" \t\n\r\f\v")
+    """Collapse RE2-``\\s`` whitespace runs to single spaces, trim."""
+    return _ASCII_WS.sub(" ", s).strip(" \t\n\r\f")
 
 # Tags that open/close a text block. Inline tags (a, b, span, em, ...)
 # accumulate into the current block.
@@ -81,7 +82,11 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int]] = []  # (text, chars, anchor_chars)
         self._buf: list[str] = []
-        self._anchor_chars = 0
+        # raw anchor fragments for the CURRENT block — normalized once
+        # at flush with the same rule as the block text, so whitespace
+        # between fragments of one anchor (split by comments/inline
+        # tags) counts identically in both totals
+        self._anchor_buf: list[str] = []
         self._skip_depth = 0
         self._anchor_depth = 0
         self._in_head = False
@@ -89,9 +94,10 @@ class _BlockParser(HTMLParser):
     def _flush(self) -> None:
         text = ascii_ws_normalize("".join(self._buf))
         if text:
-            self.blocks.append((text, len(text), self._anchor_chars))
+            anchor_chars = len(ascii_ws_normalize("".join(self._anchor_buf)))
+            self.blocks.append((text, len(text), anchor_chars))
         self._buf = []
-        self._anchor_chars = 0
+        self._anchor_buf = []
 
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
         if tag == "head":
@@ -127,7 +133,7 @@ class _BlockParser(HTMLParser):
             return
         self._buf.append(data)
         if self._anchor_depth:
-            self._anchor_chars += len(ascii_ws_normalize(data))
+            self._anchor_buf.append(data)
 
     def close(self) -> None:
         super().close()

@@ -12,8 +12,11 @@ Each message is ``{"partition": k, "offset": o, "key": user_id,
 DENSE per partition — consumers dedup on (partition, offset), exactly
 the Kafka consumer contract. The producer materializes the canonical
 events table into the bus with Spark itself (partition = user_id %
-N_PARTITIONS, offsets via a per-partition row_number — one shuffle,
-executor-side writes; no driver loop), then plants a full set of
+N_PARTITIONS; offsets via TWO-LEVEL numbering — local row_number per
+(partition, chunk) cell plus a per-cell base from the tiny count
+table — so assignment fans out over N_PARTITIONS × OFFSET_CHUNKS
+tasks instead of serializing the corpus on N_PARTITIONS reducers;
+executor-side writes, no driver loop), then plants a full set of
 redelivered segment twins so every message arrives at least twice.
 
 The consumer is an ordinary Structured Streaming file source over the
@@ -23,12 +26,15 @@ bounded by the watermark delay, not by topic history — the standard
 watermark contract, which carries the standard watermark assumption:
 dedup is guaranteed for redeliveries that arrive within the delay of
 the first delivery's event time, and data later than the watermark is
-dropped like in any watermarked pipeline. (The bounded availableNow
-drain used by the registry queries sees everything in one batch, so
-the assumption is trivially met there; a production deployment sizes
-the delay to the bus's actual retry/lag bound.) Batches land through
-the same exactly-once batch_id-keyed foreachBatch sink contract as
-the other ingests (streaming/doc_ingest.py:58).
+dropped like in any watermarked pipeline. The seal records the
+topic's event-time span, and the drains derive their delay from it
+(``bus_span_delay``), so the guarantee holds no matter how the engine
+slices the drain into micro-batches — single-batch availableNow
+behavior is an optimization, not a correctness dependency. Bounded
+drains land through the exactly-once batch_id-keyed foreachBatch sink
+contract (streaming/doc_ingest.py:58); ``consume_bus_unbounded`` is
+the production shape — processing-time trigger, per-batch
+offset-progress ledger, caller-owned lifecycle.
 """
 
 from __future__ import annotations
@@ -53,6 +59,16 @@ from ..catalog import load_table
 from .rollups import run_to_completion
 
 N_PARTITIONS = 8
+
+# Offset assignment fans out over (partition, chunk) so the producer
+# never funnels the corpus through N_PARTITIONS reducer tasks: each of
+# the N_PARTITIONS × OFFSET_CHUNKS cells numbers its rows locally and
+# a tiny per-cell count table (collected nowhere — broadcast-joined)
+# provides the dense per-partition base offsets.
+OFFSET_CHUNKS = 32
+
+# stale producer build dirs older than this are swept before a rebuild
+TMP_GRACE_SECONDS = 3600
 
 MSG_SCHEMA = StructType(
     [
@@ -113,6 +129,40 @@ def _source_stamp(sf_dir: str) -> str:
     return f"{n}:{total}:{newest}"
 
 
+def _sweep_stale_tmp(final: str) -> None:
+    """GC '<topic>.tmp.<hex>' siblings left by a crashed build or a
+    lost publish race. Only dirs older than TMP_GRACE_SECONDS go — a
+    concurrent builder's live tmp dir is younger than the grace
+    window, so the sweep can never race an in-flight publish."""
+    import time
+
+    cutoff = time.time() - TMP_GRACE_SECONDS
+    for d in glob.glob(f"{final}.tmp.*"):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def bus_span_delay(bus_path: str, margin_s: int = 3600) -> str:
+    """A watermark delay derived from the sealed topic's event-time
+    span (+margin): with delay ≥ span, NO redelivery can fall behind
+    the watermark regardless of how the engine slices the drain into
+    micro-batches — the availableNow single-batch assumption the r11
+    advice flagged stops being load-bearing. Falls back to '2 hours'
+    for seals that predate the span line."""
+    seal = os.path.join(bus_path, "_SEALED")
+    try:
+        with open(seal) as fh:
+            lines = fh.read().splitlines()
+        lo, hi = (int(x) for x in lines[1].split(":"))
+        span_s = max(0, (hi - lo) // 1_000_000)
+        return f"{span_s + margin_s} seconds"
+    except (OSError, IndexError, ValueError):
+        return "2 hours"
+
+
 def produce_events_bus(
     spark: SparkSession,
     sf_dir: str,
@@ -132,26 +182,59 @@ def produce_events_bus(
     if os.path.exists(seal):
         try:
             with open(seal) as fh:
-                if fh.read().strip() == stamp:
+                lines = fh.read().splitlines()
+                if lines and lines[0].strip() == stamp:
                     return final
         except OSError:
             pass
         shutil.rmtree(final, ignore_errors=True)  # stale: source changed
+    _sweep_stale_tmp(final)
     tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
     ev = load_table(spark, sf_dir, "events")
     part = (F.col("user_id") % N_PARTITIONS).cast("long")
-    w = Window.partitionBy("partition").orderBy("ts", "event_id")
-    msgs = (
-        ev.select(
-            part.alias("partition"),
-            F.col("user_id").alias("key"),
-            F.unix_micros("ts").alias("ts_us"),
-            "event_type",
-            "value",
-            "ts",
-            "event_id",
+    # event-time span, recorded in the seal so consumers can derive a
+    # watermark delay that PROVABLY covers every redelivery no matter
+    # how the engine batches the drain (see bus_span_delay)
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    # two-level dense offsets: local row_number per (partition, chunk)
+    # cell + a per-cell base from the tiny count table — fan-out is
+    # N_PARTITIONS × OFFSET_CHUNKS tasks, not N_PARTITIONS, so a big
+    # corpus never serializes on the partition count
+    keyed = ev.select(
+        part.alias("partition"),
+        (F.col("event_id") % OFFSET_CHUNKS).cast("long").alias("chunk"),
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_local = Window.partitionBy("partition", "chunk").orderBy(
+        "ts", "event_id"
+    )
+    w_base = (
+        Window.partitionBy("partition")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        keyed.groupBy("partition", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "base", F.coalesce(F.sum("n").over(w_base), F.lit(0))
         )
-        .withColumn("offset", F.row_number().over(w).cast("long") - 1)
+        .select("partition", "chunk", "base")
+    )
+    msgs = (
+        keyed.withColumn(
+            "local", F.row_number().over(w_local).cast("long") - 1
+        )
+        .join(F.broadcast(bases), ["partition", "chunk"])
+        .withColumn("offset", F.col("base") + F.col("local"))
         .select(
             "partition",
             F.to_json(
@@ -169,8 +252,10 @@ def produce_events_bus(
             )
             os.link(seg, twin)
     # the _SUCCESS/. _* markers are hidden from the file source anyway
+    # (line 1: source stamp; line 2: event-time span in epoch micros)
     with open(os.path.join(tmp, "_SEALED"), "w") as fh:
         fh.write(stamp + "\n")
+        fh.write(f"{span['lo'] or 0}:{span['hi'] or 0}\n")
     try:
         os.replace(tmp, final)  # atomic publish (rename over empty/absent)
     except OSError:
@@ -218,7 +303,9 @@ def bus_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup checks partition assignment AND dedup at once, since
     any surviving redelivery doubles a count."""
     path = produce_events_bus(spark, sf_dir)
-    deduped = dedup_bus_messages(read_bus_stream(spark, path))
+    deduped = dedup_bus_messages(
+        read_bus_stream(spark, path), delay=bus_span_delay(path)
+    )
     landed = run_to_completion(
         deduped.select("partition", "ts", "value"), output_mode="append"
     )
@@ -242,7 +329,9 @@ def consume_bus_exactly_once(
     from .doc_ingest import _write_batch
 
     path = produce_events_bus(spark, sf_dir)
-    deduped = dedup_bus_messages(read_bus_stream(spark, path))
+    deduped = dedup_bus_messages(
+        read_bus_stream(spark, path), delay=bus_span_delay(path)
+    )
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         _write_batch(batch_df, out_path, batch_id)
@@ -321,7 +410,8 @@ def bus_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = dedup_bus_messages(
         msgs.filter(~F.col("is_poison")).withColumn(
             "ts", F.timestamp_micros("ts_us")
-        )
+        ),
+        delay=bus_span_delay(path),
     )
     landed_good = run_to_completion(
         good.select("partition", "value"), output_mode="append"
@@ -342,4 +432,66 @@ def bus_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("n_poison_raw", F.lit(0)).alias("n_poison_raw"),
         F.coalesce("n_poison_distinct", F.lit(0)).alias("n_poison_distinct"),
+    )
+
+
+def consume_bus_unbounded(
+    spark: SparkSession,
+    bus_path: str,
+    out_path: str,
+    ckpt: str,
+    progress_path: str,
+    processing_interval: str = "500 milliseconds",
+    delay: str | None = None,
+):
+    """The PRODUCTION drain shape: a non-availableNow, processing-time
+    triggered consumer that keeps polling the topic for new sealed
+    segments — unlike the bounded registry drains, this is the query a
+    deployment leaves running. Returns the live StreamingQuery; the
+    caller owns its lifecycle (``.stop()``).
+
+    Per-batch offset-progress tracking: every micro-batch appends one
+    JSON line to ``progress_path`` with its batch_id, row count, and
+    per-partition max offset — the consumer-group offset-commit ledger
+    a real bus client maintains, reconstructible after a crash from
+    the checkpoint + ledger pair. Data lands through the exactly-once
+    batch_id-keyed sink contract (doc_ingest._write_batch), so an
+    at-least-once foreachBatch retry REPLACES both its parquet output
+    and is idempotent in the ledger (last line per batch_id wins).
+    """
+    import json as _json
+
+    from .doc_ingest import _write_batch
+
+    deduped = dedup_bus_messages(
+        read_bus_stream(spark, bus_path),
+        delay=delay or bus_span_delay(bus_path),
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            _write_batch(batch_df, out_path, batch_id)
+            prog = (
+                batch_df.groupBy("partition")
+                .agg(F.max("offset").alias("mx"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            entry = {
+                "batch_id": batch_id,
+                "n_rows": int(sum(r["n"] for r in prog)),
+                "max_offset": {
+                    str(r["partition"]): int(r["mx"]) for r in prog
+                },
+            }
+            with open(progress_path, "a") as fh:
+                fh.write(_json.dumps(entry, sort_keys=True) + "\n")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        deduped.writeStream.foreachBatch(land)
+        .trigger(processingTime=processing_interval)
+        .option("checkpointLocation", ckpt)
+        .start()
     )
