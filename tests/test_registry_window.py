@@ -103,10 +103,10 @@ SECTION_REPRESENTATIVES = (
     "streaming_html_extract",  # §2G
 )
 
-# the forty-one rows whose latest driver green is r9, plus the five
+# the forty-one rows whose latest driver green is r9, plus the seven
 # round-12 queries that have no driver row yet — after round 12 lands
 # these hold the oldest (or no) evidence; the round-13 window must
-# lead with them (46 of 50 slots)
+# lead with them (48 of 50 slots)
 MUST_LEAD_R13 = (
     # never driver-checked: landed in round 12 outside the window
     "bpe_train_merges",
@@ -114,6 +114,8 @@ MUST_LEAD_R13 = (
     "url_canonicalize",
     "domain_quality_rollup",
     "trigram_kn_prob",
+    "doc_lm_perplexity_tri",
+    "web_prefilter_chain",
     # latest driver green is r9
     "bigram_kn_prob",
     "bm25_doc_retrieval",

@@ -48,3 +48,65 @@ def test_trigram_kn_hand_computed(spark, tmp_path):
     assert by_tri[("a", "b", "d")]["p_kn"] == pytest.approx(0.25)
     assert by_tri[("a", "b", "c")]["p_kn_mid"] == pytest.approx(0.5)
     assert KN_DISCOUNT == 0.75
+
+
+def test_doc_lm_perplexity_tri_hand_computed(spark, tmp_path):
+    """Corpus: doc0 = 'a b c a b c' (trigrams abc, bca, cab, abc),
+    doc1 = 'a b d'. Corpus counts: abc:2, bca:1, cab:1, abd:1; context
+    counts c12: ab:3, bc:1, ca:1; V=4. Expected per-doc cross-entropy
+    recomputed here with the SAME micro-nat rounding the engine and
+    oracle share, so the assertion is exact, not approx-to-a-model."""
+    import math
+
+    from website_traffic_etl_gcp_spark.plans.selection import (
+        doc_lm_perplexity_tri,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b d")],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in doc_lm_perplexity_tri(spark, str(tmp_path)).collect()
+    }
+
+    def mn(x):
+        return round(math.log(x) * 1e6)
+
+    v = 4
+    lp = {
+        "abc": mn(2 + 1) - mn(3 + v),
+        "bca": mn(1 + 1) - mn(1 + v),
+        "cab": mn(1 + 1) - mn(1 + v),
+        "abd": mn(1 + 1) - mn(3 + v),
+    }
+    ce0 = -(2 * lp["abc"] + lp["bca"] + lp["cab"]) / (4 * 1e6)
+    ce1 = -lp["abd"] / (1 * 1e6)
+    assert rows[0]["n_trigrams"] == 4
+    assert rows[1]["n_trigrams"] == 1
+    assert rows[0]["cross_entropy_nats"] == ce0
+    assert rows[1]["cross_entropy_nats"] == ce1
+    assert rows[0]["ppl"] == round(math.exp(ce0), 6)
+    # a 2-token doc has no trigrams and is absent
+    docs2 = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b")], "doc_id bigint, text string"
+    )
+    d2 = str(tmp_path / "d2")
+    docs2.write.parquet(d2 + "/documents.parquet")
+    out = doc_lm_perplexity_tri(spark, d2).collect()
+    assert [r["doc_id"] for r in out] == [0]
+
+
+def test_doc_lm_perplexity_tri_corpus_sanity(spark):
+    from website_traffic_etl_gcp_spark.plans.selection import (
+        doc_lm_perplexity_tri,
+    )
+
+    rows = doc_lm_perplexity_tri(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_trigrams"] >= 1
+        assert r["ppl"] > 1.0  # add-one smoothing: never a perfect fit
+        assert r["cross_entropy_nats"] > 0.0

@@ -126,3 +126,59 @@ def test_web_prefilter_chain(spark):
     assert set(by_dom) == {"srca.com", "srcb.com"}
     assert by_dom["srca.com"]["n_pages"] == 2
     assert all(r["content_chars"] > 0 for r in chained)
+
+
+def test_prefilter_chain_stage_verdicts(spark):
+    """The chain's reason column is the FIRST failing stage and the
+    keep bit agrees with it; blocked domains really occur in the
+    corpus; the passthrough domain is byte-identical to the
+    url_canonicalize domain for every doc (row-order integrity of the
+    Arrow passthrough)."""
+    from website_traffic_etl_gcp_spark.plans.web import (
+        url_canonicalize,
+        web_prefilter_chain,
+    )
+    from .conftest import SF_DIR
+
+    rows = web_prefilter_chain(spark, SF_DIR).collect()
+    assert rows
+    blocked_set = {f"{s}.com" for s in ur.BLOCKED_SOURCES}
+    n_blocked = 0
+    for r in rows:
+        assert r["keep"] == (r["reason"] == "keep")
+        assert r["blocked"] == (r["domain"] in blocked_set)
+        if r["blocked"]:
+            n_blocked += 1
+            assert r["reason"] == "blocked_domain"
+        elif r["content_chars"] < 1:
+            assert r["reason"] == "no_content"
+        if r["reason"] == "keep":
+            assert not r["blocked"] and r["content_chars"] >= 1
+    assert n_blocked > 0, "corpus never exercised the blocklist stage"
+    assert any(r["reason"] == "keep" for r in rows)
+    chain_dom = {r["doc_id"]: r["domain"] for r in rows}
+    canon_dom = {
+        r["doc_id"]: r["domain"]
+        for r in url_canonicalize(spark, SF_DIR).collect()
+    }
+    assert chain_dom == canon_dom
+
+
+def test_extract_passthrough_columns(spark):
+    """extract_main_content carries passthrough columns through the
+    Arrow batch aligned with their rows."""
+    df = spark.createDataFrame(
+        [
+            (1, "<p>one two three four five six</p>", "x", 10),
+            (2, "<p>seven eight nine ten eleven twelve</p>", "y", 20),
+        ],
+        "doc_id bigint, html string, tag string, m bigint",
+    )
+    out = hx.extract_main_content(
+        df, "html", passthrough=("tag", "m")
+    ).collect()
+    assert {(r["doc_id"], r["tag"], r["m"]) for r in out} == {
+        (1, "x", 10),
+        (2, "y", 20),
+    }
+    assert all(r["content_chars"] > 0 for r in out)

@@ -161,13 +161,23 @@ def extract_main_text(html: str) -> tuple[str, int, int]:
 
 
 def extract_main_content(
-    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched boilerplate removal over an HTML string column.
 
     Pure map (no shuffle); output one row per input row with the
-    extracted main text and block-census stats.
+    extracted main text and block-census stats. ``passthrough``
+    columns are carried through the Arrow batch unchanged (same row
+    order), so downstream stages that need sibling metadata (domain,
+    source, ...) compose without a corpus-sized re-join on doc_id.
     """
+    pt = [c for c in passthrough]
+    schema = StructType(
+        list(EXTRACT_SCHEMA.fields) + [df.schema[c] for c in pt]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -175,15 +185,18 @@ def extract_main_content(
             for doc_id, html in zip(pdf[id_col], pdf[html_col]):
                 main, n_blocks, n_content = extract_main_text(html or "")
                 rows.append((int(doc_id), main, n_blocks, n_content, len(main)))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "main_text", "n_blocks",
                     "n_content_blocks", "content_chars",
                 ],
             )
+            for c in pt:
+                out[c] = pdf[c].to_numpy()
+            yield out
 
-    return df.select(id_col, html_col).mapInPandas(batches, EXTRACT_SCHEMA)
+    return df.select(id_col, html_col, *pt).mapInPandas(batches, schema)
 
 
 def plant_boilerplate_html(

@@ -32,7 +32,8 @@ from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 # tests/test_registry_window.py promised, leaving no driver evidence
 # older than r9 once this round lands — then (b) the round-12 trained
 # quality classifier pair (the round's headline new operator family).
-# The five other round-12 queries (BPE pair, URL pair, trigram KN)
+# The seven other round-12 queries (BPE pair, URL pair, trigram KN,
+# trigram perplexity, web pre-filter chain)
 # plus the forty-one r9-green rows become MUST_LEAD_R13 in
 # tests/test_registry_window.py — the staleness invariant is carried
 # forward explicitly, never silently dropped.

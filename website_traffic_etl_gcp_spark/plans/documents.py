@@ -3454,48 +3454,27 @@ def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hx.extract_main_content(planted, "html")
 
 
-@register(
-    "text_extract_html_quality",
-    oracle=f"""
-    SELECT doc_id, content_chars,
-           CAST(round((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
-             + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
-             + (1.0 - CAST(n_digit AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
-             ) * 1e6, 0) AS BIGINT) AS score_micro
-    FROM (
-        SELECT doc_id, content_chars,
+# Extracted-text quality score, shared by text_extract_html_quality
+# and the web_prefilter_chain (plans/web.py) so the two oracles can
+# never drift: per-row stats over main_text, then the same composite
+# as text_quality_score. _SQL_EXTRACT_STATS parameterizes its source
+# so the chain can feed a stats query that also carries the domain.
+_SQL_EXTRACT_STAT_COLS = f"""
                greatest(length(main_text), 1) AS n_chars_norm,
                greatest(len(string_split(main_text, ' ')), 1) AS n_tokens,
                {ts.sql_count_in_set("string_split(main_text, ' ')", ts.STOPWORDS)} AS n_stop,
                length(regexp_replace(main_text, '[^.,;:!?]', '', 'g')) AS n_punct,
-               length(regexp_replace(main_text, '[^0-9]', '', 'g')) AS n_digit
-        FROM ({_SQL_HTML_EXTRACT})
-    )
-    WHERE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
+               length(regexp_replace(main_text, '[^0-9]', '', 'g')) AS n_digit"""
+_SQL_QSCORE = """CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
           + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
-          + (1.0 - CAST(n_digit AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3
-          >= 0.55
-    """,
-    tags=("documents", "html"),
-    doc="The extracted-HTML corpus fed straight into the existing "
-    "quality filter: same composite score as text_quality_score, "
-    "computed over the recovered main_text, thresholded at 0.55. "
-    "Extraction (Arrow batch) -> scoring (pure Catalyst) -> filter: "
-    "the real web-pipeline pre-filter chain.",
-)
-def text_extract_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = text_extract_html(spark, sf_dir)
-    toks = F.split(F.col("main_text"), " ")
-    base = ex.select(
-        "doc_id",
-        "content_chars",
-        F.greatest(F.length("main_text"), F.lit(1)).cast("bigint").alias("n_chars_norm"),
-        F.greatest(F.size(toks), F.lit(1)).cast("bigint").alias("n_tokens"),
-        ts.count_in_set(toks, ts.STOPWORDS).cast("bigint").alias("n_stop"),
-        F.length(F.regexp_replace("main_text", r"[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
-        F.length(F.regexp_replace("main_text", r"[^0-9]", "")).cast("bigint").alias("n_digit"),
-    )
-    score = (
+          + (1.0 - CAST(n_digit AS DOUBLE) / CAST(n_chars_norm AS DOUBLE)) * 0.3"""
+QSCORE_MIN = 0.55
+
+
+def extract_quality_score_col() -> F.Column:
+    """The composite quality score (double) over stat columns produced
+    by :func:`extract_quality_stats` — the Spark twin of _SQL_QSCORE."""
+    return (
         F.col("n_stop").cast("double") / F.col("n_tokens").cast("double") * 0.4
         + (
             F.lit(1.0)
@@ -3508,9 +3487,50 @@ def text_extract_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 0.3
     )
+
+
+def extract_quality_stats(ex: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-row quality stats over an extraction output's main_text —
+    the Spark twin of _SQL_EXTRACT_STAT_COLS (keeps doc_id,
+    content_chars, and any ``extra_cols`` for downstream stages)."""
+    toks = F.split(F.col("main_text"), " ")
+    return ex.select(
+        "doc_id",
+        "content_chars",
+        *extra_cols,
+        F.greatest(F.length("main_text"), F.lit(1)).cast("bigint").alias("n_chars_norm"),
+        F.greatest(F.size(toks), F.lit(1)).cast("bigint").alias("n_tokens"),
+        ts.count_in_set(toks, ts.STOPWORDS).cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace("main_text", r"[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
+        F.length(F.regexp_replace("main_text", r"[^0-9]", "")).cast("bigint").alias("n_digit"),
+    )
+
+
+@register(
+    "text_extract_html_quality",
+    oracle=f"""
+    SELECT doc_id, content_chars,
+           CAST(round(({_SQL_QSCORE}) * 1e6, 0) AS BIGINT) AS score_micro
+    FROM (
+        SELECT doc_id, content_chars,{_SQL_EXTRACT_STAT_COLS}
+        FROM ({_SQL_HTML_EXTRACT})
+    )
+    WHERE {_SQL_QSCORE}
+          >= {QSCORE_MIN}
+    """,
+    tags=("documents", "html"),
+    doc="The extracted-HTML corpus fed straight into the existing "
+    "quality filter: same composite score as text_quality_score, "
+    "computed over the recovered main_text, thresholded at 0.55. "
+    "Extraction (Arrow batch) -> scoring (pure Catalyst) -> filter: "
+    "the real web-pipeline pre-filter chain.",
+)
+def text_extract_html_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = text_extract_html(spark, sf_dir)
     return (
-        base.withColumn("q", score)
-        .filter(F.col("q") >= 0.55)
+        extract_quality_stats(ex)
+        .withColumn("q", extract_quality_score_col())
+        .filter(F.col("q") >= QSCORE_MIN)
         .select(
             "doc_id",
             "content_chars",

@@ -906,6 +906,126 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_lm_perplexity_tri",
+    bench=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos
+        FROM ({_SQL_DOCS_NORM})
+    ),
+    dtr AS (
+        SELECT a.doc_id, a.token AS w1, b.token AS w2, c.token AS w3,
+               COUNT(*) AS n
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        GROUP BY 1, 2, 3, 4
+    ),
+    tri AS (SELECT w1, w2, w3, SUM(n) AS c123 FROM dtr GROUP BY 1, 2, 3),
+    ctx AS (SELECT w1, w2, SUM(c123) AS c12 FROM tri GROUP BY 1, 2),
+    voc AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+    lp AS (
+        SELECT w1, w2, w3,
+               CAST(round(ln(c123 + 1) * 1e6, 0) AS BIGINT)
+             - CAST(round(ln(c12 + v) * 1e6, 0) AS BIGINT) AS lp_micro
+        FROM tri JOIN ctx USING (w1, w2), voc
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_trigrams,
+           CAST(-SUM(n * lp_micro) AS DOUBLE)
+             / CAST(SUM(n) * 1000000 AS DOUBLE) AS cross_entropy_nats,
+           round(exp(CAST(-SUM(n * lp_micro) AS DOUBLE)
+             / CAST(SUM(n) * 1000000 AS DOUBLE)), 6) AS ppl
+    FROM dtr JOIN lp USING (w1, w2, w3)
+    GROUP BY doc_id
+    """,
+    tags=("documents", "selection", "quality", "lm"),
+    doc="Trigram companion to doc_lm_perplexity — per-doc cross-entropy "
+    "under an add-one-smoothed TRIGRAM LM trained on the corpus itself: "
+    "p(w3|w1,w2) = (c123+1)/(c12+V). A higher-order model separates "
+    "templated/boilerplate text (trigram-predictable, low ppl) from "
+    "merely common-word text far more sharply than the bigram filter; "
+    "running both gives the CCNet-style filter an order-sensitivity "
+    "axis. Same exact-arithmetic contract as the bigram query: "
+    "per-trigram log-probs in integer micro-nats, exact int64 per-doc "
+    "sums, one final int->double division. Same scale shape as the r11 "
+    "bigram rework: trigrams are built IN-ROW from the token array "
+    "(transform over an index sequence — token instances never "
+    "shuffle), every shuffle key is a 64-bit hash (tid = "
+    "xxhash64(w1,w2,w3), cid = xxhash64(w1,w2)), map-side combine "
+    "reduces to distinct per-doc trigrams before the wire, and the LM "
+    "table is O(distinct corpus trigrams) on int keys. Docs with <3 "
+    "tokens have no trigrams and are absent by construction.",
+)
+def doc_lm_perplexity_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", word_tokens("text").alias("t"))
+    # in-row trigram ids: no window, no token-instance shuffle
+    tri_in = toks.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.xxhash64(
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ).alias("cid"),
+                    F.xxhash64(
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ).alias("tid"),
+                ),
+            )
+        ).alias("tg"),
+    )
+    dtr = tri_in.groupBy(
+        "doc_id",
+        F.col("tg.cid").alias("cid"),
+        F.col("tg.tid").alias("tid"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tri = dtr.groupBy("tid").agg(
+        F.sum("n").alias("c123"), F.max("cid").alias("cid")
+    )
+    ctx = tri.groupBy("cid").agg(F.sum("c123").alias("c12"))
+    voc = toks.select(
+        F.explode(
+            F.array_distinct(F.transform("t", lambda x: F.xxhash64(x)))
+        ).alias("uid")
+    ).agg(F.countDistinct("uid").alias("v"))
+    lp = (
+        tri.join(ctx, "cid")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "tid",
+            (
+                _micro_nats(F.col("c123") + 1)
+                - _micro_nats(F.col("c12") + F.col("v"))
+            ).alias("lp_micro"),
+        )
+    )
+    agg = (
+        dtr.join(lp, "tid")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_trigrams"),
+            F.sum(F.col("n") * F.col("lp_micro")).alias("s_micro"),
+        )
+    )
+    ent = (-F.col("s_micro")).cast("double") / (
+        F.col("n_trigrams") * F.lit(1000000)
+    ).cast("double")
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        ent.alias("cross_entropy_nats"),
+        F.round(F.exp(ent), 6).alias("ppl"),
+    )
+
+
 # ---- trained quality classifier (hashed char-3-gram ridge) -------------
 #
 # The CCNet-style "quality model": distill the composite heuristic

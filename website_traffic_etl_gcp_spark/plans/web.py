@@ -20,7 +20,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import urls as ur
-from .documents import _SQL_DOCS_NORM
+from .documents import (
+    QSCORE_MIN,
+    _SQL_DOCS_NORM,
+    _SQL_EXTRACT_STAT_COLS,
+    _SQL_HTML_EXTRACT,
+    _SQL_QSCORE,
+    extract_quality_score_col,
+    extract_quality_stats,
+)
 from .registry import register
 from .selection import _QC_KEEP
 
@@ -150,4 +158,86 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars_total").cast("double")
             / F.col("n_docs").cast("double")
         ).alias("mean_chars"),
+    )
+
+
+_SQL_CHAIN_BLOCKED = f"domain IN ({_SQL_BLOCKED})"
+
+
+@register(
+    "web_prefilter_chain",
+    oracle=f"""
+    WITH st AS (
+        SELECT doc_id, content_chars,{_SQL_EXTRACT_STAT_COLS}
+        FROM ({_SQL_HTML_EXTRACT})
+    ),
+    sc AS (
+        SELECT doc_id, content_chars, {_SQL_QSCORE} AS q FROM st
+    ),
+    ud AS (
+        SELECT doc_id, {ur.sql_domain(f'({_SQL_URL})')} AS domain
+        FROM documents
+    )
+    SELECT sc.doc_id, ud.domain, sc.content_chars,
+           CAST(round(q * 1e6, 0) AS BIGINT) AS score_micro,
+           ({_SQL_CHAIN_BLOCKED}) AS blocked,
+           (NOT ({_SQL_CHAIN_BLOCKED}) AND sc.content_chars >= 1
+                AND q >= {QSCORE_MIN}) AS keep,
+           CASE WHEN {_SQL_CHAIN_BLOCKED} THEN 'blocked_domain'
+                WHEN sc.content_chars < 1 THEN 'no_content'
+                WHEN q < {QSCORE_MIN} THEN 'low_quality'
+                ELSE 'keep' END AS reason
+    FROM sc JOIN ud USING (doc_id)
+    """,
+    tags=("documents", "web", "html"),
+    bench=True,
+    doc="The END-TO-END web pre-filter verdict, one row per crawled "
+    "page: HTML boilerplate extraction (Arrow batch) -> canonical "
+    "domain (column algebra over the planted URL) -> blocklist check "
+    "-> composite quality score over the EXTRACTED text -> keep bit "
+    "plus the first failing stage as a reason (blocked_domain / "
+    "no_content / low_quality / keep). The domain rides THROUGH the "
+    "extraction batch as a passthrough column, so the whole chain is "
+    "ONE map stage — zero shuffles, zero corpus re-joins — which is "
+    "the shape that matters at 100 TB: a full-corpus pre-filter pass "
+    "costs exactly one scan. Oracle recomposes the same three shared "
+    "SQL fragments (planted-page ground truth, domain rules, score) "
+    "the component queries pin individually.",
+)
+def web_prefilter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import html_extract as hx
+
+    d = _docs(spark, sf_dir)
+    url = ur.planted_url()
+    planted = d.select(
+        "doc_id",
+        hx.plant_boilerplate_html("doc_id", "text").alias("html"),
+        ur.domain_col(url).alias("domain"),
+    )
+    ex = hx.extract_main_content(planted, "html", passthrough=("domain",))
+    scored = extract_quality_stats(ex, "domain").withColumn(
+        "q", extract_quality_score_col()
+    )
+    blocked = F.col("domain").isin(
+        *[f"{s}.com" for s in ur.BLOCKED_SOURCES]
+    )
+    keep = (
+        (~blocked)
+        & (F.col("content_chars") >= 1)
+        & (F.col("q") >= QSCORE_MIN)
+    )
+    reason = (
+        F.when(blocked, F.lit("blocked_domain"))
+        .when(F.col("content_chars") < 1, F.lit("no_content"))
+        .when(F.col("q") < QSCORE_MIN, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return scored.select(
+        "doc_id",
+        "domain",
+        "content_chars",
+        F.round(F.col("q") * 1e6, 0).cast("bigint").alias("score_micro"),
+        blocked.alias("blocked"),
+        keep.alias("keep"),
+        reason.alias("reason"),
     )
