@@ -221,6 +221,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = [s for s in plans.REGISTRY.values() if s.bench]
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c: iterate on a subset with the same
+    # warmup protocol. Subset runs skip baseline folding AND regression
+    # detection (drift normalization needs the full suite's median).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        specs = [s for s in specs if s.name in names]
 
     if "--scaling" in sys.argv:
         _scaling_report(spark, specs)
@@ -249,11 +256,14 @@ def main() -> None:
 
     timings = _run_suite(spark, specs, sf_dir, repeats=2)
 
-    warnings = _check_regressions(
-        timings,
-        float(sf),
-        families={s.name: tuple(sorted(s.tags)) for s in specs},
-    )
+    if only:
+        warnings: list[str] = []
+    else:
+        warnings = _check_regressions(
+            timings,
+            float(sf),
+            families={s.name: tuple(sorted(s.tags)) for s in specs},
+        )
 
     total = round(sum(timings.values()), 3)
     print(

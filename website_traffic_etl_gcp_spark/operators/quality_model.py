@@ -74,8 +74,17 @@ def char_ngram_features(
     intercept row (b = INTERCEPT, n = 1) for EVERY doc — so every doc
     has at least one feature row and the intercept is learned like any
     other weight."""
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
+
     norm = normalize_text(text_col)
-    d = docs.select(F.col(id_col).alias("doc_id"), norm.alias("norm"))
+    # fan a narrow scan out before the per-char md5 explode — the
+    # hashing dominates and a small parquet arrives as 1-2 splits
+    d = widen_narrow_input(
+        docs, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(F.col(id_col).alias("doc_id"), norm.alias("norm"))
     grams = (
         d.filter(F.length("norm") >= 3)
         .select(

@@ -1920,6 +1920,36 @@ _QF_TOKS = "string_split(norm, ' ')"
 _QF_SH = ts.SQL_SHINGLES.format(toks=_QF_TOKS, norm="norm")
 
 
+def quality_keep_col(text_col: str = "text") -> F.Column:
+    """The composite C4/Gopher keep bit as a single Column expression
+    — map-only, so callers that only need the verdict (domain
+    rollups, chains) can compute it INLINE in their own projection
+    instead of joining quality_filter_verdicts output back to the
+    corpus on doc_id (a corpus-sized shuffle for a per-row value)."""
+    from ..functions.texthash import word_tokens
+
+    norm = normalize_text(text_col)
+    toks = word_tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(norm).cast("bigint")
+    n_stop = ts.count_in_set(toks, ts.STOPWORDS).cast("bigint")
+    n_punct = F.length(F.regexp_replace(norm, r"[^.,;:!?]", "")).cast("bigint")
+    total3 = n_tok - 2
+    dist3 = F.size(ts.shingles_col(text_col)).cast("bigint")
+    r_dup3 = F.when(
+        n_tok >= 3,
+        (total3 - dist3) * MAX_DUP3_DEN <= total3 * MAX_DUP3_NUM,
+    ).otherwise(F.lit(True))
+    return (
+        (n_tok >= MIN_TOKENS)
+        & (n_chars <= MAX_CHARS_PER_TOKEN * n_tok)
+        & (n_stop >= 1)
+        & r_dup3
+        & (n_punct * MAX_PUNCT_DEN <= n_chars * MAX_PUNCT_NUM)
+    )
+
+
+
 @register(
     "quality_filter_verdicts",
     oracle=f"""
@@ -1956,9 +1986,17 @@ _QF_SH = ts.SQL_SHINGLES.format(toks=_QF_TOKS, norm="norm")
     "verdicts are engine-exact. Map-only projection — no shuffle.",
 )
 def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
     from ..functions.texthash import word_tokens
 
-    d = _docs(spark, sf_dir)
+    # the interpreted shingle HOF dominates — fan a narrow scan out
+    d = widen_narrow_input(
+        _docs(spark, sf_dir),
+        min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
+    )
     norm = normalize_text("text")
     toks = word_tokens("text")
     n_tok = F.size(toks).cast("bigint")

@@ -114,27 +114,35 @@ _SQL_BLOCKED = ", ".join(
     "operators/urls.py.",
 )
 def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .documents import quality_filter_verdicts
+    from .documents import quality_keep_col
 
     d = _docs(spark, sf_dir)
     url = ur.planted_url()
-    keep = quality_filter_verdicts(spark, sf_dir).select(
-        "doc_id", F.col("keep").cast("int").alias("k")
-    )
     blocked = F.broadcast(
         d.sparkSession.createDataFrame(
             [(f"{s}.com",) for s in ur.BLOCKED_SOURCES],
             "domain string",
         )
     )
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
     from ..functions.texthash import normalize_text
 
-    per_doc = d.select(
-        "doc_id",
+    # keep bit computed INLINE (quality_keep_col) — one map-only
+    # projection, no corpus-sized join back on doc_id; the scan is
+    # fanned out first (CPU-heavy threshold) because the interpreted
+    # shingle HOF is the expensive part and a small parquet arrives
+    # as 1-2 splits
+    per_doc = widen_narrow_input(
+        d, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
         "lang",
         F.length(normalize_text("text")).cast("bigint").alias("nc"),
         ur.domain_col(url).alias("domain"),
-    ).join(keep, "doc_id")
+        quality_keep_col().cast("int").alias("k"),
+    )
     agg = (
         per_doc.join(blocked, "domain", "left_anti")
         .groupBy("domain")
@@ -207,9 +215,17 @@ _SQL_CHAIN_BLOCKED = f"domain IN ({_SQL_BLOCKED})"
 def web_prefilter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import html_extract as hx
 
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
+
     d = _docs(spark, sf_dir)
     url = ur.planted_url()
-    planted = d.select(
+    # fan the narrow scan out before the CPU-heavy parse batch
+    planted = widen_narrow_input(
+        d, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
         "doc_id",
         hx.plant_boilerplate_html("doc_id", "text").alias("html"),
         ur.domain_col(url).alias("domain"),
