@@ -103,10 +103,10 @@ SECTION_REPRESENTATIVES = (
     "streaming_html_extract",  # §2G
 )
 
-# the forty-one rows whose latest driver green is r9, plus the seven
+# the forty-one rows whose latest driver green is r9, plus the eight
 # round-12 queries that have no driver row yet — after round 12 lands
 # these hold the oldest (or no) evidence; the round-13 window must
-# lead with them (48 of 50 slots)
+# lead with them (49 of 50 slots)
 MUST_LEAD_R13 = (
     # never driver-checked: landed in round 12 outside the window
     "bpe_train_merges",
@@ -116,6 +116,7 @@ MUST_LEAD_R13 = (
     "trigram_kn_prob",
     "doc_lm_perplexity_tri",
     "web_prefilter_chain",
+    "streaming_web_prefilter",
     # latest driver green is r9
     "bigram_kn_prob",
     "bm25_doc_retrieval",

@@ -538,3 +538,26 @@ def test_bus_tmp_gc_and_span_delay(spark, tmp_path):
     # span = 9 * 600s = 5400s; delay = span + margin
     assert bus.bus_span_delay(path, margin_s=3600) == "9000 seconds"
     assert bus.bus_span_delay(str(tmp_path / "nope")) == "2 hours"
+
+
+def test_streaming_web_prefilter_equals_batch(spark):
+    """The streaming pre-filter chain is a stateless map, so a bounded
+    drain must equal the batch chain row-for-row."""
+    from website_traffic_etl_gcp_spark.plans.streaming_plans import (
+        streaming_web_prefilter,
+    )
+    from website_traffic_etl_gcp_spark.plans.web import web_prefilter_chain
+
+    from .conftest import SF_DIR
+
+    got = {
+        r["doc_id"]: r
+        for r in streaming_web_prefilter(spark, SF_DIR).collect()
+    }
+    want = {
+        r["doc_id"]: r for r in web_prefilter_chain(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (got[k], want[k])
+    assert any(r["reason"] == "blocked_domain" for r in want.values())

@@ -643,3 +643,90 @@ def streaming_bus_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import bus
 
     return bus.bus_dlq_audit(spark, sf_dir)
+
+
+@register(
+    "streaming_web_prefilter",
+    # batch-equivalence oracle: the chain is a stateless per-row map
+    # (extract -> domain -> blocklist -> quality verdict), so a bounded
+    # availableNow drain equals the batch chain exactly
+    oracle=None,  # set below from the batch twin's SQL (single source)
+    tags=("streaming", "html", "web", "documents"),
+    doc="Streaming twin of web_prefilter_chain — the FULL crawl-stream "
+    "pre-filter running unchanged as a stream: each micro-batch "
+    "plants the boilerplate wrapper + the per-doc URL, strips the "
+    "boilerplate back out in the Arrow batch (domain riding through "
+    "as a passthrough column), and emits the per-page keep verdict "
+    "with its first-failing-stage reason. Stateless map end-to-end — "
+    "no watermark, no state store — which is exactly why the 100 TB "
+    "batch plan and the streaming plan are the SAME plan; the oracle "
+    "is the batch chain's SQL verbatim (plans/web.py).",
+)
+def streaming_web_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..catalog import table_path
+    from ..operators import html_extract as hx
+    from ..operators import urls as ur
+    from .documents import (
+        QSCORE_MIN,
+        extract_quality_score_col,
+        extract_quality_stats,
+    )
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(rollups.stream_source_dir(sf_dir, "documents"))
+    )
+    url = ur.planted_url()
+    planted = stream.select(
+        "doc_id",
+        hx.plant_boilerplate_html("doc_id", "text").alias("html"),
+        ur.domain_col(url).alias("domain"),
+    )
+    ex = hx.extract_main_content(planted, "html", passthrough=("domain",))
+    scored = extract_quality_stats(ex, "domain").withColumn(
+        "q", extract_quality_score_col()
+    )
+    blocked = F.col("domain").isin(
+        *[f"{s}.com" for s in ur.BLOCKED_SOURCES]
+    )
+    keep = (
+        (~blocked)
+        & (F.col("content_chars") >= 1)
+        & (F.col("q") >= QSCORE_MIN)
+    )
+    reason = (
+        F.when(blocked, F.lit("blocked_domain"))
+        .when(F.col("content_chars") < 1, F.lit("no_content"))
+        .when(F.col("q") < QSCORE_MIN, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    verdicts = scored.select(
+        "doc_id",
+        "domain",
+        "content_chars",
+        F.round(F.col("q") * 1e6, 0).cast("bigint").alias("score_micro"),
+        blocked.alias("blocked"),
+        keep.alias("keep"),
+        reason.alias("reason"),
+    )
+    return rollups.run_to_completion(verdicts, output_mode="append")
+
+
+def _wire_streaming_web_oracle() -> None:
+    """Share the batch chain's oracle SQL (one source of truth)."""
+    from dataclasses import replace
+
+    from . import web as _web_mod
+    from .registry import REGISTRY
+
+    REGISTRY["streaming_web_prefilter"] = replace(
+        REGISTRY["streaming_web_prefilter"],
+        oracle=REGISTRY["web_prefilter_chain"].oracle,
+    )
+
+
+_wire_streaming_web_oracle()
