@@ -103,10 +103,10 @@ SECTION_REPRESENTATIVES = (
     "streaming_html_extract",  # §2G
 )
 
-# the forty-one rows whose latest driver green is r9, plus the eight
+# the forty-one rows whose latest driver green is r9, plus the nine
 # round-12 queries that have no driver row yet — after round 12 lands
 # these hold the oldest (or no) evidence; the round-13 window must
-# lead with them (49 of 50 slots)
+# lead with them (50 of 50 slots)
 MUST_LEAD_R13 = (
     # never driver-checked: landed in round 12 outside the window
     "bpe_train_merges",
@@ -117,6 +117,7 @@ MUST_LEAD_R13 = (
     "doc_lm_perplexity_tri",
     "web_prefilter_chain",
     "streaming_web_prefilter",
+    "domain_cap_sample",
     # latest driver green is r9
     "bigram_kn_prob",
     "bm25_doc_retrieval",

@@ -182,3 +182,51 @@ def test_extract_passthrough_columns(spark):
         (2, "y", 20),
     }
     assert all(r["content_chars"] > 0 for r in out)
+
+
+def test_domain_cap_sample_two_stage_exact(spark):
+    """The salted two-stage top-K must equal the single-window
+    definition exactly, the cap must bind, and the coin must make the
+    sample deterministic across runs."""
+    from pyspark.sql import Window
+
+    from website_traffic_etl_gcp_spark.functions.texthash import md5_long
+    from website_traffic_etl_gcp_spark.plans.web import (
+        DOMAIN_CAP,
+        domain_cap_sample,
+    )
+    from .conftest import SF_DIR
+
+    got = domain_cap_sample(spark, SF_DIR)
+    rows = got.collect()
+    per_dom = {}
+    for r in rows:
+        per_dom.setdefault(r["domain"], []).append(r["sample_rank"])
+    assert per_dom
+    for dom, ranks in per_dom.items():
+        assert len(ranks) <= DOMAIN_CAP
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), dom
+    # the cap binds on this corpus (otherwise the query is a no-op)
+    assert any(len(v) == DOMAIN_CAP for v in per_dom.values())
+    # reference: single-window definition, no salting
+    from website_traffic_etl_gcp_spark.catalog import load_table
+    from website_traffic_etl_gcp_spark.operators import urls as u2
+
+    d = load_table(spark, SF_DIR, "documents")
+    coin = md5_long(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("domain").orderBy("coin", "doc_id")
+    ref = (
+        d.select(
+            "doc_id",
+            u2.domain_col(u2.planted_url()).alias("domain"),
+            coin.alias("coin"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= DOMAIN_CAP)
+        .select("doc_id", "domain", "sample_rank")
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref.collect()))
+    # deterministic: second run identical
+    assert sorted(map(tuple, domain_cap_sample(spark, SF_DIR).collect())) == sorted(
+        map(tuple, rows)
+    )

@@ -257,3 +257,70 @@ def web_prefilter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         reason.alias("reason"),
     )
+
+
+DOMAIN_CAP = 18  # max docs kept per domain (binds at every test SF)
+CAP_SALTS = 8  # stage-1 fan-out cells per domain (kills hot-domain skew)
+
+_SQL_CAP_COIN = "CAST(('0x' || substr(md5('cap:' || doc_id), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "domain_cap_sample",
+    oracle=f"""
+    SELECT doc_id, domain, sample_rank
+    FROM (
+        SELECT doc_id, domain,
+               CAST(row_number() OVER (
+                   PARTITION BY domain ORDER BY coin, doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM (
+            SELECT doc_id,
+                   {ur.sql_domain(f'({_SQL_URL})')} AS domain,
+                   {_SQL_CAP_COIN} AS coin
+            FROM documents
+        )
+    )
+    WHERE sample_rank <= {DOMAIN_CAP}
+    """,
+    tags=("documents", "web", "selection"),
+    bench=True,
+    doc="Per-domain crawl-budget sampling (the RefinedWeb-style "
+    "domain cap): keep at most DOMAIN_CAP docs per canonical domain, "
+    "chosen by a deterministic md5 coin on the doc id — stable across "
+    "runs, coordination-free, and uniform within every domain. The "
+    "plan is the classic TWO-STAGE top-K: stage 1 takes the top "
+    "DOMAIN_CAP per (domain, salt) cell so a hot domain fans out over "
+    "CAP_SALTS reducers instead of funnelling one; stage 2 re-ranks "
+    "the <= CAP_SALTS*DOMAIN_CAP survivors per domain — exact because "
+    "the true per-domain top-K is contained in the union of per-cell "
+    "top-Ks. Shuffle volume after stage 1 is bounded by domains x "
+    "salts x cap, independent of corpus size. Oracle is the "
+    "single-window row_number definition.",
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.texthash import md5_long
+
+    d = _docs(spark, sf_dir)
+    url = ur.planted_url()
+    coin = md5_long(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    base = d.select(
+        "doc_id",
+        ur.domain_col(url).alias("domain"),
+        coin.alias("coin"),
+        (F.col("doc_id") % CAP_SALTS).alias("salt"),
+    )
+    w1 = Window.partitionBy("domain", "salt").orderBy("coin", "doc_id")
+    stage1 = base.withColumn(
+        "r1", F.row_number().over(w1)
+    ).filter(F.col("r1") <= DOMAIN_CAP)
+    w2 = Window.partitionBy("domain").orderBy("coin", "doc_id")
+    return (
+        stage1.withColumn(
+            "sample_rank", F.row_number().over(w2).cast("bigint")
+        )
+        .filter(F.col("sample_rank") <= DOMAIN_CAP)
+        .select("doc_id", "domain", "sample_rank")
+    )
