@@ -183,6 +183,18 @@ def main() -> int:
             failed += 1
         print(f"{name}: {'OK' if ok else 'FAIL'} {results[name]}", flush=True)
 
+    # an `only` run MERGES into the existing artifact (late-landing
+    # queries appended without re-running the whole sweep); a full run
+    # replaces it wholesale
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("results", {})
+        prior.update(results)
+        results = prior
+        failed = sum(
+            1 for r in results.values() if not r.get("hash_match", False)
+        )
+
     n_total = len(results)
     with open(out_path, "w") as f:
         json.dump(

@@ -103,10 +103,10 @@ SECTION_REPRESENTATIVES = (
     "streaming_html_extract",  # §2G
 )
 
-# the forty-one rows whose latest driver green is r9, plus the nine
+# the forty-one rows whose latest driver green is r9, plus the eleven
 # round-12 queries that have no driver row yet — after round 12 lands
 # these hold the oldest (or no) evidence; the round-13 window must
-# lead with them (50 of 50 slots)
+# fill the whole window and spill two into round 14's carry-over (52 declared for 50 slots; the r13 window takes the first 50 in this order)
 MUST_LEAD_R13 = (
     # never driver-checked: landed in round 12 outside the window
     "bpe_train_merges",
@@ -118,6 +118,8 @@ MUST_LEAD_R13 = (
     "web_prefilter_chain",
     "streaming_web_prefilter",
     "domain_cap_sample",
+    "unigram_lm_segment",
+    "unigram_lm_train",
     # latest driver green is r9
     "bigram_kn_prob",
     "bm25_doc_retrieval",

@@ -1386,3 +1386,167 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_chars").cast("double")
         ).alias("tokens_per_char"),
     )
+
+
+# ---- unigram-LM tokenizer (SentencePiece-style hard-EM round) ----------
+
+from ..operators import unigram_lm as ulm  # noqa: E402
+
+
+def _sql_unigram_with() -> str:
+    """The shared CTE chain for the unigram-LM family: distinct words
+    → seed substring frequencies → vocab (all single chars + top
+    multi-char pieces) → integer micro-nat costs → MAX_WORD_LEN
+    unrolled Viterbi DP steps (row_number argmin per word per
+    position, ORDER BY cost, np, bp — the engine-shared lexicographic
+    tie-break) → MAX_WORD_LEN backtrace steps rebuilding the ordered
+    piece string. Every value is an exact integer, so segmentations
+    and counts match the Spark side bit-for-bit."""
+    P, W, V = ulm.MAX_PIECE_LEN, ulm.MAX_WORD_LEN, ulm.VOCAB_MULTI
+    parts = [
+        f"""ug_words AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(length(word) AS INT) AS n
+        FROM (SELECT unnest(string_split(norm, ' ')) AS word
+              FROM ({_SQL_DOCS_NORM}))
+        WHERE length(word) BETWEEN 1 AND {W}
+        GROUP BY 1),
+    ug_freq AS MATERIALIZED (
+        SELECT piece, CAST(SUM(c) AS BIGINT) AS f
+        FROM (SELECT c,
+                     substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+              FROM ug_words,
+                   unnest(range(1, n + 1)) AS t(i),
+                   unnest(range(1, least({P}, n - i + 1) + 1)) AS u(l))
+        GROUP BY 1),
+    ug_vocab AS MATERIALIZED (
+        SELECT piece, f FROM ug_freq WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, f FROM (
+            SELECT piece, f,
+                   row_number() OVER (ORDER BY f DESC, piece) AS rk
+            FROM ug_freq WHERE length(piece) >= 2)
+        WHERE rk <= {V}),
+    ug_cost AS MATERIALIZED (
+        SELECT piece, f,
+               CAST(round(ln((SELECT SUM(f) FROM ug_vocab)) * 1e6, 0)
+                    AS BIGINT)
+             - CAST(round(ln(f) * 1e6, 0) AS BIGINT) AS cost_micro
+        FROM ug_vocab),
+    ug_dp0 AS (SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+                      0 AS np, 0 AS bp FROM ug_words)"""
+    ]
+    for i in range(1, W + 1):
+        branches = "\n            UNION ALL ".join(
+            f"""SELECT d.word, d.n, d.cost + v.cost_micro AS cost,
+                   d.np + 1 AS np, {j} AS bp
+            FROM ug_dp{j} d JOIN ug_cost v
+              ON v.piece = substr(d.word, {j + 1}, {i - j})
+            WHERE d.n >= {i}"""
+            for j in range(max(0, i - P), i)
+        )
+        parts.append(
+            f"""ug_dp{i} AS MATERIALIZED (
+        SELECT word, n, {i} AS pos, cost, np, bp FROM (
+            SELECT word, n, cost, np, bp,
+                   row_number() OVER (PARTITION BY word
+                       ORDER BY cost, np, bp) AS rk
+            FROM ({branches}))
+        WHERE rk = 1)"""
+        )
+    parts.append(
+        "ug_dp_all AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT word, pos, cost, np, bp FROM ug_dp{i}"
+            for i in range(1, W + 1)
+        )
+        + ")"
+    )
+    parts.append(
+        """ug_bt0 AS (
+        SELECT w.word, w.c, w.n AS pos, d.cost AS cost_micro,
+               d.np AS n_pieces, '' AS s
+        FROM ug_words w JOIN ug_dp_all d
+          ON d.word = w.word AND d.pos = w.n)"""
+    )
+    for k in range(1, W + 1):
+        parts.append(
+            f"""ug_bt{k} AS (
+        SELECT b.word, b.c,
+               CASE WHEN b.pos > 0 THEN d.bp ELSE b.pos END AS pos,
+               b.cost_micro, b.n_pieces,
+               CASE WHEN b.pos > 0
+                    THEN substr(b.word, d.bp + 1, b.pos - d.bp)
+                         || (CASE WHEN b.s = '' THEN ''
+                             ELSE ' ' || b.s END)
+                    ELSE b.s END AS s
+        FROM ug_bt{k - 1} b LEFT JOIN ug_dp_all d
+          ON d.word = b.word AND d.pos = b.pos)"""
+        )
+    parts.append(
+        f"""ug_seg AS MATERIALIZED (
+        SELECT word, c, CAST(n_pieces AS BIGINT) AS n_pieces,
+               cost_micro, s AS pieces FROM ug_bt{W})"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@register(
+    "unigram_lm_segment",
+    oracle=f"""
+    {_sql_unigram_with()}
+    SELECT word, c, n_pieces, cost_micro, pieces FROM ug_seg
+    """,
+    tags=("documents", "tokenizer"),
+    bench=True,
+    doc="Unigram-LM tokenizer segmentation (the SentencePiece model, "
+    "Kudo 2018): every distinct corpus word Viterbi-segmented under a "
+    "frequency-seeded piece vocabulary (all single chars for coverage "
+    f"+ top {ulm.VOCAB_MULTI} multi-char substrings), costs in exact "
+    "integer micro-nats. The ENTIRE DP runs IN-ROW as one F.aggregate "
+    "expression over the word's positions with the vocabulary shipped "
+    "as a literal map (bounded driver state, the kmeans centroid-"
+    "literal precedent): one map stage over the distinct-word table — "
+    "no per-position joins, no iterative lineage, no shuffle after "
+    "the one corpus-linear word count. array_min over (cost, np, bp) "
+    "structs gives the same lexicographic tie-break the oracle's "
+    "ORDER BY uses, so segmentations match bit-for-bit. "
+    "operators/unigram_lm.py.",
+)
+def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = ulm.distinct_words(d)
+    vocab = ulm.seed_vocab(words)
+    return ulm.viterbi_segment(words, vocab)
+
+
+@register(
+    "unigram_lm_train",
+    oracle=f"""
+    {_sql_unigram_with()}
+    SELECT v.piece, v.f AS f_seed,
+           CAST(COALESCE(u.nv, 0) AS BIGINT) AS n_viterbi,
+           CAST(COALESCE(u.nv, 0) AS DOUBLE)
+             / CAST((SELECT SUM(c * n_pieces) FROM ug_seg) AS DOUBLE)
+               AS p
+    FROM ug_cost v LEFT JOIN (
+        SELECT piece, SUM(c) AS nv
+        FROM (SELECT c, unnest(string_split(pieces, ' ')) AS piece
+              FROM ug_seg)
+        GROUP BY 1) u USING (piece)
+    """,
+    tags=("documents", "tokenizer"),
+    doc="The hard-EM M-step of unigram-LM training: per-piece Viterbi "
+    "usage counts weighted by word frequency and the re-estimated "
+    "unigram probability (single exact int→double division) — one "
+    "full E+M round of the Kudo 2018 procedure, with pieces the "
+    "Viterbi never uses kept at zero so pruning decisions are "
+    "auditable. Everything downstream of the single corpus-linear "
+    "word count is vocabulary-sized. operators/unigram_lm.py.",
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = ulm.distinct_words(d)
+    vocab = ulm.seed_vocab(words)
+    seg = ulm.viterbi_segment(words, vocab)
+    return ulm.mstep_piece_stats(seg, vocab)
