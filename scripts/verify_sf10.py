@@ -58,6 +58,17 @@ SF10_QUERIES = [
     "doc_lm_perplexity",
     "text_extract_html",
     "text_extract_html_quality",
+    # round 12: web/tokenizer/LM families (linear oracles)
+    "url_canonicalize",
+    "domain_quality_rollup",
+    "domain_cap_sample",
+    "web_prefilter_chain",
+    "streaming_web_prefilter",
+    "trigram_kn_prob",
+    "doc_lm_perplexity_tri",
+    "bpe_train_merges",
+    "unigram_lm_segment",
+    "unigram_lm_train",
     # §2E embeddings (200k vectors)
     "centroid_by_label",
     "embedding_quantize_int8",

@@ -113,3 +113,60 @@ def test_feature_counts_are_capped(spark):
     )
     mx = feats.agg(F.max("n")).collect()[0][0]
     assert mx == qm.COUNT_CAP  # 498 'zzz' grams, one bucket, capped
+
+
+def test_model_registry_roundtrip_and_invalidation(spark, tmp_path):
+    """Published weights are probed by scoring, keyed by corpus STATE
+    (a regenerated corpus gets a different key), and strict mode
+    raises when no model is published."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from website_traffic_etl_gcp_spark.operators import quality_model as qm
+    from website_traffic_etl_gcp_spark.plans.selection import _qc_weights
+
+    sf = str(tmp_path / "sfQ")
+    os.makedirs(sf)
+    spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the common words appear here again and again doc "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcA").alias("source"),
+        F.lit(50).alias("n_chars"),
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    assert qm.load_published_weights(sf) is None
+    os.environ["SPARK_GRAFT_STRICT_INDEX"] = "1"
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="no published classifier"):
+            _qc_weights(spark, sf)
+    finally:
+        del os.environ["SPARK_GRAFT_STRICT_INDEX"]
+
+    w = _qc_weights(spark, sf)  # trains + publishes
+    assert qm.load_published_weights(sf) == w
+    # probe path returns the identical vector (and is pure file I/O)
+    assert _qc_weights(spark, sf) == w
+    # corpus state change -> different key -> no stale read
+    p1 = qm.model_path(sf)
+    with open(
+        os.path.join(
+            sf,
+            "documents.parquet",
+            [
+                f
+                for f in os.listdir(os.path.join(sf, "documents.parquet"))
+                if f.endswith(".parquet")
+            ][0],
+        ),
+        "ab",
+    ) as fh:
+        fh.write(b"x")
+    assert qm.model_path(sf) != p1
+    assert qm.load_published_weights(sf) is None

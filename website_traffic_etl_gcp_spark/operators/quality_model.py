@@ -183,3 +183,63 @@ def score_documents(feats: DataFrame, weights: list[int]) -> DataFrame:
             "pred_keep"
         ),
     )
+
+
+# ---- published model registry (the persisted-ANN-index precedent) ------
+#
+# Training is deterministic and integer-exact, so the solved weight
+# vector is a pure function of (corpus state, training constants) —
+# exactly the property that makes a content-keyed published artifact
+# safe: same key → same weights, changed corpus (or changed training
+# hyperparameters) → different key → rebuild. Scoring then probes the
+# published model instead of re-deriving the moments, which is the
+# production shape: train once per corpus version, score every scan.
+
+_MODEL_SALT = f"{N_BUCKETS}:{COUNT_CAP}:{RIDGE_LAMBDA}:{N_ITERS}:{W_SCALE}:{TRAIN_MOD}"
+
+
+def model_path(sf_dir: str) -> str:
+    """Content-keyed JSON path under the shared scratch root: the key
+    folds the documents table's file-stat state AND the training
+    constants, so a regenerated corpus or retuned trainer can never
+    read stale weights."""
+    import os
+
+    from .dedup_index import _corpus_state_key, _scratch_root
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    key = _MODEL_SALT + "|" + _corpus_state_key(docs)
+    import hashlib
+
+    h = hashlib.md5(key.encode()).hexdigest()[:10]
+    return os.path.join(_scratch_root(), f"wtes_qcmodel_{h}.json")
+
+
+def load_published_weights(sf_dir: str) -> list[int] | None:
+    """The published weight vector for this corpus state, or None."""
+    import json
+    import os
+
+    p = model_path(sf_dir)
+    try:
+        with open(p) as fh:
+            d = json.load(fh)
+        w = [int(x) for x in d["w"]]
+        return w if len(w) == N_FEATURES else None
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def publish_weights(sf_dir: str, w: list[int]) -> None:
+    """Atomic publish (tmp + rename — first writer wins; identical
+    content either way because training is deterministic)."""
+    import json
+    import os
+    import uuid
+
+    p = model_path(sf_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"w": [int(x) for x in w], "salt": _MODEL_SALT}, fh)
+    os.replace(tmp, p)

@@ -1132,12 +1132,35 @@ def _qc_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[list[int]], list[int], list[int], list[int]]:
     """(A, c, row_sums, W) — moments over the train half + solved
-    weights. Bounded driver state (65×65 ints)."""
+    weights. Bounded driver state (65×65 ints). Publishes the solved
+    weights to the content-keyed model registry as a side effect
+    (training is deterministic, so concurrent publishes agree)."""
     feats = qm.char_ngram_features(_docs(spark, sf_dir))
     tr = feats.filter(F.col("doc_id") % qm.TRAIN_MOD == 0)
     a, c = qm.train_moments(tr, _qc_labels(spark, sf_dir))
     s = [sum(row) for row in a]
-    return a, c, s, qm.solve_weights(a, c)
+    w = qm.solve_weights(a, c)
+    qm.publish_weights(sf_dir, w)
+    return a, c, s, w
+
+
+def _qc_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Weights for SCORING: probe the published model first (the
+    persisted-ANN-index precedent — train once per corpus version,
+    score every scan); fall back to training + publishing. Under
+    SPARK_GRAFT_STRICT_INDEX=1 a missing model raises instead, so
+    bench probes can prove they hit the registry."""
+    import os
+
+    w = qm.load_published_weights(sf_dir)
+    if w is not None:
+        return w
+    if os.environ.get("SPARK_GRAFT_STRICT_INDEX"):
+        raise RuntimeError(
+            f"strict-index mode: no published classifier model for "
+            f"{sf_dir} at {qm.model_path(sf_dir)}"
+        )
+    return _qc_train(spark, sf_dir)[3]
 
 
 @register(
@@ -1217,7 +1240,7 @@ def quality_classifier_train(
 def quality_classifier_score(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    _, _, _, w = _qc_train(spark, sf_dir)
+    w = _qc_weights(spark, sf_dir)
     feats = qm.char_ngram_features(_docs(spark, sf_dir))
     return qm.score_documents(feats, w)
 
