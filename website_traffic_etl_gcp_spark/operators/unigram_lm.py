@@ -34,7 +34,7 @@ corpus-sized — the BPE precedent):
    Positions unroll as MAX_WORD_LEN fixed steps (the classifier's
    unrolled-solver precedent); single-char coverage makes every
    position reachable.
-5. **Backtrace** — reconstruct the argmin path into a '|'-joined
+5. **Backtrace** — reconstruct the argmin path into a space-joined
    piece string per word (MAX_WORD_LEN more fixed steps).
 6. **M-step** — piece Viterbi counts ``n = Σ c(word) × uses`` and the
    re-estimated probability ``n / N_tot`` (single int→double
@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 MAX_PIECE_LEN = 4  # P: longest candidate piece
 MAX_WORD_LEN = 16  # W: words longer than this sit training out
 VOCAB_MULTI = 48  # multi-char pieces kept (plus ALL single chars)
+PIECE_MISS = 10**12  # sentinel cost for out-of-vocab pieces (micro-nats)
 
 
 def distinct_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -143,8 +144,9 @@ def viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
     lexicographic tie-break. One map stage over the distinct-word
     table — no per-position joins, no iterative lineage, no shuffle.
     A second in-row aggregate walks the backpointers into the ordered
-    piece string. Single-char coverage guarantees every position is
-    reachable, so the filtered candidate array is never empty."""
+    piece string. Out-of-vocab pieces cost the PIECE_MISS sentinel
+    (see step), so dp entries are never null even at positions no
+    vocab path reaches."""
     rows = vocab.select("piece", "cost_micro").collect()  # vocab-sized
     pairs: list = []
     for r in sorted(rows, key=lambda r: r["piece"]):
@@ -164,7 +166,14 @@ def viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
 
     def step(acc, i):
         # candidate parents: piece = word[k .. i], parent dp = acc[k]
-        # (1-based: acc[k] holds position k-1), bp = k-1
+        # (1-based: acc[k] holds position k-1), bp = k-1. A piece
+        # missing from the vocab coalesces to the PIECE_MISS sentinel
+        # instead of NULL (null structs NPE inside codegen array_min),
+        # so every dp entry is non-null and any real path — cost
+        # ≤ MAX_WORD_LEN·ln(F_tot)·1e6 ≪ sentinel — always wins. A
+        # truly unsegmentable word (never the case for the registry
+        # vocabs: round 1 keeps all single chars, round 2 keeps the
+        # word's own round-1 pieces) surfaces as cost ≥ PIECE_MISS.
         cands = F.transform(
             F.sequence(
                 F.greatest(F.lit(1), i - F.lit(MAX_PIECE_LEN) + 1), i
@@ -172,16 +181,18 @@ def viterbi_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
             lambda k: F.struct(
                 (
                     F.element_at(acc, k)["cost"]
-                    + F.element_at(cmap, F.substring(word, k, i - k + 1))
+                    + F.coalesce(
+                        F.element_at(
+                            cmap, F.substring(word, k, i - k + 1)
+                        ),
+                        F.lit(PIECE_MISS),
+                    )
                 ).alias("cost"),
                 (F.element_at(acc, k)["np"] + 1).cast("int").alias("np"),
                 (k - 1).cast("int").alias("bp"),
             ),
         )
-        best = F.array_min(
-            F.filter(cands, lambda s: s["cost"].isNotNull())
-        )
-        return F.concat(acc, F.array(best))
+        return F.concat(acc, F.array(F.array_min(cands)))
 
     scored = words.select(
         "word",
@@ -253,4 +264,21 @@ def mstep_piece_stats(seg: DataFrame, vocab: DataFrame) -> DataFrame:
             F.col("n_viterbi").cast("double")
             / F.col("n_tot").cast("double")
         ).alias("p"),
+    )
+
+
+def refine_vocab(stats: DataFrame) -> DataFrame:
+    """Round-2 piece costs from the M-step usage counts: pieces the
+    Viterbi never used are PRUNED (the Kudo pruning move), the rest
+    re-scored as -ln(n/N) in integer micro-nats. Every word stays
+    segmentable because its own round-1 segmentation only used
+    surviving pieces."""
+    used = stats.filter(F.col("n_viterbi") > 0)
+    tot = used.agg(F.sum("n_viterbi").alias("n_tot"))
+    return used.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.col("n_viterbi").alias("f"),
+        (_mn(F.col("n_tot")) - _mn(F.col("n_viterbi"))).alias(
+            "cost_micro"
+        ),
     )

@@ -1416,6 +1416,70 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import unigram_lm as ulm  # noqa: E402
 
 
+def _sql_viterbi_ctes(pre: str, cost_cte: str) -> list[str]:
+    """The unrolled Viterbi DP + backtrace CTE block, parameterized by
+    name prefix and cost table so the seed round and the refined round
+    share one generator (segmentations from ``{pre}seg``)."""
+    P, W = ulm.MAX_PIECE_LEN, ulm.MAX_WORD_LEN
+    parts = [
+        f"""{pre}dp0 AS (SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+                      0 AS np, 0 AS bp FROM ug_words)"""
+    ]
+    for i in range(1, W + 1):
+        branches = "\n            UNION ALL ".join(
+            f"""SELECT d.word, d.n, d.cost + v.cost_micro AS cost,
+                   d.np + 1 AS np, {j} AS bp
+            FROM {pre}dp{j} d JOIN {cost_cte} v
+              ON v.piece = substr(d.word, {j + 1}, {i - j})
+            WHERE d.n >= {i}"""
+            for j in range(max(0, i - P), i)
+        )
+        parts.append(
+            f"""{pre}dp{i} AS MATERIALIZED (
+        SELECT word, n, {i} AS pos, cost, np, bp FROM (
+            SELECT word, n, cost, np, bp,
+                   row_number() OVER (PARTITION BY word
+                       ORDER BY cost, np, bp) AS rk
+            FROM ({branches}))
+        WHERE rk = 1)"""
+        )
+    parts.append(
+        f"{pre}dp_all AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT word, pos, cost, np, bp FROM {pre}dp{i}"
+            for i in range(1, W + 1)
+        )
+        + ")"
+    )
+    parts.append(
+        f"""{pre}bt0 AS (
+        SELECT w.word, w.c, w.n AS pos, d.cost AS cost_micro,
+               d.np AS n_pieces, '' AS s
+        FROM ug_words w JOIN {pre}dp_all d
+          ON d.word = w.word AND d.pos = w.n)"""
+    )
+    for k in range(1, W + 1):
+        parts.append(
+            f"""{pre}bt{k} AS (
+        SELECT b.word, b.c,
+               CASE WHEN b.pos > 0 THEN d.bp ELSE b.pos END AS pos,
+               b.cost_micro, b.n_pieces,
+               CASE WHEN b.pos > 0
+                    THEN substr(b.word, d.bp + 1, b.pos - d.bp)
+                         || (CASE WHEN b.s = '' THEN ''
+                             ELSE ' ' || b.s END)
+                    ELSE b.s END AS s
+        FROM {pre}bt{k - 1} b LEFT JOIN {pre}dp_all d
+          ON d.word = b.word AND d.pos = b.pos)"""
+        )
+    parts.append(
+        f"""{pre}seg AS MATERIALIZED (
+        SELECT word, c, CAST(n_pieces AS BIGINT) AS n_pieces,
+               cost_micro, s AS pieces FROM {pre}bt{W})"""
+    )
+    return parts
+
+
 def _sql_unigram_with() -> str:
     """The shared CTE chain for the unigram-LM family: distinct words
     → seed substring frequencies → vocab (all single chars + top
@@ -1455,63 +1519,30 @@ def _sql_unigram_with() -> str:
                CAST(round(ln((SELECT SUM(f) FROM ug_vocab)) * 1e6, 0)
                     AS BIGINT)
              - CAST(round(ln(f) * 1e6, 0) AS BIGINT) AS cost_micro
-        FROM ug_vocab),
-    ug_dp0 AS (SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS cost,
-                      0 AS np, 0 AS bp FROM ug_words)"""
+        FROM ug_vocab)"""
     ]
-    for i in range(1, W + 1):
-        branches = "\n            UNION ALL ".join(
-            f"""SELECT d.word, d.n, d.cost + v.cost_micro AS cost,
-                   d.np + 1 AS np, {j} AS bp
-            FROM ug_dp{j} d JOIN ug_cost v
-              ON v.piece = substr(d.word, {j + 1}, {i - j})
-            WHERE d.n >= {i}"""
-            for j in range(max(0, i - P), i)
-        )
-        parts.append(
-            f"""ug_dp{i} AS MATERIALIZED (
-        SELECT word, n, {i} AS pos, cost, np, bp FROM (
-            SELECT word, n, cost, np, bp,
-                   row_number() OVER (PARTITION BY word
-                       ORDER BY cost, np, bp) AS rk
-            FROM ({branches}))
-        WHERE rk = 1)"""
-        )
-    parts.append(
-        "ug_dp_all AS MATERIALIZED ("
-        + " UNION ALL ".join(
-            f"SELECT word, pos, cost, np, bp FROM ug_dp{i}"
-            for i in range(1, W + 1)
-        )
-        + ")"
-    )
-    parts.append(
-        """ug_bt0 AS (
-        SELECT w.word, w.c, w.n AS pos, d.cost AS cost_micro,
-               d.np AS n_pieces, '' AS s
-        FROM ug_words w JOIN ug_dp_all d
-          ON d.word = w.word AND d.pos = w.n)"""
-    )
-    for k in range(1, W + 1):
-        parts.append(
-            f"""ug_bt{k} AS (
-        SELECT b.word, b.c,
-               CASE WHEN b.pos > 0 THEN d.bp ELSE b.pos END AS pos,
-               b.cost_micro, b.n_pieces,
-               CASE WHEN b.pos > 0
-                    THEN substr(b.word, d.bp + 1, b.pos - d.bp)
-                         || (CASE WHEN b.s = '' THEN ''
-                             ELSE ' ' || b.s END)
-                    ELSE b.s END AS s
-        FROM ug_bt{k - 1} b LEFT JOIN ug_dp_all d
-          ON d.word = b.word AND d.pos = b.pos)"""
-        )
-    parts.append(
-        f"""ug_seg AS MATERIALIZED (
-        SELECT word, c, CAST(n_pieces AS BIGINT) AS n_pieces,
-               cost_micro, s AS pieces FROM ug_bt{W})"""
-    )
+    parts += _sql_viterbi_ctes("ug_", "ug_cost")
     return "WITH " + ",\n    ".join(parts)
+
+
+def _sql_unigram_refined_with() -> str:
+    """Round-2 chain: the seed round's Viterbi counts re-estimate the
+    piece costs (pieces with zero uses pruned — every word stays
+    segmentable because its own round-1 segmentation survives), then
+    the SAME unrolled DP re-segments under the refined costs."""
+    base = _sql_unigram_with()
+    refine = """ug2_cost AS MATERIALIZED (
+        SELECT piece,
+               CAST(nv AS BIGINT) AS f,
+               CAST(round(ln((SELECT SUM(c * n_pieces) FROM ug_seg))
+                          * 1e6, 0) AS BIGINT)
+             - CAST(round(ln(nv) * 1e6, 0) AS BIGINT) AS cost_micro
+        FROM (SELECT piece, SUM(c) AS nv
+              FROM (SELECT c, unnest(string_split(pieces, ' ')) AS piece
+                    FROM ug_seg)
+              GROUP BY 1))"""
+    parts = [refine] + _sql_viterbi_ctes("ug2_", "ug2_cost")
+    return base + ",\n    " + ",\n    ".join(parts)
 
 
 @register(
@@ -1573,3 +1604,29 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = ulm.seed_vocab(words)
     seg = ulm.viterbi_segment(words, vocab)
     return ulm.mstep_piece_stats(seg, vocab)
+
+
+@register(
+    "unigram_lm_refine",
+    oracle=f"""
+    {_sql_unigram_refined_with()}
+    SELECT word, c, n_pieces, cost_micro, pieces FROM ug2_seg
+    """,
+    tags=("documents", "tokenizer"),
+    doc="The SECOND EM round of unigram-LM training: the seed round's "
+    "Viterbi usage counts re-estimate the piece costs (never-used "
+    "pieces pruned — the Kudo vocabulary-shrink move; every word "
+    "stays segmentable because its own round-1 segmentation "
+    "survives), and the same in-row F.aggregate Viterbi re-segments "
+    "every distinct word under the refined costs. Demonstrates the "
+    "EM LOOP, not just one round — the oracle chains a second "
+    "unrolled DP over the refined cost table. Same scale shape: one "
+    "corpus pass, then vocabulary-sized work.",
+)
+def unigram_lm_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = ulm.distinct_words(d)
+    vocab = ulm.seed_vocab(words)
+    seg = ulm.viterbi_segment(words, vocab)
+    vocab2 = ulm.refine_vocab(ulm.mstep_piece_stats(seg, vocab))
+    return ulm.viterbi_segment(words, vocab2)
