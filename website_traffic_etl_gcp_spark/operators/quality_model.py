@@ -121,9 +121,14 @@ def train_moments(
     (doc_id, y) with y ∈ {0, 1}. Two aggregations, both collapsing to
     ≤ D² / ≤ D rows before the shuffle; the collect is bounded driver
     state (D×D ints), never corpus-sized."""
+    # the feature table is CORPUS-sized — force the self-join to
+    # shuffle on doc_id rather than letting a post-aggregation size
+    # underestimate talk AQE into broadcasting ~30M rows (observed
+    # driver OOM at sf10); co-partitioned merge join is the plan that
+    # survives any corpus size
     xtx = (
         feats.alias("a")
-        .join(feats.alias("b2"), "doc_id")
+        .join(feats.alias("b2").hint("merge"), "doc_id")
         .groupBy(F.col("a.b").alias("i"), F.col("b2.b").alias("j"))
         .agg(F.sum(F.col("a.n") * F.col("b2.n")).alias("v"))
         .collect()
