@@ -103,7 +103,7 @@ SECTION_REPRESENTATIVES = (
     "streaming_html_extract",  # §2G
 )
 
-# the forty-one rows whose latest driver green is r9, plus the twelve
+# the forty-one rows whose latest driver green is r9, plus the thirteen
 # round-12 queries that have no driver row yet — after round 12 lands
 # these hold the oldest (or no) evidence; the round-13 window must
 # fill the whole window and spill two into round 14's carry-over (52 declared for 50 slots; the r13 window takes the first 50 in this order)
@@ -121,6 +121,7 @@ MUST_LEAD_R13 = (
     "unigram_lm_segment",
     "unigram_lm_train",
     "unigram_lm_refine",
+    "tokenizer_compare",
     # latest driver green is r9
     "bigram_kn_prob",
     "bm25_doc_retrieval",

@@ -1630,3 +1630,92 @@ def unigram_lm_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = ulm.viterbi_segment(words, vocab)
     vocab2 = ulm.refine_vocab(ulm.mstep_piece_stats(seg, vocab))
     return ulm.viterbi_segment(words, vocab2)
+
+
+@register(
+    "tokenizer_compare",
+    oracle=f"""
+    {_sql_bpe_with()},
+    {_sql_unigram_refined_with()[5:]}
+    SELECT 'bpe' AS tokenizer,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(n) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM(n * len(string_split(seg, ' '))) AS BIGINT)
+               AS n_pieces_total,
+           CAST(SUM(n * len(string_split(seg, ' '))) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS fertility
+    FROM bpe_seg{bp.N_MERGES}
+    UNION ALL
+    SELECT 'unigram_lm' AS tokenizer,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c) AS BIGINT),
+           CAST(SUM(c * n_pieces) AS BIGINT),
+           CAST(SUM(c * n_pieces) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+    FROM ug_seg
+    UNION ALL
+    SELECT 'unigram_lm_r2' AS tokenizer,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c) AS BIGINT),
+           CAST(SUM(c * n_pieces) AS BIGINT),
+           CAST(SUM(c * n_pieces) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+    FROM ug2_seg
+    """,
+    tags=("documents", "tokenizer"),
+    doc="Head-to-head tokenizer diagnostic: corpus fertility (weighted "
+    "pieces per word) for the learned BPE vocabulary vs the unigram-LM "
+    "vocabulary after EM rounds 1 and 2, each over its own training "
+    "frame (BPE trains on all words; unigram excludes words longer "
+    "than MAX_WORD_LEN — the trainers' own documented scopes). Exact "
+    "integer totals, one int→double division per row; the oracle "
+    "chains BOTH trainers' CTE pipelines. The standard 'which "
+    "tokenizer is cheaper per word on MY corpus' question, answered "
+    "in-engine with three vocabulary-sized pipelines after one corpus "
+    "pass each.",
+)
+def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    _, bpe_segs = bp.train_merges(d)
+    n_pieces_bpe = F.size(F.split("seg", " "))
+    bpe_row = bpe_segs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+        F.sum("n").cast("bigint").alias("n_word_occurrences"),
+        F.sum(F.col("n") * n_pieces_bpe).cast("bigint").alias(
+            "n_pieces_total"
+        ),
+    ).select(
+        F.lit("bpe").alias("tokenizer"),
+        "n_distinct_words",
+        "n_word_occurrences",
+        "n_pieces_total",
+        (
+            F.col("n_pieces_total").cast("double")
+            / F.col("n_word_occurrences").cast("double")
+        ).alias("fertility"),
+    )
+
+    def _uni_row(seg: DataFrame, tag: str) -> DataFrame:
+        return seg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            F.sum("c").cast("bigint").alias("n_word_occurrences"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("bigint").alias(
+                "n_pieces_total"
+            ),
+        ).select(
+            F.lit(tag).alias("tokenizer"),
+            "n_distinct_words",
+            "n_word_occurrences",
+            "n_pieces_total",
+            (
+                F.col("n_pieces_total").cast("double")
+                / F.col("n_word_occurrences").cast("double")
+            ).alias("fertility"),
+        )
+
+    words = ulm.distinct_words(d)
+    vocab = ulm.seed_vocab(words)
+    seg1 = ulm.viterbi_segment(words, vocab)
+    vocab2 = ulm.refine_vocab(ulm.mstep_piece_stats(seg1, vocab))
+    seg2 = ulm.viterbi_segment(words, vocab2)
+    return bpe_row.unionByName(_uni_row(seg1, "unigram_lm")).unionByName(
+        _uni_row(seg2, "unigram_lm_r2")
+    )
