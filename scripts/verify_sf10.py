@@ -69,6 +69,8 @@ SF10_QUERIES = [
     "bpe_train_merges",
     "unigram_lm_segment",
     "unigram_lm_train",
+    "unigram_lm_refine",
+    "tokenizer_compare",
     # §2E embeddings (200k vectors)
     "centroid_by_label",
     "embedding_quantize_int8",
@@ -120,6 +122,17 @@ def main() -> int:
             failed += 1
         print(f"{name}: {'OK' if ok else 'FAIL'} {results[name]}", flush=True)
     n = len(results)
+    # an `only` run MERGES into the existing artifact (late-landing
+    # queries appended); a full run replaces it wholesale
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("results", {})
+        prior.update(results)
+        results = prior
+        failed = sum(
+            1 for r in results.values() if not r.get("hash_match", False)
+        )
+        n = len(results)
     with open(out_path, "w") as f:
         json.dump(
             {"sf_dir": sf_dir, "n_queries": n, "n_failed": failed,
