@@ -230,3 +230,34 @@ def test_domain_cap_sample_two_stage_exact(spark):
     assert sorted(map(tuple, domain_cap_sample(spark, SF_DIR).collect())) == sorted(
         map(tuple, rows)
     )
+
+
+def test_prefilter_chain_plan_has_no_keyed_exchange(spark):
+    """The chain's 100 TB claim — extraction + domain + blocklist +
+    quality verdict as ONE map pipeline — asserted on the physical
+    plan: no KEYED (hash/range) Exchange anywhere; the only shuffle
+    permitted is the deliberate round-robin narrow-input fan-out,
+    which disappears on wide inputs. The unigram segmenter's
+    companion claim (exactly the one corpus word-count hash shuffle)
+    is pinned alongside."""
+    from website_traffic_etl_gcp_spark.plans.selection import (
+        unigram_lm_segment,
+    )
+    from website_traffic_etl_gcp_spark.plans.web import web_prefilter_chain
+    from .conftest import SF_DIR
+
+    plan = (
+        web_prefilter_chain(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    plan2 = (
+        unigram_lm_segment(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2
