@@ -2,27 +2,26 @@
 order. That window is a curated contract (plans/__init__.py),
 rebalanced per round to maximize distinct driver-green evidence.
 
-Round 12 pins: the MUST_LEAD_R12 carry-over declared by round 11 —
-the two never-driver-checked streaming queries that landed after the
-r11 window sealed, then the forty-six rows whose latest driver green
-was r8 (the r11 verdict's rotation ask) — consumed here exactly as
-the round-11 edition of this file promised. After the carry-over come
-the two headline round-12 queries (the trained quality classifier
-pair). Together they fill the window exactly (48 + 2 = 50), and once
-round 12 lands no query's latest driver green is older than r9.
-
-The forty-one r9-green rows — plus the five other round-12 queries
-(the BPE pair, the URL pair, the trigram KN LM), which ship with sf1
-sweep evidence but no driver row yet — are DECLARED as MUST_LEAD_R13
-below, keeping the staleness invariant ("no green row older than 3
-rounds") an explicit chain of custody rather than an editable
+Round 13 pins: the window consumes the MUST_LEAD_R13 list declared by
+round 12's edition of this file EXACTLY — its first fifty names in
+order (the thirteen round-12 queries that landed after the r12 window
+sealed and so had sf1/sf10 sweep evidence but no driver row, then
+thirty-seven of the forty-one rows whose latest driver green is r9).
+MUST_LEAD_R13 declared 54 names for 50 slots, so four r9 rows spill
+into MUST_LEAD_R14 below, together with the forty-five rows whose
+latest driver green is r10 and the one query whose implementation
+changed this round outside the window (embedding_dedup_cosine, whose
+pair bucketing moved from the fixed 10 labels to the corpus-scaled
+semantic cells). Once round 13 lands, no query's latest driver green
+is older than r10 except those four declared spills — the staleness
+invariant stays an explicit chain of custody, never an editable
 comment.
 
-Section note: the round-12 window carries representatives for §A-§E2
-and §G. §F (multimodal) and §H (lakehouse) have NO stale rows to
-rotate in — every §F/§H query's latest green is r9-r11 — so they sit
-this window out and re-enter with the r13 rotation; the histogram
-test below pins that claim instead of hand-waving it.
+Section note: the round-13 window carries representatives for §A-§G.
+§H (lakehouse) has NO stale rows eligible for this window — every §H
+query's latest green is r10-r12 except xls_extract_transform, which
+is one of the four declared spills and so leads R14 — pinned by
+test_sections_f_h_hold_recent_evidence below instead of hand-waved.
 """
 
 from __future__ import annotations
@@ -31,82 +30,8 @@ from website_traffic_etl_gcp_spark.plans import REGISTRY
 
 WINDOW = 50
 
-# the MUST_LEAD_R12 list declared by round 11's edition of this file —
-# consumed here: all forty-eight lead the round-12 window
-MUST_LEAD_R12 = (
-    "streaming_html_extract",
-    "streaming_bus_dlq_audit",
-    "asof_last_event_before_order",
-    "bigram_next_token_prob",
-    "bloom_prefiltered_revenue",
-    "customer_balance_deciles",
-    "decontaminate_eval_overlap",
-    "dedup_clusters",
-    "dedup_incremental_clusters",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "dedup_jaccard_dfcap",
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "doc_pack_bins",
-    "doc_repetition_score",
-    "dsir_importance_weights",
-    "embedding_dedup_cosine",
-    "error_rate_hourly",
-    "etl_traffic_daily_rolling",
-    "event_type_hourly",
-    "knn_bruteforce_cosine",
-    "knn_ivf_persisted",
-    "knn_ivfpq_persisted",
-    "knn_ivfpq_rerank",
-    "knn_pq_rerank",
-    "lang_id_heuristic",
-    "leakage_safe_split",
-    "minhash_quality_eval",
-    "order_cube_status_priority",
-    "q1_pricing_summary",
-    "quality_filter_verdicts",
-    "rolling_7d_event_volume",
-    "scd2_customer_segment",
-    "session_bounce_rate",
-    "snapshot_diff_orders",
-    "stratified_sample_mix",
-    "streaming_minhash_ingest",
-    "streaming_segment_revenue",
-    "streaming_semdedup_ingest",
-    "streaming_sessionize",
-    "streaming_sliding_2h",
-    "text_quality_score",
-    "top_terms_tfidf",
-    "unicode_nfc_normalize",
-    "value_histogram_by_type",
-    "value_percentiles_approx",
-    "value_trimmed_stats_by_type",
-)
-
-# round-12 additions in the window — each needs a fresh driver row
-CHANGED_R12 = (
-    "quality_classifier_train",  # NEW r12: integer-exact in-engine ridge
-    "quality_classifier_score",  # NEW r12: literal-weight map-side scoring
-)
-
-# every registry §2 section with stale-or-new evidence keeps a
-# representative inside the window (see module docstring for §F/§H)
-SECTION_REPRESENTATIVES = (
-    "etl_traffic_daily_rolling",  # §2A
-    "q1_pricing_summary",  # §2B
-    "error_rate_hourly",  # §2C
-    "text_quality_score",  # §2D
-    "knn_bruteforce_cosine",  # §2E
-    "value_percentiles_approx",  # §2E2
-    "quality_classifier_train",  # §2D+ (round-12 model family)
-    "streaming_html_extract",  # §2G
-)
-
-# the forty-one rows whose latest driver green is r9, plus the thirteen
-# round-12 queries that have no driver row yet — after round 12 lands
-# these hold the oldest (or no) evidence; the round-13 window must
-# fill the whole window and spill two into round 14's carry-over (52 declared for 50 slots; the r13 window takes the first 50 in this order)
+# the MUST_LEAD_R13 list declared by round 12's edition of this file —
+# consumed here: the first fifty lead the round-13 window in order
 MUST_LEAD_R13 = (
     # never driver-checked: landed in round 12 outside the window
     "bpe_train_merges",
@@ -122,7 +47,7 @@ MUST_LEAD_R13 = (
     "unigram_lm_train",
     "unigram_lm_refine",
     "tokenizer_compare",
-    # latest driver green is r9
+    # latest driver green was r9
     "bigram_kn_prob",
     "bm25_doc_retrieval",
     "chunk_boilerplate_report",
@@ -160,34 +85,98 @@ MUST_LEAD_R13 = (
     "rag_chunk_ann_pipeline",
     "retention_cohorts",
     "revenue_rollup_nation_year",
+    # ---- 50-slot line: the four below spill into MUST_LEAD_R14 ----
     "streaming_admit_dedup_extend",
     "streaming_hourly_counts",
     "streaming_wav_chunks",
     "xls_extract_transform",
 )
 
+# every registry §2 section keeps a representative inside the window
+# (§H sits this window out — see module docstring + the F/H test)
+SECTION_REPRESENTATIVES = (
+    "etl_traffic_transform",  # §2A
+    "q3_shipping_priority",  # §2B
+    "funnel_conversion",  # §2C
+    "dedup_exact",  # §2D
+    "kmeans_embedding_clusters",  # §2E
+    "orders_scd2_pit_join",  # §2E2
+    "multimodal_frame_sample",  # §2F
+    "streaming_web_prefilter",  # §2G
+)
 
-def test_window_contains_evidence_gaps_and_all_sections():
+# the round-13 carry-over: the query whose implementation changed this
+# round outside the window (needs a fresh driver row against the NEW
+# code), the four declared MUST_LEAD_R13 spills, then the forty-five
+# rows whose latest driver green is r10 — 50 names for 50 slots.
+MUST_LEAD_R14 = (
+    # changed r13: pair bucketing moved to the corpus-scaled cells
+    "embedding_dedup_cosine",
+    # the four MUST_LEAD_R13 spills (latest driver green r9)
+    "streaming_admit_dedup_extend",
+    "streaming_hourly_counts",
+    "streaming_wav_chunks",
+    "xls_extract_transform",
+    # latest driver green is r10
+    "approx_distinct_users_daily",
+    "centroid_by_label",
+    "customers_above_segment_avg",
+    "daily_active_users",
+    "dedup_containment_pairs",
+    "dedup_ensemble_pairs",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_stats_by_source",
+    "dsir_gumbel_sample",
+    "dup_graph_degree_stats",
+    "embedding_pca_gate",
+    "etl_gcs_end_to_end",
+    "ivf_cell_occupancy",
+    "knn_ivf_cells",
+    "knn_pca_prefilter",
+    "lang_source_matrix",
+    "lsh_bucket_occupancy",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q4_late_shipment_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "returned_items_report",
+    "salted_event_value_sum",
+    "salted_orderstatus_revenue",
+    "signup_to_purchase_latency",
+    "simhash_quality_eval",
+    "snapshot_history_audit",
+    "snapshot_incremental_read",
+    "snapshot_merge_orders",
+    "snapshot_zonemap_prune",
+    "snapshot_zorder_prune",
+    "streaming_cdc_merge_orders",
+    "streaming_dq_router",
+    "streaming_video_frames",
+    "text_token_count",
+    "token_budget_waterfill",
+    "tokenizer_fertility_by_lang",
+    "top_bigrams",
+    "top_customers_by_revenue",
+    "winnow_quality_eval",
+)
+
+
+def test_window_is_exactly_must_lead_r13_head():
+    """Round 12 declared MUST_LEAD_R13; the round-13 window consumes
+    its first fifty names exactly, in order."""
     window = list(REGISTRY)[:WINDOW]
-    for group, names in (
-        ("MUST_LEAD_R12 carry-over", MUST_LEAD_R12),
-        ("round-12 changed", CHANGED_R12),
-        ("section representatives", SECTION_REPRESENTATIVES),
-    ):
-        missing = [n for n in names if n not in window]
-        assert not missing, f"{group} queries fell out of the window: {missing}"
+    assert window == list(MUST_LEAD_R13[:WINDOW])
 
 
-def test_must_lead_r12_leads_the_window():
-    """Round 11 declared these forty-eight as the rows whose evidence
-    goes stale first, so even a truncated driver run hits them."""
-    head = list(REGISTRY)[: len(MUST_LEAD_R12)]
-    assert head == list(MUST_LEAD_R12), head
-
-
-def test_window_is_exactly_must_lead_plus_changed():
-    window = list(REGISTRY)[:WINDOW]
-    assert window == list(MUST_LEAD_R12) + list(CHANGED_R12)
+def test_window_contains_section_representatives():
+    window = set(list(REGISTRY)[:WINDOW])
+    missing = [n for n in SECTION_REPRESENTATIVES if n not in window]
+    assert not missing, f"section representatives fell out: {missing}"
 
 
 def test_window_is_oracle_backed():
@@ -198,58 +187,81 @@ def test_window_is_oracle_backed():
     assert no_oracle == [], no_oracle
 
 
-def test_deferred_r13_queries_are_real_and_tracked():
-    """The deferral list must stay consumable: every name is a registry
-    query with an oracle, and none silently re-entered the window
-    (which would make the r13 carry-over claim wrong)."""
+def test_deferred_r14_queries_are_real_and_tracked():
+    """The carry-over list must stay consumable: every name is a
+    registry query with an oracle, none silently re-entered the
+    window, and it fills the next window exactly."""
     window = set(list(REGISTRY)[:WINDOW])
-    for n in MUST_LEAD_R13:
+    for n in MUST_LEAD_R14:
         assert n in REGISTRY, f"deferred query {n} no longer exists"
         assert REGISTRY[n].oracle is not None
         assert n not in window, f"{n} is both windowed and deferred"
+    assert len(MUST_LEAD_R14) == len(set(MUST_LEAD_R14)) == WINDOW
+
+
+def test_r13_spills_lead_the_r14_carryover():
+    """The four MUST_LEAD_R13 names past the 50-slot line (the oldest
+    evidence anywhere once r13 lands) must head MUST_LEAD_R14 right
+    after the changed-code row."""
+    spills = list(MUST_LEAD_R13[WINDOW:])
+    assert spills == list(MUST_LEAD_R14[1:5])
+    assert MUST_LEAD_R14[0] == "embedding_dedup_cosine"
 
 
 def test_sections_f_h_hold_recent_evidence():
-    """The §F/§H window exemption is only honest if no §F/§H query is
+    """The §H window exemption is only honest if no §H query is
     actually stale: every multimodal/lakehouse/snapshot query must be
-    either in the window or in a r9-or-newer green set — i.e. NOT in
-    the r8-stale carry-over this window just consumed."""
-    stale = set(MUST_LEAD_R12)
+    in the window, in the declared MUST_LEAD_R14 carry-over, or hold
+    r11+ driver evidence (the explicit list below, from the union of
+    CORRECTNESS_r*.json)."""
+    recent_fh = {
+        "multimodal_dedup_phash",  # r11
+        "multimodal_metadata",  # r11
+        "multimodal_video_frames",  # r10, in MUST_LEAD_R14
+        "snapshot_schema_evolution",  # r11
+        "snapshot_diff_orders",  # r12
+    }
+    window = set(list(REGISTRY)[:WINDOW])
+    carry = set(MUST_LEAD_R14)
     fh = [
         n
-        for n, s in REGISTRY.items()
+        for n in REGISTRY
         if n.startswith(("multimodal_", "snapshot_", "xls_", "etl_gcs"))
     ]
     assert fh, "section scan found no §F/§H queries"
-    missing_everywhere = [
-        n for n in fh if n in stale and n not in list(REGISTRY)[:WINDOW]
+    unaccounted = [
+        n for n in fh if n not in window and n not in carry and n not in recent_fh
     ]
-    assert missing_everywhere == [], missing_everywhere
+    assert unaccounted == [], unaccounted
 
 
-def test_changed_r12_queries_have_committed_code():
+def test_changed_r13_queries_have_committed_code():
     """Guard against window comments claiming fixes that were never
-    committed (the round-7 failure mode): every module the CHANGED_R12
-    rationale names must contain the shipped symbol it claims."""
+    committed (the round-7 failure mode): every module the round-13
+    rationale names must contain the shipped change it claims."""
     import inspect
 
-    from website_traffic_etl_gcp_spark.operators import bpe, quality_model, urls
-    from website_traffic_etl_gcp_spark.plans import selection, web
+    from website_traffic_etl_gcp_spark.operators import quality_model, urls
+    from website_traffic_etl_gcp_spark.plans import embeddings
+    from website_traffic_etl_gcp_spark.streaming import bus
 
-    # trained classifier pair shipped, integer-exact solver included
-    assert hasattr(quality_model, "solve_weights")
-    assert hasattr(quality_model, "score_documents")
-    assert "qc_wfin" in selection._sql_qc_with()
-    # BPE trainer shipped with the unrolled-CTE oracle twin
-    assert hasattr(bpe, "train_merges")
-    assert "bpe_mg1" in selection._sql_bpe_with()
-    # URL canonicalizer + domain rollup shipped
-    assert hasattr(urls, "canonical_url")
-    assert hasattr(web, "domain_quality_rollup")
-    # trigram KN extends the bigram machinery
-    from website_traffic_etl_gcp_spark.plans import documents
-
-    assert "n_mid_ctx" in inspect.getsource(documents.trigram_kn_prob)
+    # embedding_dedup_cosine buckets pairs by the corpus-scaled cells
+    # (the label lives inside the cell key now, not the join key)
+    src = inspect.getsource(embeddings.embedding_dedup_cosine)
+    assert "skew_refine_cells" in src and "semantic_cell_frame" in src
+    assert 'F.col("label")' not in src
+    # the model-registry salt folds the label spec + code hashes
+    assert "quality_filter_verdicts" in inspect.getsource(
+        quality_model._model_salt
+    )
+    assert "|L" in quality_model._model_salt()
+    # query extraction is anchored before the fragment in BOTH twins
+    assert urls._RE_QUERY.startswith("^[^#?]*")
+    assert urls._RE_QUERY in urls.SQL_URL_PARTS["query"]
+    # the bus ledger has a canonical last-line-per-batch_id reader and
+    # the tmp GC walks the tree for staleness
+    assert hasattr(bus, "read_progress_ledger")
+    assert "os.walk" in inspect.getsource(bus._sweep_stale_tmp)
 
 
 def test_survey_checklist_matches_registry():

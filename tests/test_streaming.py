@@ -469,24 +469,35 @@ def test_bus_unbounded_drain_lifecycle(spark, tmp_path):
                 + "\n"
             )
         while time.time() < deadline:
-            lines = (
-                [json.loads(x) for x in open(ledger)]
-                if os.path.exists(ledger)
-                else []
-            )
-            if sum(e["n_rows"] for e in lines) >= 8:
+            if sum(
+                e["n_rows"] for e in bus.read_progress_ledger(ledger)
+            ) >= 8:
                 break
             time.sleep(0.3)
     finally:
         q.stop()
         q.awaitTermination(30)
 
-    entries = [json.loads(x) for x in open(ledger)]
+    # the ledger is append-only (a foreachBatch retry appends a second
+    # line for its batch_id): read through the canonical collapse —
+    # last line per batch_id — before summing anything
+    entries = bus.read_progress_ledger(ledger)
     assert len(entries) >= 2, entries  # genuinely multi-batch
     assert sum(e["n_rows"] for e in entries) == 8  # redelivery dropped
+    # the collapse itself: a planted duplicate batch_id line must be
+    # superseded by the later (authoritative) line, not double-counted
+    with open(ledger) as fh:
+        raw_head = fh.readline()
+    with open(ledger, "a") as fh:
+        fh.write(raw_head)  # replay batch 0's original line, "retry"
+    collapsed = bus.read_progress_ledger(ledger)
+    assert [e["batch_id"] for e in collapsed] == [
+        e["batch_id"] for e in entries
+    ]
+    assert sum(e["n_rows"] for e in collapsed) == 8
     # offset progress is monotone nondecreasing across the ledger
     seen = -1
-    for e in sorted(entries, key=lambda e: e["batch_id"]):
+    for e in entries:
         mx = e["max_offset"].get("0", seen)
         assert mx >= seen
         seen = mx

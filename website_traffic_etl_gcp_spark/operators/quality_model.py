@@ -200,7 +200,52 @@ def score_documents(feats: DataFrame, weights: list[int]) -> DataFrame:
 # published model instead of re-deriving the moments, which is the
 # production shape: train once per corpus version, score every scan.
 
-_MODEL_SALT = f"{N_BUCKETS}:{COUNT_CAP}:{RIDGE_LAMBDA}:{N_ITERS}:{W_SCALE}:{TRAIN_MOD}"
+_SALT_CACHE: str | None = None
+
+
+def _model_salt() -> str:
+    """Everything the solved weight vector is a function of, besides
+    the corpus bytes: trainer hyperparameters, the supervision-label
+    predicate (the quality-filter constants + STOPWORDS that define
+    ``keep``), and the feature/normalization code itself. Folding the
+    label spec and code hashes in means retuning a filter constant or
+    editing the featurizer rotates the registry key — the published
+    model can never be silently stale. Lazy import breaks the
+    operators → plans cycle; module-level cache keeps it one-time."""
+    global _SALT_CACHE
+    if _SALT_CACHE is not None:
+        return _SALT_CACHE
+
+    import hashlib
+    import inspect
+
+    from ..operators import textstats as ts
+    from ..plans import documents as dp
+
+    hyper = f"{N_BUCKETS}:{COUNT_CAP}:{RIDGE_LAMBDA}:{N_ITERS}:{W_SCALE}:{TRAIN_MOD}"
+    label = ":".join(
+        str(x)
+        for x in (
+            dp.MIN_TOKENS,
+            dp.MAX_CHARS_PER_TOKEN,
+            dp.MAX_DUP3_NUM,
+            dp.MAX_DUP3_DEN,
+            dp.MAX_PUNCT_NUM,
+            dp.MAX_PUNCT_DEN,
+        )
+    )
+    stop = hashlib.md5(
+        "\x00".join(sorted(ts.STOPWORDS)).encode()
+    ).hexdigest()[:10]
+    code = hashlib.md5(
+        (
+            inspect.getsource(char_ngram_features)
+            + inspect.getsource(normalize_text)
+            + inspect.getsource(dp.quality_filter_verdicts)
+        ).encode()
+    ).hexdigest()[:10]
+    _SALT_CACHE = f"{hyper}|L{label}|S{stop}|C{code}"
+    return _SALT_CACHE
 
 
 def model_path(sf_dir: str) -> str:
@@ -213,7 +258,7 @@ def model_path(sf_dir: str) -> str:
     from .dedup_index import _corpus_state_key, _scratch_root
 
     docs = os.path.join(sf_dir, "documents.parquet")
-    key = _MODEL_SALT + "|" + _corpus_state_key(docs)
+    key = _model_salt() + "|" + _corpus_state_key(docs)
     import hashlib
 
     h = hashlib.md5(key.encode()).hexdigest()[:10]
@@ -246,5 +291,5 @@ def publish_weights(sf_dir: str, w: list[int]) -> None:
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        json.dump({"w": [int(x) for x in w], "salt": _MODEL_SALT}, fh)
+        json.dump({"w": [int(x) for x in w], "salt": _model_salt()}, fh)
     os.replace(tmp, p)

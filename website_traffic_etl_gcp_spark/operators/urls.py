@@ -108,7 +108,12 @@ _RE_AUTH = "^[A-Za-z]+://([^/?#]*)"
 _RE_HOST = "^([^:]*)"
 _RE_PORT = ":([0-9]+)$"
 _RE_PATH = "^[A-Za-z]+://[^/?#]*([^?#]*)"
-_RE_QUERY = r"\?([^#]*)"
+# anchored before the fragment: [^#?]* walks to the FIRST '?' or '#',
+# and the match only succeeds when that first delimiter is '?', so
+# fragment content (http://h/p#a?x=1) can never be resurrected as
+# query params. RE2-compatible (no lookarounds), identical in both
+# engines.
+_RE_QUERY = r"^[^#?]*\?([^#]*)"
 _RE_DOMAIN = r"([^.]+\.[^.]+)$"
 
 

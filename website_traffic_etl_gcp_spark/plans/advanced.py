@@ -238,6 +238,7 @@ def users_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_purchase_gaps",
+    bench=True,
     oracle="""
     SELECT user_id, COUNT(*) AS n_purchases,
            CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE)

@@ -1678,6 +1678,7 @@ def chunk_hash_embeddings(d: DataFrame) -> DataFrame:
 
 @register(
     "rag_chunk_ann_pipeline",
+    bench=True,
     oracle=f"""
     {_SQL_CHUNKS}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,

@@ -460,6 +460,7 @@ def winnow_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "contrastive_pair_mining",
+    bench=True,
     oracle=f"""
     WITH sc AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -960,6 +961,16 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens have no trigrams and are absent by construction.",
 )
 def doc_lm_perplexity_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collision caveat (r12 advice): V, cid, and tid key the LM tables
+    # on xxhash64 of the token strings while the oracle keys on the
+    # exact strings, so the advertised parity is collision-
+    # probabilistic, not unconditional — a 64-bit collision silently
+    # merges two distinct trigrams/contexts. At the ~10^9-distinct-
+    # trigram scale of a 100 TB corpus the birthday bound puts the
+    # chance of ANY collision near 3%, and a single collision perturbs
+    # only the two merged trigrams' smoothed counts (same accepted
+    # trade as the r11 bigram tier). Keying on raw (w1,w2,w3) strings
+    # would make parity exact at ~3× the shuffle width.
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", word_tokens("text").alias("t"))
     # in-row trigram ids: no window, no token-instance shuffle

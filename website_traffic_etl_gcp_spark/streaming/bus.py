@@ -133,13 +133,29 @@ def _sweep_stale_tmp(final: str) -> None:
     """GC '<topic>.tmp.<hex>' siblings left by a crashed build or a
     lost publish race. Only dirs older than TMP_GRACE_SECONDS go — a
     concurrent builder's live tmp dir is younger than the grace
-    window, so the sweep can never race an in-flight publish."""
+    window, so the sweep can never race an in-flight publish.
+
+    Staleness is the NEWEST mtime anywhere in the tree, not the tmp
+    root's: the producer writes segments into ``partition=k/``
+    subdirectories, which does not refresh the root dir's mtime, so a
+    segment build running longer than the grace window would look
+    stale at the root while still actively writing."""
     import time
 
     cutoff = time.time() - TMP_GRACE_SECONDS
     for d in glob.glob(f"{final}.tmp.*"):
         try:
-            if os.path.getmtime(d) < cutoff:
+            newest = os.path.getmtime(d)
+            for root, dirs, files in os.walk(d):
+                for name in dirs + files:
+                    try:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(root, name)),
+                        )
+                    except OSError:
+                        continue
+            if newest < cutoff:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue
@@ -455,9 +471,20 @@ def consume_bus_unbounded(
     per-partition max offset — the consumer-group offset-commit ledger
     a real bus client maintains, reconstructible after a crash from
     the checkpoint + ledger pair. Data lands through the exactly-once
-    batch_id-keyed sink contract (doc_ingest._write_batch), so an
-    at-least-once foreachBatch retry REPLACES both its parquet output
-    and is idempotent in the ledger (last line per batch_id wins).
+    batch_id-keyed sink contract (doc_ingest._write_batch), and a
+    foreachBatch RETRY therefore replaces its parquet output but
+    APPENDS a second ledger line for the same batch_id — the ledger
+    is append-only by design, so readers must keep the LAST line per
+    batch_id (``read_progress_ledger`` does) before summing n_rows.
+
+    Watermark caveat: the default delay (``bus_span_delay``) covers
+    every redelivery of the SEALED prefix, because the producer's
+    redeliveries stay within the sealed event-time span. Segments
+    appended AFTER the seal advance the watermark past that bound, so
+    redeliveries of post-seal messages are only covered if their
+    retry lag stays under the delay — a deployment that keeps
+    appending must pass an explicit ``delay`` sized to the bus's
+    retry/redelivery bound, not the seal span.
     """
     import json as _json
 
@@ -495,3 +522,23 @@ def consume_bus_unbounded(
         .option("checkpointLocation", ckpt)
         .start()
     )
+
+
+def read_progress_ledger(progress_path: str) -> list[dict]:
+    """The consumer-group ledger, collapsed to its effective state:
+    LAST line per batch_id (a foreachBatch retry appends a duplicate
+    line; the rewrite-on-retry sink makes the last one authoritative),
+    sorted by batch_id. Summing n_rows over THIS is exactly-once;
+    summing over the raw file double-counts retried batches."""
+    import json as _json
+
+    last: dict[int, dict] = {}
+    try:
+        with open(progress_path) as fh:
+            for line in fh:
+                if line.strip():
+                    e = _json.loads(line)
+                    last[int(e["batch_id"])] = e
+    except OSError:
+        return []
+    return [last[k] for k in sorted(last)]
