@@ -71,6 +71,33 @@ SF10_QUERIES = [
     "unigram_lm_train",
     "unigram_lm_refine",
     "tokenizer_compare",
+    # round 13: the rest of the MUST_LEAD_R13 window head whose
+    # oracles are sf10-tractable (linear scans, probe-bounded ANN
+    # verdicts, hash-equality joins — the pairwise/closure shapes
+    # keep their sampled-frame sf1 rows instead)
+    "bpe_fertility_by_lang",
+    "bigram_kn_prob",
+    "bm25_doc_retrieval",
+    "chunk_boilerplate_report",
+    "data_mix_plan",
+    "data_mix_sample",
+    "doc_chunk_windows",
+    "doc_token_entropy",
+    "epoch_shuffle_order",
+    "export_training_shards",
+    "funnel_conversion",
+    "retention_cohorts",
+    "kmeans_embedding_clusters",
+    "kmeans_quality_gate",
+    "knn_lsh_bucketed",
+    "knn_recall_eval",
+    "knn_ivf_incremental",
+    "embedding_opq_gate",
+    "multimodal_audio_chunks",
+    "multimodal_frame_sample",
+    "multimodal_png_metadata",
+    "multimodal_resize_dims",
+    "orders_scd2_pit_join",
     # §2E embeddings (200k vectors)
     "centroid_by_label",
     "embedding_quantize_int8",

@@ -681,8 +681,18 @@ def semantic_cell_frame(
     ``with_sig`` appends the raw refinement signature and the depth
     inputs (``sig``, ``p``, ``n``, ``nl``) so a caller can deepen
     individual hot cells afterwards (skew_refine_cells) — the
-    occupancy-dependent step that can NOT be a per-row map."""
-    from ..functions.vectors import norm
+    occupancy-dependent step that can NOT be a per-row map.
+
+    Round 13: the per-row heavy math (unit vector + 16 sign-bit plane
+    dots) runs in one Arrow-batched mapInPandas
+    (operators/semcell_pairs.unit_sig_frame — bit-exact twin of the
+    HOF form, which profiled at ~160 µs/row of interpreter overhead);
+    the depth/cell derivation stays the same lazy broadcast-stats
+    column algebra, so the function's laziness and its SQL oracle
+    replay (asg0 CTE) are unchanged."""
+    import numpy as np
+
+    from ..operators.semcell_pairs import unit_sig_frame
 
     stats = (stats_of if stats_of is not None else emb).agg(
         F.count(F.lit(1)).alias("n"),
@@ -708,38 +718,25 @@ def semantic_cell_frame(
         ),
         F.lit(SEM_PLANES),
     ).cast("bigint")
-    sig = (
-        sim.lsh_signature(F.col("embedding"), EMBED_DIM).cast("bigint")
-        + sim.lsh_signature(
-            F.col("embedding"), EMBED_DIM, seed=SEM_SEED2
-        ).cast("bigint")
-        * F.lit(1 << sim.LSH_PLANES)
-    )
     cell = (
-        F.col("label").cast("bigint") * F.lit(1 << SEM_PLANES)
-        + sig.bitwiseAND(
+        F.col("label") * F.lit(1 << SEM_PLANES)
+        + F.col("sig").bitwiseAND(
             F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
         )
     )
     extra_cols = ["sig", "p", "n", "nl"] if with_sig else []
-    return (
-        emb.crossJoin(F.broadcast(stats.withColumn("p", p)))
-        .select(
-            "vec_id",
-            "embedding",
-            norm(F.col("embedding")).alias("__vn"),
-            cell.alias("cell_id"),
-            *([sig.alias("sig"), "p", "n", "nl"] if with_sig else []),
-        )
-        .select(
-            "vec_id",
-            "cell_id",
-            F.transform(
-                "embedding",
-                lambda x: x.cast("double") / F.col("__vn"),
-            ).alias("unit"),
-            *extra_cols,
-        )
+    rng_lo = np.random.default_rng(sim.LSH_SEED)
+    rng_hi = np.random.default_rng(SEM_SEED2)
+    ker = unit_sig_frame(
+        emb,
+        rng_lo.standard_normal((sim.LSH_PLANES, EMBED_DIM)),
+        rng_hi.standard_normal((sim.LSH_PLANES, EMBED_DIM)),
+    )
+    return ker.crossJoin(F.broadcast(stats.withColumn("p", p))).select(
+        "vec_id",
+        cell.alias("cell_id"),
+        "unit",
+        *extra_cols,
     )
 
 
@@ -768,87 +765,116 @@ def skew_refine_cells(
     with hot cells re-keyed (cold cells keep their ids bit-for-bit:
     the low-depth signature bits are a prefix of every deeper mask).
 
-    Scale shape: each round is one occupancy groupBy over ≤
-    labels·2^SEM_PLANES cells; only the HOT subset (a skew tail)
-    broadcasts back — the corpus is touched by ``rounds`` map-side
-    joins, no extra corpus shuffle. Each round's frame is
-    ``localCheckpoint``-ed: the base assignment embeds two per-row
-    LSH-signature reductions (a very deep expression tree), and
-    without truncation every round re-analyzes and re-executes that
-    lineage — measured as a flat ~1.5 s/round of planner+recompute
-    overhead at ANY data size (2.4× on the whole query at sf0.1).
-    With truncation a round is one tiny occupancy job + one re-key
-    job over the materialized rows. The integer rule is engine-
-    portable, so the DuckDB oracle replays the unrolled rounds
-    exactly. int64 headroom: occ·nl·2^p < n·nl·2^p ≈ n²·HOT/cap —
-    fine through the measured decades and the ~3.4B-vector budget."""
-    sentinel = SEM_PLANES + 1
-    mask = lambda bits: F.pow(F.lit(2.0), bits).cast("bigint") - 1  # noqa: E731
-    cur = asg.withColumn("depth", F.col("p")).localCheckpoint()
-    for _ in range(rounds):
-        # checkpoint the (tiny, ≤ cells rows) occupancy so the hot
-        # probe below and the broadcast build both read it — without
-        # this the groupBy job runs twice per round
-        occ = cur.groupBy("cell_id").agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.first("depth").alias("cdepth"),
+    Scale shape (round 13): every round's decision is a pure function
+    of the per-(lbase, signature) GROUP counts, and the signature is
+    SEM_PLANES = 16 bits — so the whole unrolled split runs on a
+    frame bounded at nl × 2^16 rows REGARDLESS of corpus size (one
+    thin groupBy, ~16 MB driver state at nl = 10, the same
+    bounded-driver-state contract as the k-means centroids and the
+    tokenizer vocab tables). The corpus itself is touched ONCE, by a
+    broadcast-mapping re-key at the end. The previous shape re-keyed
+    and localCheckpoint-ed the CORPUS once per round — a same-boot
+    paired A/B (PERF_AB_R13.json) measured that at 1.245× the
+    pre-split tree at sf0.1 and 1.583× at sf1 (the cost GREW with SF
+    because sf1 has hot cells and so runs all the rounds); at 100 TB
+    it would materialize the corpus ``rounds`` times. The integer
+    rule is engine-portable and replayed bit-exactly by the DuckDB
+    oracle (_sql_skew_cte) — the driver simulation changes WHERE the
+    bounded rounds run, not their arithmetic. int64 headroom:
+    occ·nl·2^p < n·nl·2^p ≈ n²·HOT/cap — fine through the measured
+    decades and the ~3.4B-vector budget."""
+    # base materialized once: the signature expression is a deep
+    # per-row HOF tree, and both the thin groupBy and the final
+    # re-key consume it
+    base = asg.localCheckpoint()
+    thin = (
+        base.groupBy(
+            (
+                F.col("cell_id")
+                - F.col("sig").bitwiseAND(
+                    F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
+                )
+            ).alias("lbase"),
+            "sig",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
             F.first("p").alias("p"),
             F.first("n").alias("n"),
             F.first("nl").alias("nl"),
-        ).localCheckpoint()
-        extra = F.least(
-            F.aggregate(
-                F.array(*[F.lit(q) for q in range(SEM_PLANES + 1)]),
-                F.lit(sentinel),
-                lambda acc, q: F.when(
-                    (acc == sentinel)
-                    & (
-                        F.col("occ")
-                        * F.col("nl")
-                        * F.pow(F.lit(2.0), F.col("p")).cast("bigint")
-                        <= F.lit(HOT_CELL_FACTOR)
-                        * F.col("n")
-                        * F.pow(F.lit(2.0), q).cast("bigint")
-                    ),
-                    q,
-                ).otherwise(acc),
-            ),
-            F.lit(SEM_PLANES) - F.col("cdepth"),
-        ).cast("bigint")
-        hot = occ.select("cell_id", extra.alias("extra")).filter(
-            F.col("extra") > 0
         )
+        .collect()
+    )
+    if not thin:
+        return base.select("vec_id", "cell_id", "unit")
+    p, n, nl = int(thin[0]["p"]), int(thin[0]["n"]), int(thin[0]["nl"])
+    # (lbase, sig) -> [cell_id, depth]; exact replay of the unrolled
+    # occupancy → extra-depth → re-key rounds in plain Python ints
+    state = {
+        (int(r["lbase"]), int(r["sig"])): [
+            int(r["lbase"]) + (int(r["sig"]) & ((1 << p) - 1)),
+            p,
+        ]
+        for r in thin
+    }
+    cnt = {(int(r["lbase"]), int(r["sig"])): int(r["cnt"]) for r in thin}
+    split = False
+    for _ in range(rounds):
+        occ: dict[int, int] = {}
+        depth_of: dict[int, int] = {}
+        for key, (cell, depth) in state.items():
+            occ[cell] = occ.get(cell, 0) + cnt[key]
+            depth_of[cell] = depth
+        extra: dict[int, int] = {}
+        for cell, o in occ.items():
+            e = next(
+                (
+                    q
+                    for q in range(SEM_PLANES + 1)
+                    if o * nl * (1 << p) <= HOT_CELL_FACTOR * n * (1 << q)
+                ),
+                SEM_PLANES,
+            )
+            e = min(e, SEM_PLANES - depth_of[cell])
+            if e > 0:
+                extra[cell] = e
         # result-equivalent early exit: an empty hot set makes this
         # round's re-key the identity AND every later round a no-op
-        # (occupancies unchanged → same empty hot set), so breaking
-        # here cannot change the output — the SQL oracle still
-        # replays the full fixed unroll and agrees. At SFs with no
-        # hot cell (every SF below the sf10 pin) this cuts the split
-        # to one tiny occupancy probe.
-        if not hot.limit(1).count():
+        # (occupancies unchanged → same empty hot set) — the SQL
+        # oracle still replays the full fixed unroll and agrees
+        if not extra:
             break
-        cur = (
-            cur.join(F.broadcast(hot), "cell_id", "left")
-            .withColumn("extra", F.coalesce("extra", F.lit(0)))
-            .select(
-                "vec_id",
-                (
-                    F.col("cell_id")
-                    - F.col("sig").bitwiseAND(mask(F.col("depth")))
-                    + F.col("sig").bitwiseAND(
-                        mask(F.col("depth") + F.col("extra"))
-                    )
-                ).alias("cell_id"),
-                "unit",
-                "sig",
-                "p",
-                "n",
-                "nl",
-                (F.col("depth") + F.col("extra")).alias("depth"),
-            )
-            .localCheckpoint()
+        split = True
+        for key, (cell, depth) in state.items():
+            if cell in extra:
+                e = extra[cell]
+                sig = key[1]
+                state[key] = [
+                    cell
+                    - (sig & ((1 << depth) - 1))
+                    + (sig & ((1 << (depth + e)) - 1)),
+                    depth + e,
+                ]
+    if not split:  # identity mapping — skip the re-key join entirely
+        return base.select("vec_id", "cell_id", "unit")
+    mapping = base.sparkSession.createDataFrame(
+        [(lb, sg, cd[0]) for (lb, sg), cd in state.items()],
+        "lbase bigint, sig bigint, new_cell bigint",
+    )
+    refined = (
+        base.withColumn(
+            "lbase",
+            F.col("cell_id")
+            - F.col("sig").bitwiseAND(
+                F.pow(F.lit(2.0), F.col("p")).cast("bigint") - 1
+            ),
         )
-    return cur.select("vec_id", "cell_id", "unit")
+        .join(F.broadcast(mapping), ["lbase", "sig"])
+        .select("vec_id", F.col("new_cell").alias("cell_id"), "unit")
+    )
+    # materialize the refined frame so the downstream pair self-join's
+    # two sides read these blocks instead of re-running the join
+    return refined.localCheckpoint()
 
 
 def _sql_unit(v: str) -> str:
@@ -990,35 +1016,16 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
     )
-    # feeds both self-join sides — already materialized: the refine
-    # loop localCheckpoints its final frame, so both join sides read
-    # the checkpoint blocks directly (a second persist() here would
-    # store the hottest columns twice)
+    from ..operators.semcell_pairs import cell_min_dup
+
+    # feeds the verdict join AND the pairwork — materialized once by
+    # the refine step (localCheckpoint), so both consumers read blocks
     asg = skew_refine_cells(semantic_cell_frame(emb, with_sig=True))
-    a = asg.select(
-        F.col("cell_id").alias("ca"),
-        F.col("vec_id").alias("va"),
-        F.col("unit").alias("ua"),
-    )
-    b = asg.select(
-        F.col("cell_id").alias("cb"),
-        F.col("vec_id").alias("vb"),
-        F.col("unit").alias("ub"),
-    )
-    pair_cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
-    )
-    dup = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
-        .filter(pair_cos >= SEMDEDUP_TAU)
-        .groupBy(F.col("va").alias("vec_id"))
-        .agg(F.min("vb").alias("dup_of"))
-    )
+    # within-cell keep-smallest verdict via the Arrow-batched per-cell
+    # kernel (operators/semcell_pairs.py): same left-to-right pair
+    # cosine the SQL twin computes, ~5x the interpreted-HOF self-join
+    # it replaced (profiled at sf1: 7 s of HOF pairwork -> ~1.5 s)
+    dup = cell_min_dup(asg, SEMDEDUP_TAU)
     return asg.drop("unit").join(dup, "vec_id", "left").select(
         "vec_id",
         "cell_id",
@@ -1087,35 +1094,13 @@ def embedding_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
     )
-    # the refine loop localCheckpoints its final frame, so both join
-    # sides read the checkpoint blocks directly (no second persist)
+    from ..operators.semcell_pairs import cell_dup_pairs
+
     asg = skew_refine_cells(semantic_cell_frame(emb, with_sig=True))
-    a = asg.select(
-        F.col("cell_id").alias("ca"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("unit").alias("ua"),
-    )
-    b = asg.select(
-        F.col("cell_id").alias("cb"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("unit").alias("ub"),
-    )
-    pair_cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        sim.COSINE_SCALE,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b", pair_cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DEDUP_THRESHOLD)
-    )
+    # within-cell pair manifest via the Arrow-batched per-cell kernel
+    # (operators/semcell_pairs.py): same left-to-right pair cosine the
+    # SQL twin computes, in numpy instead of an interpreted HOF per pair
+    return cell_dup_pairs(asg, COSINE_DEDUP_THRESHOLD)
 
 
 @register(
