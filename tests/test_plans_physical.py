@@ -207,12 +207,18 @@ def test_span_apply_no_cartesian_and_pruned_scan(spark):
 
 
 def test_semantic_cells_joins_on_cell_never_cartesian(spark):
-    # the within-cell self-join and verdict join are keyed joins; the
-    # centroid broadcast sits behind the assignment's lazy checkpoint,
-    # so this plan must show only keyed joins and no cartesian product
+    # r13 shape: the within-cell pairwork is the Arrow-batched per-cell
+    # kernel (FlatMapGroupsInPandas keyed on cell_id — never a pair
+    # join), the verdict join stays a keyed join, and nothing plans a
+    # cartesian product or a row-at-a-time Python UDF
     plan = _plan(spark, "dedup_semantic_cells")
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan, "pairwork kernel missing"
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), "verdict join missing or not keyed"
     assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_leakage_safe_split_is_map_only(spark):

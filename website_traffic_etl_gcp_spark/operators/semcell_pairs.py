@@ -102,7 +102,11 @@ def _pair_cos_block(u_blk: np.ndarray, u_all: np.ndarray) -> np.ndarray:
     acc = np.zeros((u_blk.shape[0], u_all.shape[0]))
     for i in range(u_all.shape[1]):
         acc += u_blk[:, i : i + 1] * u_all[:, i]
-    return np.round(acc, 6)
+    out = np.round(acc, 6)
+    # np.round(-1e-9, 6) is -0.0; Spark's BigDecimal round and the
+    # oracle emit +0.0 — normalize so the value-hash compare agrees
+    out[out == 0] = 0.0
+    return out
 
 
 def cell_min_dup(asg: DataFrame, tau: float) -> DataFrame:

@@ -64,35 +64,100 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded).
-    ``queries`` is broadcast — it must be the bounded side."""
+    ``queries`` must be the bounded side (the fixed probe set) — its
+    vectors are collected (≤ PROBE_MAX + 1 rows by construction) and
+    ride the kernel closure.
+
+    Round 13: the probes × corpus cosine runs as one Arrow-batched
+    mapInPandas over the corpus — the interpreted-HOF pair cosine it
+    replaces cost ~1.4 µs per pair·dim, linear in corpus × probes —
+    and each partition emits only its own top-k per query under the
+    EXACT final comparator (cosine desc, cand_id asc), so the global
+    rank window sorts probes × k × partitions rows instead of
+    probes × corpus (at sf10 that is 8.2M pair rows cut to ~10k
+    before the exchange; partition top-k is a superset of the global
+    top-k, so the pruning is result-equivalent). Arithmetic is the
+    bit-exact twin of the HOF form: float32 cast to double, dot and
+    squared-norm accumulated left-to-right over dimensions, cosine
+    rounded to 6dp before ranking (operators/semcell_pairs.py has the
+    exactness contract)."""
+    import numpy as np
+    import pandas as pd
+
     from ..functions.partitioning import (
         CPU_HEAVY_MIN_PARTITION_BYTES,
         widen_narrow_input,
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("nq"),
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        return (
+            corpus.sparkSession.createDataFrame(
+                [], "query_id bigint, cand_id bigint, cosine double, rank bigint"
+            )
+        )
+    qids = np.array([int(r[id_col]) for r in q_rows], dtype=np.int64)
+    qm = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in q_rows]
     )
+    nq = np.zeros(len(qids))
+    for i in range(qm.shape[1]):
+        nq += qm[:, i] * qm[:, i]
+    nq = np.sqrt(nq)
+
     # the probes × corpus scan is the hot loop — fan a narrow corpus
     # scan out to all cores first (no-op on wide inputs)
     c = widen_narrow_input(
         corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
-    ).select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("nc"),
+    ).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["cand_id"].to_numpy(np.int64)
+            cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            nc = np.zeros(len(ids))
+            for i in range(cm.shape[1]):
+                nc += cm[:, i] * cm[:, i]
+            nc = np.sqrt(nc)
+            acc = np.zeros((len(ids), len(qids)))
+            for i in range(cm.shape[1]):
+                acc += cm[:, i : i + 1] * qm[:, i]
+            cos = np.round(acc / (nc[:, None] * nq[None, :]), 6)
+            # np.round(-1e-9, 6) is -0.0; Spark/DuckDB round emit +0.0
+            cos[cos == 0] = 0.0
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                idx = np.nonzero(ids != qids[j])[0]
+                if not len(idx):
+                    continue
+                take = min(k, len(idx))
+                col = cos[idx, j]
+                order = np.lexsort((ids[idx], -col))[:take]
+                sel = idx[order]
+                out_q.append(np.full(take, qids[j], dtype=np.int64))
+                out_c.append(ids[sel])
+                out_s.append(cos[sel, j])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    cand = c.mapInPandas(
+        fn, "query_id bigint, cand_id bigint, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
-    return (
-        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", _prenorm_cosine().alias("cosine"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
 
 
 def lsh_signature(

@@ -12,6 +12,7 @@ from .registry import register
 
 @register(
     "streaming_hourly_counts",
+    bench=True,  # r13: the streaming family's bench/decade representative
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
            COUNT(*) AS n_events,
