@@ -109,6 +109,13 @@ def run_one(spark, con, spec, sf_dir):
     t0 = time.perf_counter()
     sh, sn = frame_hash(spec.builder(spark, sf_dir).toPandas())
     oh, on = frame_hash(con.execute(spec.oracle).df())
+    # queries persist() intermediates and never unpersist (the frame
+    # dies with the query in production); across a 70+-query single-
+    # boot sweep at sf10 the accumulated partitions starve the unified
+    # pool until a later query OOMs the 8g driver (r13: the bus-drain
+    # trio died this way at query 70). Same reason the decade harness
+    # clears between runs; each query re-persists what it needs.
+    spark.catalog.clearCache()
     return {
         "rows": sn,
         "oracle_rows": on,
