@@ -196,103 +196,136 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's LSH
     buckets — per independent hash table, the query's own bucket plus
-    (when multiprobe) every hamming-1/2 neighbor. At scale each table
-    is its own index: the corpus is scanned once with per-table
-    signatures and joined on (table, bucket) — a BroadcastHashJoin
-    against the bounded probe set, no corpus shuffle; each query
-    touches ~L × 37/2^planes of the corpus in expectation."""
+    (when multiprobe) every hamming-1/2 neighbor (1 + 8 + 28 = 37/256
+    ≈ 14% of buckets — the best recall-per-candidate point of the
+    measured sweep on near-random vectors, LSH's hard case).
+
+    Round 13: like brute_force_topk, the corpus scan is ONE
+    Arrow-batched mapInPandas with the bounded probe set riding the
+    kernel closure. Per batch it derives each row's per-table bucket
+    (sign bits of the round-6 plane dots — the bit-exact
+    lsh_signature twin), masks the candidate matrix through a
+    2^planes × queries boolean membership lookup per table (OR across
+    tables reproduces the old per-table join + DISTINCT), and emits
+    only its partition top-k per query under the exact final
+    comparator. The replaced shape exploded the corpus once per table
+    and evaluated an interpreted-HOF cosine per candidate pair — at
+    sf10 multiprobe touches ~29% of corpus × queries ≈ 24M pairs, the
+    dominant cost of rag_chunk_ann_pipeline's 115 s decade reading.
+    Arithmetic contract: operators/semcell_pairs.py."""
+    import numpy as np
+    import pandas as pd
+
     from ..functions.partitioning import (
         CPU_HEAVY_MIN_PARTITION_BYTES,
         widen_narrow_input,
     )
 
-    def seeds():
-        # spread table seeds so plane sets are independent
-        return [LSH_SEED + 101 * t for t in range(n_tables)]
+    # spread table seeds so plane sets are independent — the same
+    # rng stream _plane_literals uses, so buckets match lsh_signature
+    plane_sets = [
+        np.random.default_rng(LSH_SEED + 101 * t).standard_normal(
+            (LSH_PLANES, dim)
+        )
+        for t in range(n_tables)
+    ]
 
-    c = (
-        widen_narrow_input(
-            corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cosine double, rank bigint"
         )
-        .select(
-            F.col(id_col).alias("cand_id"),
-            F.col(vec_col).alias("cv"),
-            norm(F.col(vec_col)).alias("nc"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            lsh_signature(
-                                F.col(vec_col), dim, seed=s
-                            ).alias("bucket"),
-                        )
-                        for t, s in enumerate(seeds())
-                    ]
-                )
-            ).alias("tb"),
-        )
-        .select(
-            "cand_id", "cv", "nc",
-            F.col("tb")["t"].alias("t"),
-            F.col("tb")["bucket"].alias("bucket"),
-        )
+    qids = np.array([int(r[id_col]) for r in q_rows], dtype=np.int64)
+    qm = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in q_rows]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("nq"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_signature(
-                            F.col(vec_col), dim, seed=s
-                        ).alias("qbucket"),
-                    )
-                    for t, s in enumerate(seeds())
-                ]
+    nq = np.zeros(len(qids))
+    for i in range(qm.shape[1]):
+        nq += qm[:, i] * qm[:, i]
+    nq = np.sqrt(nq)
+
+    def buckets_of(mat: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
+        """Sign-bit bucket per row — left-to-right dots, round-6 sign
+        test: the exact lsh_signature arithmetic."""
+        b = np.zeros(len(mat), dtype=np.int64)
+        for p_i, plane in enumerate(planes):
+            d = np.zeros(len(mat))
+            for c_i in range(mat.shape[1]):
+                d += mat[:, c_i] * plane[c_i]
+            b |= (np.round(d, 6) > 0).astype(np.int64) << p_i
+        return b
+
+    lookups = []
+    for planes_t in plane_sets:
+        qb = buckets_of(qm, planes_t)
+        lut = np.zeros((1 << LSH_PLANES, len(qids)), dtype=bool)
+        for j, b in enumerate(qb):
+            probes = {int(b)}
+            if multiprobe:
+                probes |= {int(b) ^ (1 << i) for i in range(LSH_PLANES)}
+                probes |= {
+                    int(b) ^ ((1 << i) | (1 << jj))
+                    for i in range(LSH_PLANES)
+                    for jj in range(i + 1, LSH_PLANES)
+                }
+            for x in probes:
+                lut[x, j] = True
+        lookups.append(lut)
+
+    c = widen_narrow_input(
+        corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["cand_id"].to_numpy(np.int64)
+            cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            nc = np.zeros(len(ids))
+            for i in range(cm.shape[1]):
+                nc += cm[:, i] * cm[:, i]
+            nc = np.sqrt(nc)
+            acc = np.zeros((len(ids), len(qids)))
+            for i in range(cm.shape[1]):
+                acc += cm[:, i : i + 1] * qm[:, i]
+            cos = np.round(acc / (nc[:, None] * nq[None, :]), 6)
+            cos[cos == 0] = 0.0  # -0.0 -> +0.0, see semcell_pairs
+            cand = np.zeros((len(ids), len(qids)), dtype=bool)
+            for planes_t, lut in zip(plane_sets, lookups):
+                cand |= lut[buckets_of(cm, planes_t)]
+            cand &= ids[:, None] != qids[None, :]
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                idx = np.nonzero(cand[:, j])[0]
+                if not len(idx):
+                    continue
+                take = min(k, len(idx))
+                col = cos[idx, j]
+                order = np.lexsort((ids[idx], -col))[:take]
+                sel = idx[order]
+                out_q.append(np.full(take, qids[j], dtype=np.int64))
+                out_c.append(ids[sel])
+                out_s.append(cos[sel, j])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
             )
-        ).alias("tb"),
-    ).select(
-        "query_id", "qv", "nq",
-        F.col("tb")["t"].alias("qt"),
-        F.col("tb")["qbucket"].alias("qbucket"),
+
+    cand = c.mapInPandas(
+        fn, "query_id bigint, cand_id bigint, cosine double"
     )
-    if multiprobe:
-        # per table, probe the query's bucket plus all hamming-1 and
-        # hamming-2 neighbors: 1 + 8 + 28 = 37/256 ≈ 14% of buckets.
-        # On the near-random test vectors (the hard case for LSH) this
-        # is the best recall-per-candidate point of the measured sweep.
-        probes = F.array(
-            F.col("qbucket"),
-            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_PLANES)],
-            *[
-                F.col("qbucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                for i in range(LSH_PLANES)
-                for j in range(i + 1, LSH_PLANES)
-            ],
-        )
-        q = q.select(
-            "query_id", "qv", "nq", "qt",
-            F.explode(probes).alias("qbucket"),
-        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
-    return (
-        c.join(
-            F.broadcast(q),
-            (F.col("t") == F.col("qt"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("cand_id") != F.col("query_id")),
-        )
-        .select("query_id", "cand_id", _prenorm_cosine().alias("cosine"))
-        .distinct()
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
 
 
 def pack_centroids(centroids: DataFrame) -> DataFrame:
