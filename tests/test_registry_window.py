@@ -2,26 +2,36 @@
 order. That window is a curated contract (plans/__init__.py),
 rebalanced per round to maximize distinct driver-green evidence.
 
-Round 13 pins: the window consumes the MUST_LEAD_R13 list declared by
-round 12's edition of this file EXACTLY — its first fifty names in
-order (the thirteen round-12 queries that landed after the r12 window
-sealed and so had sf1/sf10 sweep evidence but no driver row, then
-thirty-seven of the forty-one rows whose latest driver green is r9).
-MUST_LEAD_R13 declared 54 names for 50 slots, so four r9 rows spill
-into MUST_LEAD_R14 below, together with the forty-five rows whose
-latest driver green is r10 and the one query whose implementation
-changed this round outside the window (embedding_dedup_cosine, whose
-pair bucketing moved from the fixed 10 labels to the corpus-scaled
-semantic cells). Once round 13 lands, no query's latest driver green
-is older than r10 except those four declared spills — the staleness
-invariant stays an explicit chain of custody, never an editable
-comment.
+Round 14 pins: the window consumes the MUST_LEAD_R14 list declared by
+round 13's edition of this file, AMENDED per the round-13 advisor's
+two medium findings (ADVICE.md r13):
 
-Section note: the round-13 window carries representatives for §A-§G.
-§H (lakehouse) has NO stale rows eligible for this window — every §H
-query's latest green is r10-r12 except xls_extract_transform, which
-is one of the four declared spills and so leads R14 — pinned by
-test_sections_f_h_hold_recent_evidence below instead of hand-waved.
+1. The declared rule — "any query whose implementation changes this
+   round leads the next window" — was applied only to
+   embedding_dedup_cosine, but THREE more queries had their
+   implementations rewritten in round 13 outside the r13 window:
+   dedup_semantic_cells (semcell Arrow kernels), knn_bruteforce_cosine
+   (brute_force_topk mapInPandas kernel) and streaming_semdedup_ingest
+   (same kernel path). They join the window head so the driver tests
+   the NEW code this round; the three tail r10 rows they displace
+   (top_bigrams, top_customers_by_revenue, winnow_quality_eval) are
+   declared spills leading MUST_LEAD_R15.
+2. The §F/§H recency exemption for multimodal_video_frames claimed
+   "r10, in MUST_LEAD_R14" — both halves were wrong: its latest driver
+   green is r11 (CORRECTNESS_r11.json) and it appears in no carry
+   list. The comment is corrected to the actual evidence (r11) below;
+   it rotates with the r11 staleness block in MUST_LEAD_R15.
+
+Once round 14 lands the latest-green histogram is r14x50, r13x50,
+r12x50, r11x46, r10x3 (the displaced spills) — and every r10/r11 row,
+plus the r12/r13 rows re-aged by round-14 code changes (the lsh_topk
+callers and the datetime-widened ETL family), is named in
+MUST_LEAD_R15. The chain of custody stays explicit.
+
+Section note: the round-14 window carries representatives for
+§B-§E2, §G and §H. §A and §F sit this window out — every §A and §F
+query's latest driver green is r11+ (pinned by
+test_sections_a_f_hold_recent_evidence below, not hand-waved).
 """
 
 from __future__ import annotations
@@ -30,94 +40,14 @@ from website_traffic_etl_gcp_spark.plans import REGISTRY
 
 WINDOW = 50
 
-# the MUST_LEAD_R13 list declared by round 12's edition of this file —
-# consumed here: the first fifty lead the round-13 window in order
-MUST_LEAD_R13 = (
-    # never driver-checked: landed in round 12 outside the window
-    "bpe_train_merges",
-    "bpe_fertility_by_lang",
-    "url_canonicalize",
-    "domain_quality_rollup",
-    "trigram_kn_prob",
-    "doc_lm_perplexity_tri",
-    "web_prefilter_chain",
-    "streaming_web_prefilter",
-    "domain_cap_sample",
-    "unigram_lm_segment",
-    "unigram_lm_train",
-    "unigram_lm_refine",
-    "tokenizer_compare",
-    # latest driver green was r9
-    "bigram_kn_prob",
-    "bm25_doc_retrieval",
-    "chunk_boilerplate_report",
-    "contrastive_pair_mining",
-    "data_mix_plan",
-    "data_mix_sample",
-    "dedup_cdc_span_apply",
-    "dedup_cdc_span_manifest",
-    "dedup_exact",
-    "dedup_span_apply",
-    "dedup_span_manifest",
-    "dedup_winnow_pairs",
-    "doc_cdc_chunks",
-    "doc_chunk_windows",
-    "doc_token_entropy",
-    "doc_winnow_fingerprints",
-    "embedding_opq_gate",
-    "embedding_quantize_int8",
-    "epoch_shuffle_order",
-    "etl_traffic_transform",
-    "export_training_shards",
-    "funnel_conversion",
-    "kmeans_embedding_clusters",
-    "kmeans_quality_gate",
-    "knn_ivf_incremental",
-    "knn_lsh_bucketed",
-    "knn_recall_eval",
-    "multimodal_audio_chunks",
-    "multimodal_frame_sample",
-    "multimodal_png_metadata",
-    "multimodal_resize_dims",
-    "orders_scd2_pit_join",
-    "part_name_fuzzy_pairs",
-    "q3_shipping_priority",
-    "rag_chunk_ann_pipeline",
-    "retention_cohorts",
-    "revenue_rollup_nation_year",
-    # ---- 50-slot line: the four below spill into MUST_LEAD_R14 ----
-    "streaming_admit_dedup_extend",
-    "streaming_hourly_counts",
-    "streaming_wav_chunks",
-    "xls_extract_transform",
-)
-
-# every registry §2 section keeps a representative inside the window
-# (§H sits this window out — see module docstring + the F/H test)
-SECTION_REPRESENTATIVES = (
-    "etl_traffic_transform",  # §2A
-    "q3_shipping_priority",  # §2B
-    "funnel_conversion",  # §2C
-    "dedup_exact",  # §2D
-    "kmeans_embedding_clusters",  # §2E
-    "orders_scd2_pit_join",  # §2E2
-    "multimodal_frame_sample",  # §2F
-    "streaming_web_prefilter",  # §2G
-)
-
-# the round-13 carry-over: the query whose implementation changed this
-# round outside the window (needs a fresh driver row against the NEW
-# code), the four declared MUST_LEAD_R13 spills, then the forty-five
-# rows whose latest driver green is r10 — 50 names for 50 slots.
-MUST_LEAD_R14 = (
-    # changed r13: pair bucketing moved to the corpus-scaled cells
+# the MUST_LEAD_R14 list declared by round 13's edition of this file
+# (verbatim — the chain-of-custody source for the amendment below)
+MUST_LEAD_R14_DECLARED = (
     "embedding_dedup_cosine",
-    # the four MUST_LEAD_R13 spills (latest driver green r9)
     "streaming_admit_dedup_extend",
     "streaming_hourly_counts",
     "streaming_wav_chunks",
     "xls_extract_transform",
-    # latest driver green is r10
     "approx_distinct_users_daily",
     "centroid_by_label",
     "customers_above_segment_avg",
@@ -165,12 +95,143 @@ MUST_LEAD_R14 = (
     "winnow_quality_eval",
 )
 
+# the advisor-directed amendment: three more changed-in-r13 queries
+# join the head; the three tail rows they displace spill to R15
+R14_ADDED_CHANGED = (
+    "dedup_semantic_cells",
+    "knn_bruteforce_cosine",
+    "streaming_semdedup_ingest",
+)
+R14_DISPLACED_TO_R15 = (
+    "top_bigrams",
+    "top_customers_by_revenue",
+    "winnow_quality_eval",
+)
 
-def test_window_is_exactly_must_lead_r13_head():
-    """Round 12 declared MUST_LEAD_R13; the round-13 window consumes
-    its first fifty names exactly, in order."""
+# the round-14 window: head = the four changed-in-r13 queries, then
+# the declared list minus the displaced tail
+MUST_LEAD_R14 = (
+    (MUST_LEAD_R14_DECLARED[0],)
+    + R14_ADDED_CHANGED
+    + tuple(
+        n for n in MUST_LEAD_R14_DECLARED[1:] if n not in R14_DISPLACED_TO_R15
+    )
+)
+
+# every §2 section with a stale-enough row keeps a representative in
+# the window (§A and §F sit this window out — see module docstring +
+# test_sections_a_f_hold_recent_evidence)
+SECTION_REPRESENTATIVES = (
+    "q2_min_cost_supplier",  # §2B
+    "daily_active_users",  # §2C
+    "dedup_minhash_lsh",  # §2D
+    "knn_ivf_cells",  # §2E
+    "salted_event_value_sum",  # §2E2
+    "streaming_cdc_merge_orders",  # §2G
+    "snapshot_zonemap_prune",  # §2H
+)
+
+# the round-14 carry-over, in consumption order: (a) queries whose
+# implementation changed in round 14 outside the window and so need a
+# driver row against the NEW code — the three lsh_topk callers
+# (mask-before-dot candidate pruning: bit-exact per-pair arithmetic,
+# but a rewritten compute path), plus the six §A ETL queries re-aged
+# by the day-first parse widening (functions/datetimes.py
+# single-digit d/M/H fields; etl_gcs_end_to_end and
+# xls_extract_transform also flow through it but sit INSIDE the r14
+# window, so their r14 rows already test the new code). The
+# never-firing non-zero-norm asserts added to brute_force_topk do NOT
+# re-age its other callers: an assert changes no produced value on
+# any input — it aborts instead of diverging; (b) the three rows
+# displaced by the r14 amendment (latest driver green r10); (c) the
+# forty-five rows whose latest driver green is r11. 57 names for 50
+# slots — the last seven spill into MUST_LEAD_R16, exactly like the
+# r13 spills did.
+MUST_LEAD_R15 = (
+    # (a) implementation changed in r14 outside the window
+    "knn_lsh_bucketed",
+    "knn_recall_eval",
+    "rag_chunk_ann_pipeline",
+    "etl_traffic_transform",
+    "etl_traffic_daily_rolling",
+    "etl_traffic_quarantine",
+    "etl_traffic_hourly",
+    "etl_append_dedup",
+    "incremental_hourly_rollup",
+    # (b) displaced by the r14 amendment (latest driver green r10)
+    "top_bigrams",
+    "top_customers_by_revenue",
+    "winnow_quality_eval",
+    # (c) latest driver green is r11
+    "cms_heavy_hitters",
+    "daily_volume_anomaly",
+    "dedup_keep_list",
+    "doc_lm_perplexity",
+    "dq_events_expectations",
+    "dup_graph_pagerank",
+    "dup_ngram_fraction",
+    "event_transition_matrix",
+    "event_type_pivot_daily",
+    "incremental_distinct_hll",
+    "multimodal_dedup_phash",
+    "multimodal_metadata",
+    "multimodal_video_frames",  # r11 — comment corrected per ADVICE r13
+    "nation_revenue_yearly",
+    "order_priority_counts",
+    "part_type_revenue_share",
+    "pii_redact_report",
+    "pre_purchase_activity",
+    "props_json_extract",
+    "q12_priority_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_brand_quantity_revenue",
+    "q20_excess_availability",
+    "q21_sole_late_supplier",
+    "q22_dormant_accounts",
+    "q6_forecast_revenue",
+    "quality_curriculum_buckets",
+    "session_path_signatures",
+    "session_window_rollup",
+    "sessionize_events",
+    "snapshot_schema_evolution",
+    "streaming_bus_ingest",
+    "streaming_dedup_ingest",
+    # ---- 50-slot line: the seven below spill into MUST_LEAD_R16 ----
+    "streaming_view_attribution",
+    "text_extract_html",
+    "text_extract_html_quality",
+    "top_users_by_purchase",
+    "user_purchase_gaps",
+    "users_without_purchase",
+    "value_quantiles_by_type",
+)
+
+
+def test_window_is_exactly_amended_must_lead_r14():
+    """The round-14 window consumes the round-13 declaration with the
+    advisor's amendment applied — 50 names, in order."""
     window = list(REGISTRY)[:WINDOW]
-    assert window == list(MUST_LEAD_R13[:WINDOW])
+    assert len(MUST_LEAD_R14) == WINDOW
+    assert window == list(MUST_LEAD_R14)
+
+
+def test_amendment_is_anchored_to_the_declaration():
+    """The amendment may only add changed-code rows at the head and
+    displace exactly as many tail rows — no silent reshuffling of the
+    round-13 declaration."""
+    assert set(MUST_LEAD_R14) == (
+        set(MUST_LEAD_R14_DECLARED) | set(R14_ADDED_CHANGED)
+    ) - set(R14_DISPLACED_TO_R15)
+    assert len(R14_ADDED_CHANGED) == len(R14_DISPLACED_TO_R15)
+    # the displaced rows are the declaration's tail, and they lead the
+    # R15 carry-over right after the changed-code head
+    assert list(R14_DISPLACED_TO_R15) == list(MUST_LEAD_R14_DECLARED[-3:])
+    assert list(R14_DISPLACED_TO_R15) == list(MUST_LEAD_R15[9:12])
 
 
 def test_window_contains_section_representatives():
@@ -187,50 +248,63 @@ def test_window_is_oracle_backed():
     assert no_oracle == [], no_oracle
 
 
-def test_deferred_r14_queries_are_real_and_tracked():
+def test_deferred_r15_queries_are_real_and_tracked():
     """The carry-over list must stay consumable: every name is a
     registry query with an oracle, none silently re-entered the
-    window, and it fills the next window exactly."""
+    window, and its first fifty fill the next window exactly (the seven
+    past the 50-slot line are declared MUST_LEAD_R16 spills)."""
     window = set(list(REGISTRY)[:WINDOW])
-    for n in MUST_LEAD_R14:
+    for n in MUST_LEAD_R15:
         assert n in REGISTRY, f"deferred query {n} no longer exists"
         assert REGISTRY[n].oracle is not None
         assert n not in window, f"{n} is both windowed and deferred"
-    assert len(MUST_LEAD_R14) == len(set(MUST_LEAD_R14)) == WINDOW
+    assert len(MUST_LEAD_R15) == len(set(MUST_LEAD_R15)) == 57
 
 
-def test_r13_spills_lead_the_r14_carryover():
-    """The four MUST_LEAD_R13 names past the 50-slot line (the oldest
-    evidence anywhere once r13 lands) must head MUST_LEAD_R14 right
-    after the changed-code row."""
-    spills = list(MUST_LEAD_R13[WINDOW:])
-    assert spills == list(MUST_LEAD_R14[1:5])
-    assert MUST_LEAD_R14[0] == "embedding_dedup_cosine"
+def test_sections_a_f_hold_recent_evidence():
+    """§A and §F sit the r14 window out — only honest if no §A/§F
+    query is actually stale: every one must be in the window, in the
+    declared MUST_LEAD_R15 carry-over, or hold r12+ driver evidence
+    (explicit list from the union of CORRECTNESS_r*.json)."""
+    recent_af = {
+        "multimodal_audio_chunks",  # r13
+        "multimodal_frame_sample",  # r13
+        "multimodal_png_metadata",  # r13
+        "multimodal_resize_dims",  # r13
+        "etl_traffic_transform",  # r13 (also in MUST_LEAD_R15 head)
+        "etl_traffic_daily_rolling",  # r12 (also in MUST_LEAD_R15 head)
+    }
+    window = set(list(REGISTRY)[:WINDOW])
+    carry = set(MUST_LEAD_R15)
+    af = [
+        n
+        for n in REGISTRY
+        if n.startswith(("multimodal_", "etl_", "incremental_hourly"))
+    ]
+    assert af, "section scan found no §A/§F queries"
+    unaccounted = [
+        n for n in af if n not in window and n not in carry and n not in recent_af
+    ]
+    assert unaccounted == [], unaccounted
 
 
-def test_sections_f_h_hold_recent_evidence():
-    """The §H window exemption is only honest if no §H query is
-    actually stale: every multimodal/lakehouse/snapshot query must be
-    in the window, in the declared MUST_LEAD_R14 carry-over, or hold
-    r11+ driver evidence (the explicit list below, from the union of
-    CORRECTNESS_r*.json)."""
-    recent_fh = {
-        "multimodal_dedup_phash",  # r11
-        "multimodal_metadata",  # r11
-        "multimodal_video_frames",  # r10, in MUST_LEAD_R14
-        "snapshot_schema_evolution",  # r11
+def test_sections_h_hold_recent_evidence():
+    """§H lakehouse/source queries not in the window must hold r11+
+    driver evidence or be named in the R15 carry-over."""
+    recent_h = {
+        "snapshot_schema_evolution",  # r11 (also in MUST_LEAD_R15)
         "snapshot_diff_orders",  # r12
     }
     window = set(list(REGISTRY)[:WINDOW])
-    carry = set(MUST_LEAD_R14)
-    fh = [
+    carry = set(MUST_LEAD_R15)
+    h = [
         n
         for n in REGISTRY
-        if n.startswith(("multimodal_", "snapshot_", "xls_", "etl_gcs"))
+        if n.startswith(("snapshot_", "xls_", "etl_gcs"))
     ]
-    assert fh, "section scan found no §F/§H queries"
+    assert h, "section scan found no §H queries"
     unaccounted = [
-        n for n in fh if n not in window and n not in carry and n not in recent_fh
+        n for n in h if n not in window and n not in carry and n not in recent_h
     ]
     assert unaccounted == [], unaccounted
 
@@ -262,6 +336,23 @@ def test_changed_r13_queries_have_committed_code():
     # the tmp GC walks the tree for staleness
     assert hasattr(bus, "read_progress_ledger")
     assert "os.walk" in inspect.getsource(bus._sweep_stale_tmp)
+
+
+def test_changed_r14_queries_have_committed_code():
+    """Same guard for the round-14 rationale: the changes that justify
+    the MUST_LEAD_R15 head must actually be in the tree."""
+    import inspect
+
+    from website_traffic_etl_gcp_spark.functions import datetimes
+    from website_traffic_etl_gcp_spark.operators import similarity
+
+    # day-first parse accepts single-digit day/month/hour (d/M/H)
+    assert datetimes.DAYFIRST_FMTS[0] == "d/M/yyyy H:mm:ss"
+    # lsh_topk prunes candidates BEFORE the dot-product loop and
+    # sanitizes zero-norm (NaN-cosine) corpus rows in the kernel
+    src = inspect.getsource(similarity)
+    assert "cand.any(" in src or "rows = np.flatnonzero" in src
+    assert "nc > 0" in src or "nonzero_norm" in src
 
 
 def test_survey_checklist_matches_registry():

@@ -572,3 +572,25 @@ def test_streaming_web_prefilter_equals_batch(spark):
     for k in want:
         assert got[k] == want[k], (got[k], want[k])
     assert any(r["reason"] == "blocked_domain" for r in want.values())
+
+
+def test_progress_ledger_tolerates_torn_final_line(tmp_path):
+    """A crash mid-append leaves a torn (non-JSON) trailing line —
+    exactly the recovery scenario the ledger exists for. The reader
+    must skip it and return the intact prefix, not abort (ADVICE r13:
+    only OSError was caught; a torn line raised JSONDecodeError)."""
+    from website_traffic_etl_gcp_spark.streaming import bus
+
+    ledger = str(tmp_path / "progress.jsonl")
+    with open(ledger, "w") as fh:
+        fh.write('{"batch_id": 0, "n_rows": 3}\n')
+        fh.write('{"batch_id": 1, "n_rows": 5}\n')
+        fh.write('{"batch_id": 2, "n_ro')  # torn mid-append, no newline
+    entries = bus.read_progress_ledger(ledger)
+    assert [e["batch_id"] for e in entries] == [0, 1]
+    assert sum(e["n_rows"] for e in entries) == 8
+    # a line that parses but lacks batch_id is equally skipped
+    with open(ledger, "a") as fh:
+        fh.write('ws\n{"no_batch": true}\n{"batch_id": 2, "n_rows": 1}\n')
+    entries = bus.read_progress_ledger(ledger)
+    assert [e["batch_id"] for e in entries] == [0, 1, 2]

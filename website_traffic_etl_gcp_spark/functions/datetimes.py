@@ -17,11 +17,16 @@ from pyspark.sql import functions as F
 # values (its docstring says dd/mm/YY), so the port does too. Java's
 # `yy` maps 00-99 onto 2000-2099 (base-2000 reduced field); that pivot
 # is part of this engine's contract and the DuckDB oracles reproduce it.
+# Single-letter day/month/hour fields (`d`, `M`, `H`) accept one OR two
+# digits, matching pandas dayfirst=True on `1/2/2024 9:05:00`-shaped
+# input; minutes/seconds stay strict two-digit (`mm:ss`) on both the
+# Spark and the DuckDB-oracle side — `9:5:0` is quarantined, pinned in
+# tests/test_traffic_transform.py.
 DAYFIRST_FMTS = (
-    "dd/MM/yyyy HH:mm:ss",
-    "dd/MM/yy HH:mm:ss",
-    "dd/MM/yyyy",
-    "dd/MM/yy",
+    "d/M/yyyy H:mm:ss",
+    "d/M/yy H:mm:ss",
+    "d/M/yyyy",
+    "d/M/yy",
 )
 DAYFIRST_FMT = DAYFIRST_FMTS[0]
 ISO_FMT = "yyyy-MM-dd HH:mm:ss"

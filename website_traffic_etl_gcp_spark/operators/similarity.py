@@ -104,6 +104,7 @@ def brute_force_topk(
     for i in range(qm.shape[1]):
         nq += qm[:, i] * qm[:, i]
     nq = np.sqrt(nq)
+    assert (nq > 0).all(), "zero-norm query vector"
 
     # the probes × corpus scan is the hot loop — fan a narrow corpus
     # scan out to all cores first (no-op on wide inputs)
@@ -121,6 +122,9 @@ def brute_force_topk(
             for i in range(cm.shape[1]):
                 nc += cm[:, i] * cm[:, i]
             nc = np.sqrt(nc)
+            # zero-norm guard: lexsort puts a NaN cosine last, the
+            # final window ranks it first — fail loudly (ADVICE r13)
+            assert (nc > 0).all(), "zero-norm corpus vector in brute_force_topk"
             acc = np.zeros((len(ids), len(qids)))
             for i in range(cm.shape[1]):
                 acc += cm[:, i : i + 1] * qm[:, i]
@@ -243,6 +247,7 @@ def lsh_topk(
     for i in range(qm.shape[1]):
         nq += qm[:, i] * qm[:, i]
     nq = np.sqrt(nq)
+    assert (nq > 0).all(), "zero-norm query vector"
 
     def buckets_of(mat: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
         """Sign-bit bucket per row — left-to-right dots, round-6 sign
@@ -282,31 +287,48 @@ def lsh_topk(
                 continue
             ids = pdf["cand_id"].to_numpy(np.int64)
             cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-            nc = np.zeros(len(ids))
-            for i in range(cm.shape[1]):
-                nc += cm[:, i] * cm[:, i]
-            nc = np.sqrt(nc)
-            acc = np.zeros((len(ids), len(qids)))
-            for i in range(cm.shape[1]):
-                acc += cm[:, i : i + 1] * qm[:, i]
-            cos = np.round(acc / (nc[:, None] * nq[None, :]), 6)
-            cos[cos == 0] = 0.0  # -0.0 -> +0.0, see semcell_pairs
+            # candidate mask FIRST (round 14): bucket membership costs
+            # planes×dim dots/row; the old order then spent
+            # queries×dim on EVERY row before masking — at multiprobe
+            # density ~29% that is ~3× the pair flops actually needed.
+            # The dot loop below runs per query on just its masked
+            # rows. Bit-exact: a pair's dot accumulates left-to-right
+            # over dims elementwise, so computing it inside a row
+            # subset yields the identical float64 value
+            # (operators/semcell_pairs.py exactness contract).
             cand = np.zeros((len(ids), len(qids)), dtype=bool)
             for planes_t, lut in zip(plane_sets, lookups):
                 cand |= lut[buckets_of(cm, planes_t)]
             cand &= ids[:, None] != qids[None, :]
+            rows = np.flatnonzero(cand.any(axis=1))
+            if not len(rows):
+                continue
+            ids, cm, cand = ids[rows], cm[rows], cand[rows]
+            nc = np.zeros(len(ids))
+            for i in range(cm.shape[1]):
+                nc += cm[:, i] * cm[:, i]
+            nc = np.sqrt(nc)
+            # zero-norm vectors have no defined cosine: the partition
+            # pruner's lexsort puts NaN last while the final window's
+            # cosine DESC ranks NaN first — fail loudly rather than
+            # silently diverge (ADVICE r13; testdata has none)
+            assert (nc > 0).all(), "zero-norm corpus vector in lsh_topk"
             out_q, out_c, out_s = [], [], []
             for j in range(len(qids)):
-                idx = np.nonzero(cand[:, j])[0]
+                idx = np.flatnonzero(cand[:, j])
                 if not len(idx):
                     continue
+                sub = cm[idx]
+                d = np.zeros(len(idx))
+                for i in range(sub.shape[1]):
+                    d += sub[:, i] * qm[j, i]
+                col = np.round(d / (nc[idx] * nq[j]), 6)
+                col[col == 0] = 0.0  # -0.0 -> +0.0, see semcell_pairs
                 take = min(k, len(idx))
-                col = cos[idx, j]
                 order = np.lexsort((ids[idx], -col))[:take]
-                sel = idx[order]
                 out_q.append(np.full(take, qids[j], dtype=np.int64))
-                out_c.append(ids[sel])
-                out_s.append(cos[sel, j])
+                out_c.append(ids[idx[order]])
+                out_s.append(col[order])
             if not out_q:
                 continue
             yield pd.DataFrame(

@@ -25,70 +25,73 @@ from .registry import REGISTRY, oracle_sql, queries  # noqa: F401
 
 # Front of the registry: the grading driver samples the first 50
 # entries, so the window is rebalanced each round to maximize distinct
-# driver-green evidence. Round-13 window = the first fifty of the
-# MUST_LEAD_R13 list declared by round 12 (tests/test_registry_window.py),
-# consumed exactly: (a) the thirteen round-12 queries that landed after
-# the r12 window sealed and so have sf1/sf10 sweep evidence but no
-# driver row yet, then (b) thirty-seven of the forty-one rows whose
-# latest driver green is r9 (the staleness rotation). The remaining
-# four r9 rows (streaming_admit_dedup_extend, streaming_hourly_counts,
-# streaming_wav_chunks, xls_extract_transform) spill into
-# MUST_LEAD_R14 together with the forty-five r10-green rows and any
-# query whose implementation changes this round — the staleness
+# driver-green evidence. Round-14 window = the MUST_LEAD_R14 list
+# declared by round 13 (tests/test_registry_window.py), AMENDED per the
+# round-13 advisor: the three additional queries whose implementation
+# was rewritten in round 13 outside the r13 window (dedup_semantic_cells
+# — semcell Arrow kernels; knn_bruteforce_cosine — brute_force_topk
+# mapInPandas; streaming_semdedup_ingest — same kernel path) join
+# embedding_dedup_cosine at the head so the NEW code gets a driver row
+# this round, displacing the three tail r10 rows (top_bigrams,
+# top_customers_by_revenue, winnow_quality_eval) into MUST_LEAD_R15.
+# Order: (a) the four changed-in-r13 queries, (b) the four declared
+# MUST_LEAD_R13 spills (latest driver green r9), (c) forty-two of the
+# forty-five rows whose latest driver green is r10. The staleness
 # invariant is carried forward explicitly, never silently dropped.
 _PRIORITY_ORDER = (
-    # ---- (a) never driver-sampled: landed in r12 outside the window ----
-    "bpe_train_merges",
-    "bpe_fertility_by_lang",
-    "url_canonicalize",
-    "domain_quality_rollup",
-    "trigram_kn_prob",
-    "doc_lm_perplexity_tri",
-    "web_prefilter_chain",
-    "streaming_web_prefilter",
-    "domain_cap_sample",
-    "unigram_lm_segment",
-    "unigram_lm_train",
-    "unigram_lm_refine",
-    "tokenizer_compare",
-    # ---- (b) latest driver green is r9: rotate before it goes stale ----
-    "bigram_kn_prob",
-    "bm25_doc_retrieval",
-    "chunk_boilerplate_report",
-    "contrastive_pair_mining",
-    "data_mix_plan",
-    "data_mix_sample",
-    "dedup_cdc_span_apply",
-    "dedup_cdc_span_manifest",
-    "dedup_exact",
-    "dedup_span_apply",
-    "dedup_span_manifest",
-    "dedup_winnow_pairs",
-    "doc_cdc_chunks",
-    "doc_chunk_windows",
-    "doc_token_entropy",
-    "doc_winnow_fingerprints",
-    "embedding_opq_gate",
-    "embedding_quantize_int8",
-    "epoch_shuffle_order",
-    "etl_traffic_transform",
-    "export_training_shards",
-    "funnel_conversion",
-    "kmeans_embedding_clusters",
-    "kmeans_quality_gate",
-    "knn_ivf_incremental",
-    "knn_lsh_bucketed",
-    "knn_recall_eval",
-    "multimodal_audio_chunks",
-    "multimodal_frame_sample",
-    "multimodal_png_metadata",
-    "multimodal_resize_dims",
-    "orders_scd2_pit_join",
-    "part_name_fuzzy_pairs",
-    "q3_shipping_priority",
-    "rag_chunk_ann_pipeline",
-    "retention_cohorts",
-    "revenue_rollup_nation_year",
+    # ---- (a) implementation changed in r13: fresh driver row first ----
+    "embedding_dedup_cosine",
+    "dedup_semantic_cells",
+    "knn_bruteforce_cosine",
+    "streaming_semdedup_ingest",
+    # ---- (b) the four MUST_LEAD_R13 spills (latest driver green r9) ----
+    "streaming_admit_dedup_extend",
+    "streaming_hourly_counts",
+    "streaming_wav_chunks",
+    "xls_extract_transform",
+    # ---- (c) latest driver green is r10: rotate before it goes stale ----
+    "approx_distinct_users_daily",
+    "centroid_by_label",
+    "customers_above_segment_avg",
+    "daily_active_users",
+    "dedup_containment_pairs",
+    "dedup_ensemble_pairs",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_stats_by_source",
+    "dsir_gumbel_sample",
+    "dup_graph_degree_stats",
+    "embedding_pca_gate",
+    "etl_gcs_end_to_end",
+    "ivf_cell_occupancy",
+    "knn_ivf_cells",
+    "knn_pca_prefilter",
+    "lang_source_matrix",
+    "lsh_bucket_occupancy",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "q4_late_shipment_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "returned_items_report",
+    "salted_event_value_sum",
+    "salted_orderstatus_revenue",
+    "signup_to_purchase_latency",
+    "simhash_quality_eval",
+    "snapshot_history_audit",
+    "snapshot_incremental_read",
+    "snapshot_merge_orders",
+    "snapshot_zonemap_prune",
+    "snapshot_zorder_prune",
+    "streaming_cdc_merge_orders",
+    "streaming_dq_router",
+    "streaming_video_frames",
+    "text_token_count",
+    "token_budget_waterfill",
+    "tokenizer_fertility_by_lang",
 )
 
 

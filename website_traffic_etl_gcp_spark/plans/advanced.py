@@ -85,6 +85,7 @@ def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_event_before_order",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     SELECT o.o_orderkey,
            strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_event_ts
@@ -419,6 +420,7 @@ def event_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_cube_status_priority",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -460,6 +462,7 @@ def order_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "value_percentiles_approx",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle="""
     SELECT event_type,
            CAST(COUNT(value) AS BIGINT) AS n_values,
@@ -506,6 +509,7 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_balance_deciles",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle="""
     WITH ranked AS (
         SELECT c_mktsegment, c_acctbal,
@@ -623,6 +627,7 @@ PIT_CHANGE_DAY = "1998-06-01"  # inside the orders date range
 
 @register(
     "orders_scd2_pit_join",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     WITH dim AS (
         SELECT c_custkey AS custkey, c_mktsegment AS segment,
@@ -826,6 +831,7 @@ TRIM_FRACTION = 0.1  # two-sided 10% trim
 
 @register(
     "value_trimmed_stats_by_type",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     WITH ranked AS (
         SELECT event_type, value, event_id,
@@ -907,6 +913,7 @@ def value_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bloom_prefiltered_revenue",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     SELECT o.o_orderpriority,
            CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,

@@ -1080,6 +1080,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_terms_tfidf",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(norm, ' ')) AS token
@@ -1373,6 +1374,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_repetition_score",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     WITH big AS (
         SELECT doc_id, unnest(list_transform(range(1, len(toks)),
@@ -2037,6 +2039,7 @@ _COMBINING_ACUTE = 769
 
 @register(
     "unicode_nfc_normalize",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     SELECT doc_id,
            md5(nfc_normalize(t)) AS nfc_md5,
@@ -2866,6 +2869,7 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "leakage_safe_split",
+    bench=True,  # r14 second bench cohort (judge item 7)
     oracle=f"""
     SELECT doc_id, fingerprint,
            CASE WHEN b < 80 THEN 'train'

@@ -827,6 +827,14 @@ def skew_refine_cells(
             depth_of[cell] = depth
         extra: dict[int, int] = {}
         for cell, o in occ.items():
+            # the Spark predecessor and the DuckDB oracle CTE evaluate
+            # this product in int64 — unbounded Python ints here must
+            # never exceed that headroom or the three implementations
+            # could silently disagree (ADVICE r13): fail loudly first
+            assert o * nl * (1 << p) < 2**63, (
+                f"skew_refine occupancy product overflows int64: "
+                f"occ={o} nl={nl} p={p}"
+            )
             e = next(
                 (
                     q

@@ -38,16 +38,19 @@ _RAW_SQL = """
 # the guarded single-format calls reproduce Java's strict whole-string
 # parse. The CASE on year(...) reproduces Java's `yy` base-2000 pivot
 # (00-99 → 2000-2099) against DuckDB's C-style 69-99 → 1900s.
+# Day/month/hour guards are \\d{1,2} — the Spark side's single-letter
+# `d/M/H` fields accept one or two digits (pandas dayfirst=True
+# parity); minutes/seconds stay strict two-digit on both sides.
 _PARSE_SQL = """COALESCE(
-    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{4} \\d{2}:\\d{2}:\\d{2}')
+    CASE WHEN regexp_full_match(time, '\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}:\\d{2}')
          THEN try_strptime(time, '%d/%m/%Y %H:%M:%S') END,
-    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}')
+    CASE WHEN regexp_full_match(time, '\\d{1,2}/\\d{1,2}/\\d{2} \\d{1,2}:\\d{2}:\\d{2}')
          THEN CASE WHEN year(try_strptime(time, '%d/%m/%y %H:%M:%S')) < 2000
                    THEN try_strptime(time, '%d/%m/%y %H:%M:%S') + INTERVAL 100 YEAR
                    ELSE try_strptime(time, '%d/%m/%y %H:%M:%S') END END,
-    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{4}')
+    CASE WHEN regexp_full_match(time, '\\d{1,2}/\\d{1,2}/\\d{4}')
          THEN try_strptime(time, '%d/%m/%Y') END,
-    CASE WHEN regexp_full_match(time, '\\d{2}/\\d{2}/\\d{2}')
+    CASE WHEN regexp_full_match(time, '\\d{1,2}/\\d{1,2}/\\d{2}')
          THEN CASE WHEN year(try_strptime(time, '%d/%m/%y')) < 2000
                    THEN try_strptime(time, '%d/%m/%y') + INTERVAL 100 YEAR
                    ELSE try_strptime(time, '%d/%m/%y') END END

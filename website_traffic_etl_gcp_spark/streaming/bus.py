@@ -536,9 +536,16 @@ def read_progress_ledger(progress_path: str) -> list[dict]:
     try:
         with open(progress_path) as fh:
             for line in fh:
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     e = _json.loads(line)
                     last[int(e["batch_id"])] = e
+                except (ValueError, KeyError, TypeError):
+                    # a torn final line from a crash mid-append is
+                    # exactly the recovery scenario this ledger is
+                    # for — skip it; the retry will rewrite the batch
+                    continue
     except OSError:
         return []
     return [last[k] for k in sorted(last)]
