@@ -195,10 +195,12 @@ def test_persisted_ivf_index_probe_reads_in_place(spark):
 def test_persisted_ivfpq_index_probe_reads_in_place(spark):
     """The persisted IVF+PQ index: the probe must (a) return exactly
     the in-query ivfpq_topk result (same coarse centroids + codebook),
-    and (b) scan the stored CODE table in place — the candidate
-    restriction is a hash join on the cell key, the stored table is
-    never exchanged on it, and the only nested loop is the tiny
-    query-side centroid-assignment crossJoin."""
+    and (b) scan the stored CODE table in place — since r14 the
+    candidate restriction happens inside the shared ADC scan kernel
+    (pq.adc_shortlist_scan: per-query cell mask + partition-local
+    top-k in one Arrow pass), so the stored table is never exchanged
+    on the cell key and no corpus x queries pair frame exists at
+    all."""
     from website_traffic_etl_gcp_spark.operators import ann_index as ai
     from website_traffic_etl_gcp_spark.operators import pq
     from website_traffic_etl_gcp_spark.plans.embeddings import (
@@ -232,9 +234,10 @@ def test_persisted_ivfpq_index_probe_reads_in_place(spark):
         assert got  # non-vacuous
         plan = _plan(probe)
         final = plan.split("== Initial Plan ==")[0]
-        assert "BroadcastHashJoin [cell_id" in final, final
+        # the ADC scan is the Arrow kernel over the stored table —
+        # no join, no exchange of the stored table on the cell key
+        assert "MapInPandas" in final, final
         assert "Exchange hashpartitioning(cell_id" not in final
-        assert "Bucketed: true" in final
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {codes_t}")
         spark.sql(f"DROP TABLE IF EXISTS {cents_t}")

@@ -25,8 +25,9 @@ two medium findings (ADVICE.md r13):
 Once round 14 lands the latest-green histogram is r14x50, r13x50,
 r12x50, r11x46, r10x3 (the displaced spills) — and every r10/r11 row,
 plus the r12/r13 rows re-aged by round-14 code changes (the lsh_topk
-callers and the datetime-widened ETL family), is named in
-MUST_LEAD_R15. The chain of custody stays explicit.
+callers, the PQ/ADC-kernelized tier, and the datetime-widened ETL
+family), is named in MUST_LEAD_R15. The chain of custody stays
+explicit.
 
 Section note: the round-14 window carries representatives for
 §B-§E2, §G and §H. §A and §F sit this window out — every §A and §F
@@ -134,24 +135,31 @@ SECTION_REPRESENTATIVES = (
 # the round-14 carry-over, in consumption order: (a) queries whose
 # implementation changed in round 14 outside the window and so need a
 # driver row against the NEW code — the three lsh_topk callers
-# (mask-before-dot candidate pruning: bit-exact per-pair arithmetic,
-# but a rewritten compute path), plus the six §A ETL queries re-aged
-# by the day-first parse widening (functions/datetimes.py
-# single-digit d/M/H fields; etl_gcs_end_to_end and
-# xls_extract_transform also flow through it but sit INSIDE the r14
-# window, so their r14 rows already test the new code). The
-# never-firing non-zero-norm asserts added to brute_force_topk do NOT
-# re-age its other callers: an assert changes no produced value on
-# any input — it aborts instead of diverging; (b) the three rows
-# displaced by the r14 amendment (latest driver green r10); (c) the
-# forty-five rows whose latest driver green is r11. 57 names for 50
-# slots — the last seven spill into MUST_LEAD_R16, exactly like the
-# r13 spills did.
+# (density-adaptive mask-before-dot candidate pruning: bit-exact
+# per-pair arithmetic, but a rewritten compute path), the three
+# PQ-tier queries rebuilt on the r14 ADC kernels (pq_encode
+# mapInPandas + adc_shortlist_scan with partition-local top-k,
+# replacing the interpreted per-pair HOF fold — PQ_PROFILE_R14
+# measured the HOF stages at 37% of knn_pq_rerank), plus the six §A
+# ETL queries re-aged by the day-first parse widening
+# (functions/datetimes.py single-digit d/M/H fields;
+# etl_gcs_end_to_end and xls_extract_transform also flow through it
+# but sit INSIDE the r14 window, so their r14 rows already test the
+# new code). The never-firing non-zero-norm asserts added to
+# brute_force_topk do NOT re-age its other callers: an assert changes
+# no produced value on any input — it aborts instead of diverging;
+# (b) the three rows displaced by the r14 amendment (latest driver
+# green r10); (c) the forty-five rows whose latest driver green is
+# r11. 60 names for 50 slots — the last ten spill into
+# MUST_LEAD_R16, exactly like the r13 spills did.
 MUST_LEAD_R15 = (
     # (a) implementation changed in r14 outside the window
     "knn_lsh_bucketed",
     "knn_recall_eval",
     "rag_chunk_ann_pipeline",
+    "knn_pq_rerank",
+    "knn_ivfpq_rerank",
+    "knn_ivfpq_persisted",
     "etl_traffic_transform",
     "etl_traffic_daily_rolling",
     "etl_traffic_quarantine",
@@ -198,10 +206,10 @@ MUST_LEAD_R15 = (
     "session_path_signatures",
     "session_window_rollup",
     "sessionize_events",
+    # ---- 50-slot line: the ten below spill into MUST_LEAD_R16 ----
     "snapshot_schema_evolution",
     "streaming_bus_ingest",
     "streaming_dedup_ingest",
-    # ---- 50-slot line: the seven below spill into MUST_LEAD_R16 ----
     "streaming_view_attribution",
     "text_extract_html",
     "text_extract_html_quality",
@@ -231,7 +239,7 @@ def test_amendment_is_anchored_to_the_declaration():
     # the displaced rows are the declaration's tail, and they lead the
     # R15 carry-over right after the changed-code head
     assert list(R14_DISPLACED_TO_R15) == list(MUST_LEAD_R14_DECLARED[-3:])
-    assert list(R14_DISPLACED_TO_R15) == list(MUST_LEAD_R15[9:12])
+    assert list(R14_DISPLACED_TO_R15) == list(MUST_LEAD_R15[12:15])
 
 
 def test_window_contains_section_representatives():
@@ -251,14 +259,14 @@ def test_window_is_oracle_backed():
 def test_deferred_r15_queries_are_real_and_tracked():
     """The carry-over list must stay consumable: every name is a
     registry query with an oracle, none silently re-entered the
-    window, and its first fifty fill the next window exactly (the seven
+    window, and its first fifty fill the next window exactly (the ten
     past the 50-slot line are declared MUST_LEAD_R16 spills)."""
     window = set(list(REGISTRY)[:WINDOW])
     for n in MUST_LEAD_R15:
         assert n in REGISTRY, f"deferred query {n} no longer exists"
         assert REGISTRY[n].oracle is not None
         assert n not in window, f"{n} is both windowed and deferred"
-    assert len(MUST_LEAD_R15) == len(set(MUST_LEAD_R15)) == 57
+    assert len(MUST_LEAD_R15) == len(set(MUST_LEAD_R15)) == 60
 
 
 def test_sections_a_f_hold_recent_evidence():

@@ -333,31 +333,16 @@ def probe_ivfpq_index(
     )
     tabs = pq._query_adc_tables(queries, pq_cents, dim, pq.PQ_M,
                                 id_col, vec_col)
-    qside = q.join(tabs, "query_id")
+    qtabs = q.join(tabs, "query_id").collect()
     codes = spark.table(codes_table)
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(pq.PQ_M - 1)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(
-            F.col("tab"),
-            (i * pq.PQ_K + F.element_at(F.col("codes"), i + 1)).cast("int"),
-        ),
-    )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.col("adist"), F.col("cand_id")
-    )
-    shortlist = (
-        codes.join(
-            F.broadcast(qside),
-            (F.col("cell_id") == F.col("qcell"))
-            & (F.col("cand_id") != F.col("query_id")),
-        )
-        .select("query_id", "cand_id", F.round(adist, 6).alias("adist"))
-        .withColumn("rank", F.row_number().over(ws))
-        .filter(F.col("rank") <= k * rerank_mult)
-        .select("query_id", "cand_id")
-    )
+    # the stored code table scans in place through the shared ADC
+    # kernel (pq.adc_shortlist_scan): M numpy gathers per query over
+    # its probed cells' rows, partition-local top-(k x rerank_mult)
+    # under the exact final comparator — no corpus x queries pair
+    # frame, no interpreted per-pair fold
+    shortlist = pq.adc_shortlist_scan(
+        codes, qtabs, k * rerank_mult, pq.PQ_M, pq.PQ_K, by_cell=True
+    ).select("query_id", "cand_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -260,18 +260,164 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, codes array<bigint> length m, sq_err) — each vector's
     PQ code word plus its total quantization error (the reconstruction
-    residual, a quality diagnostic)."""
-    sub = subvectors(emb, dim, m, id_col, vec_col)
-    best = _assign_codes(sub, cents, id_col)
-    return (
-        best.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))),
-                lambda s: s["code"],
-            ).alias("codes"),
-            F.sum("dist").alias("sq_err"),
+    residual, a quality diagnostic).
+
+    Round 14: the corpus-wide encode runs as ONE Arrow-batched
+    mapInPandas — the explode + broadcast-argmin HOF form it replaces
+    evaluated an interpreted K-distance transform per (vector,
+    subspace) row (PQ_PROFILE_R14: encode was 0.92 s of the 4.3 s
+    knn_pq_rerank at sf0.1, and it grows with corpus × M × K).
+    Bit-exact twin of the HOF form (semcell_pairs contract): float
+    inputs cast to double, the squared norm and every subspace
+    distance accumulate left-to-right over dimensions, argmin
+    tie-breaks to the smaller cell (codebook rows scanned in (m, cell)
+    order, np.argmin keeps the first minimum), sq_err sums subspace
+    distances in ascending-m order — the exact order the replaced
+    map-side partial aggregation used. Codebook rides the closure
+    (M×k×d_sub doubles, bounded). Training keeps the declarative
+    _assign_codes path (its input is the bounded Lloyd sample)."""
+    import numpy as np
+    import pandas as pd
+
+    d_sub = dim // m
+    crows = cents.select("m", "cell", "centroid").collect()
+    crows.sort(key=lambda r: (int(r["m"]), int(r["cell"])))
+    k = len(crows) // m
+    # (m, k, d_sub) centroid tensor + the cell ids per subspace slot
+    cmat = np.zeros((m, k, d_sub))
+    cells = np.zeros((m, k), dtype=np.int64)
+    for pos, r in enumerate(crows):
+        mi, ki = divmod(pos, k)
+        cmat[mi, ki] = np.asarray(r["centroid"], dtype=np.float64)
+        cells[mi, ki] = int(r["cell"])
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            xm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sq = np.zeros(len(ids))
+            for i in range(xm.shape[1]):
+                sq += xm[:, i] * xm[:, i]
+            u = xm / np.sqrt(sq)[:, None]
+            codes = np.zeros((len(ids), m), dtype=np.int64)
+            err = np.zeros(len(ids))
+            for mi in range(m):
+                s = u[:, mi * d_sub : (mi + 1) * d_sub]
+                d = np.zeros((len(ids), k))
+                for ki in range(k):
+                    acc = np.zeros(len(ids))
+                    for ci in range(d_sub):
+                        diff = s[:, ci] - cmat[mi, ki, ci]
+                        acc += diff * diff
+                    d[:, ki] = acc
+                best = np.argmin(d, axis=1)
+                codes[:, mi] = cells[mi][best]
+                err += d[np.arange(len(ids)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "codes": list(codes),
+                    "sq_err": err,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} bigint, codes array<bigint>, sq_err double"
+    )
+
+
+def adc_shortlist_scan(
+    codes: DataFrame,
+    qtabs: list,
+    k: int,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    by_cell: bool = False,
+) -> DataFrame:
+    """Shared ADC scan kernel: ``codes`` is (cand_id, codes[, cell_id])
+    — in-query or read back from a persisted code table — and
+    ``qtabs`` is the COLLECTED bounded query side: (query_id, tab) or,
+    with ``by_cell``, (query_id, qcell, tab) rows (probe set × probed
+    cells — a few hundred rows of M×k doubles, rides the closure).
+
+    Round 14 (PQ_PROFILE_R14, the r13 interpreted-HOF finding): the
+    replaced shape joined corpus × queries and evaluated the M-step
+    adist fold as an interpreted HOF per pair, feeding the WHOLE pair
+    frame to the rank window. This kernel scans the code table once
+    per partition in Arrow batches, computes each query's adists as M
+    numpy gathers over exactly its candidate rows, and emits only the
+    partition top-k per query under the EXACT final comparator
+    (adist asc, cand_id asc) — the exchange drops from
+    corpus × |queries| rows to |queries| × k × partitions, the same
+    pruning argument as similarity.brute_force_topk. Bit-exact: adist
+    accumulates the M table entries left-to-right (i = 0..M-1, float64
+    adds — the fold order of the replaced F.aggregate), rounded
+    half-even to 6dp vs Spark's half-up (differs only on exact
+    half-microunit boundaries; measure-zero for sums of squared
+    distances, pinned by the oracle sweeps)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    entries = [
+        (
+            int(r["query_id"]),
+            int(r["qcell"]) if by_cell else None,
+            np.asarray(r["tab"], dtype=np.float64),
         )
+        for r in qtabs
+    ]
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["cand_id"].to_numpy(np.int64)
+            cmat = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cell = (
+                pdf["cell_id"].to_numpy(np.int64) if by_cell else None
+            )
+            out_q, out_c, out_s = [], [], []
+            for qid, qcell, tab in entries:
+                mask = ids != qid
+                if by_cell:
+                    mask &= cell == qcell
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                sub = cmat[idx]
+                d = np.zeros(len(idx))
+                for i in range(m):
+                    # element_at is 1-based: position i*n_codes+code
+                    d += tab[i * n_codes + sub[:, i] - 1]
+                d = np.round(d, 6)
+                take = min(k, len(idx))
+                order = np.lexsort((ids[idx], d))[:take]
+                out_q.append(np.full(take, qid, dtype=np.int64))
+                out_c.append(ids[idx[order]])
+                out_s.append(d[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "adist": np.concatenate(out_s),
+                }
+            )
+
+    cols = ["cand_id", "codes"] + (["cell_id"] if by_cell else [])
+    cand = codes.select(*cols).mapInPandas(
+        fn, "query_id bigint, cand_id bigint, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist"), F.col("cand_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -290,35 +436,16 @@ def adc_topk(
 
     Per query the M×n_codes distance table flattens to one array laid
     out as position = m·n_codes + cell; a candidate's approximate
-    distance is M element_at lookups over its code word — no vector
-    math on the scan side.  The query tables broadcast (bounded probe
-    set); the corpus side stays O(corpus × M)."""
-    from pyspark.sql import Window
-
-    tab = _query_adc_tables(queries, cents, dim, m, id_col, vec_col)
-    codes = pq_encode(emb, cents, dim, m, id_col, vec_col)
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(
-            F.col("tab"),
-            (i * n_codes + F.element_at(F.col("codes"), i + 1)).cast("int"),
-        ),
+    distance is M table lookups over its code word — no vector math on
+    the scan side.  The query tables are bounded (fixed probe set) and
+    ride the scan kernel's closure; the corpus side stays
+    O(corpus × M) with partition-local top-k pruning
+    (see adc_shortlist_scan)."""
+    qtabs = _query_adc_tables(queries, cents, dim, m, id_col, vec_col).collect()
+    codes = pq_encode(emb, cents, dim, m, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist"), F.col("cand_id")
-    )
-    return (
-        codes.select(F.col(id_col).alias("cand_id"), "codes")
-        # self-matches excluded to mirror brute_force_topk's contract
-        .join(F.broadcast(tab), F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id", "cand_id", F.round(adist, 6).alias("adist")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return adc_shortlist_scan(codes, qtabs, k, m, n_codes)
 
 
 RERANK_MULT = 4
@@ -405,30 +532,10 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"), F.col("cell_id").alias("qcell")
     )
     tabs = _query_adc_tables(queries, cents, dim, m, id_col, vec_col)
-    qside = qcells.join(tabs, "query_id")
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(
-            F.col("tab"),
-            (i * n_codes + F.element_at(F.col("codes"), i + 1)).cast("int"),
-        ),
-    )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.col("adist"), F.col("cand_id")
-    )
-    shortlist = (
-        coded.join(
-            F.broadcast(qside),
-            (F.col("cell_id") == F.col("qcell"))
-            & (F.col("cand_id") != F.col("query_id")),
-        )
-        .select("query_id", "cand_id", F.round(adist, 6).alias("adist"))
-        .withColumn("rank", F.row_number().over(ws))
-        .filter(F.col("rank") <= k * rerank_mult)
-        .select("query_id", "cand_id")
-    )
+    qtabs = qcells.join(tabs, "query_id").collect()
+    shortlist = adc_shortlist_scan(
+        coded, qtabs, k * rerank_mult, m, n_codes, by_cell=True
+    ).select("query_id", "cand_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -313,17 +313,33 @@ def lsh_topk(
             # cosine DESC ranks NaN first — fail loudly rather than
             # silently diverge (ADVICE r13; testdata has none)
             assert (nc > 0).all(), "zero-norm corpus vector in lsh_topk"
+            # density-adaptive dot strategy (PERF_AB_R14): below ~50%
+            # pair density the per-query masked dots win (~1/density
+            # fewer flops); above it the gathers cost what they save
+            # and ONE broadcasted matrix pass has far less numpy
+            # dispatch overhead. Both produce identical float64 values
+            # (elementwise left-to-right accumulation either way).
+            dense = cand.sum() >= 0.5 * cand.size
+            if dense:
+                acc = np.zeros((len(ids), len(qids)))
+                for i in range(cm.shape[1]):
+                    acc += cm[:, i : i + 1] * qm[:, i]
+                cos_all = np.round(acc / (nc[:, None] * nq[None, :]), 6)
+                cos_all[cos_all == 0] = 0.0  # -0.0 -> +0.0
             out_q, out_c, out_s = [], [], []
             for j in range(len(qids)):
                 idx = np.flatnonzero(cand[:, j])
                 if not len(idx):
                     continue
-                sub = cm[idx]
-                d = np.zeros(len(idx))
-                for i in range(sub.shape[1]):
-                    d += sub[:, i] * qm[j, i]
-                col = np.round(d / (nc[idx] * nq[j]), 6)
-                col[col == 0] = 0.0  # -0.0 -> +0.0, see semcell_pairs
+                if dense:
+                    col = cos_all[idx, j]
+                else:
+                    sub = cm[idx]
+                    d = np.zeros(len(idx))
+                    for i in range(sub.shape[1]):
+                        d += sub[:, i] * qm[j, i]
+                    col = np.round(d / (nc[idx] * nq[j]), 6)
+                    col[col == 0] = 0.0  # -0.0 -> +0.0, semcell_pairs
                 take = min(k, len(idx))
                 order = np.lexsort((ids[idx], -col))[:take]
                 out_q.append(np.full(take, qids[j], dtype=np.int64))
