@@ -114,6 +114,53 @@ SF10_QUERIES = [
     "streaming_bus_dlq_audit",
     "streaming_html_extract",
     "snapshot_zonemap_prune",
+    # round 14: the rest of the MUST_LEAD_R14 window whose oracles
+    # are sf10-tractable (relational shapes, probe-bounded ANN
+    # verdicts, capped lakehouse fixtures, bounded streaming drains —
+    # the pairwise dedup/graph families keep their sampled-frame sf1
+    # rows), plus the r14 bench cohort and the kernelized PQ tier
+    "knn_bruteforce_cosine",
+    "streaming_admit_dedup_extend",
+    "streaming_wav_chunks",
+    "xls_extract_transform",
+    "approx_distinct_users_daily",
+    "customers_above_segment_avg",
+    "dsir_gumbel_sample",
+    "embedding_pca_gate",
+    "etl_gcs_end_to_end",
+    "knn_ivf_cells",
+    "knn_pca_prefilter",
+    "lang_source_matrix",
+    "lsh_bucket_occupancy",
+    "q2_min_cost_supplier",
+    "q4_late_shipment_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_parts",
+    "returned_items_report",
+    "salted_orderstatus_revenue",
+    "signup_to_purchase_latency",
+    "snapshot_history_audit",
+    "snapshot_incremental_read",
+    "snapshot_merge_orders",
+    "snapshot_zorder_prune",
+    "streaming_cdc_merge_orders",
+    "streaming_dq_router",
+    "streaming_video_frames",
+    "token_budget_waterfill",
+    "tokenizer_fertility_by_lang",
+    "asof_last_event_before_order",
+    "order_cube_status_priority",
+    "value_trimmed_stats_by_type",
+    "bloom_prefiltered_revenue",
+    "customer_balance_deciles",
+    "top_terms_tfidf",
+    "doc_repetition_score",
+    "unicode_nfc_normalize",
+    "leakage_safe_split",
+    "knn_pq_rerank",
+    "knn_ivfpq_rerank",
+    "knn_ivfpq_persisted",
 ]
 
 
