@@ -2,18 +2,30 @@
 pattern on DataFrames.
 
 Each iteration is two jobs: (1) assign — a ZERO-SHUFFLE narrow map
-over the corpus: the k driver-resident centroids are folded into a
-literal array-of-structs and the per-row argmin is computed with
-``transform`` + ``array_min`` inside whole-stage codegen (no
-crossJoin, no window, no exchange — at 100 TB with k=32 the old
-window-rank formulation shuffled 32× the corpus WITH vector payloads
-per iteration), (2) recompute — posexplode + groupBy(cluster, dim)
-mean, collected to the driver. Collecting k × dim aggregated doubles
-per round is O(kB) regardless of corpus size, and rebuilding the
-centroid literals each round TRUNCATES the lineage — the classic
-exponential-plan trap in iterative Spark jobs never forms, with no
-checkpoint directory needed. The corpus itself is cached once and
-never collected.
+over the corpus: the k driver-resident centroids ride an Arrow-batched
+``mapInPandas`` kernel computing the per-row argmin (no crossJoin, no
+window, no exchange — at 100 TB with k=32 the old window-rank
+formulation shuffled 32× the corpus WITH vector payloads per
+iteration; the r13→r14 ``transform`` + ``array_min`` literal-struct
+form had the same plan shape but evaluated k × dim interpreted
+higher-order-function steps per row — the ~160 µs/row Catalyst-HOF
+cost round 13 measured — across FIVE corpus passes per 4-iteration
+query), (2) recompute — posexplode + groupBy(cluster, dim) mean,
+collected to the driver: the partial (map-side) decimal aggregation
+ships only k × dim × partitions rows through the exchange. Collecting
+k × dim aggregated doubles per round is O(kB) regardless of corpus
+size, and rebuilding the centroid closure each round TRUNCATES the
+lineage — the classic exponential-plan trap in iterative Spark jobs
+never forms, with no checkpoint directory needed. The corpus itself
+is cached once and never collected.
+
+The kernel is the bit-exact twin of the HOF form it replaces
+(operators/semcell_pairs.py has the exactness contract): elements cast
+to double, each centroid's squared distance accumulated left-to-right
+over dimensions as (a − b)·(a − b) float64 adds, argmin scanning
+centroids in ascending cell_id with strict-less updates — identical
+to ``array_min`` over (dist, cell_id) structs, including the
+lowest-cell tie-break and NaN-sorts-last double order.
 
 Deterministic by construction: init is the k vectors with the
 smallest md5(vec_id) — a hash-spread seed, so id-ordered corpora
@@ -34,57 +46,71 @@ from pyspark.sql import functions as F
 __all__ = ["kmeans"]
 
 
-def _cells_literal(cents: list[tuple[int, list[float]]]) -> F.Column:
-    """The k centroids as ONE literal array<struct<cell_id,centroid>>
-    expression — driver-side constants, zero tasks to distribute."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("bigint").alias("cell_id"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
-            )
-            for cid, vec in cents
-        ]
-    )
-
-
 def _assign(
     vectors: DataFrame,
     cents: list[tuple[int, list[float]]],
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Nearest centroid per vector by squared euclidean distance —
-    map-side argmin over the literal centroid array. ``array_min`` on
-    (dist, cell_id) structs reproduces the (dist asc, cell_id asc)
-    ranking with no shuffle and no row multiplication."""
-    cells = _cells_literal(cents)
+    """Nearest centroid per vector by squared euclidean distance — an
+    Arrow-batched narrow map with the k centroids riding the closure.
+    Scanning centroids in ascending cell_id with strict-less updates
+    reproduces the (dist asc, cell_id asc) ``array_min`` ranking with
+    no shuffle and no row multiplication; per-dimension accumulation
+    is left-to-right float64, so dist values are bit-identical to the
+    replaced HOF fold (see module docstring)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, DoubleType, StructField, StructType
 
-    def sqdist(c):
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                c["centroid"],
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    ordered = sorted(
+        ((int(cid), np.asarray(vec, dtype=np.float64)) for cid, vec in cents),
+        key=lambda cv: cv[0],
+    )
 
-    best = F.array_min(
-        F.transform(
-            cells,
-            lambda c: F.struct(
-                sqdist(c).alias("dist"), c["cell_id"].alias("cell_id")
-            ),
-        )
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            best_d = best_c = None
+            for cid, cv in ordered:
+                acc = np.zeros(len(vm))
+                for j in range(vm.shape[1]):
+                    diff = vm[:, j] - cv[j]
+                    acc += diff * diff
+                if best_d is None:
+                    best_d = acc
+                    best_c = np.full(len(vm), cid, dtype=np.int64)
+                else:
+                    # strict < keeps the lowest cell_id on ties; the
+                    # NaN clause mirrors Spark's total double order
+                    # (NaN sorts greatest, NaN == NaN keeps first)
+                    upd = (acc < best_d) | (
+                        np.isnan(best_d) & ~np.isnan(acc)
+                    )
+                    best_d = np.where(upd, acc, best_d)
+                    best_c = np.where(upd, cid, best_c)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell_id": best_c,
+                    "dist": best_d,
+                }
+            )
+
+    src = vectors.select(id_col, vec_col)
+    schema = StructType(
+        [
+            src.schema[id_col],
+            src.schema[vec_col],  # element type preserved: a float
+            # corpus must keep float semantics in the recompute cast
+            StructField("cell_id", LongType()),
+            StructField("dist", DoubleType()),
+        ]
     )
-    return vectors.withColumn("__best", best).select(
-        id_col,
-        vec_col,
-        F.col("__best")["cell_id"].alias("cell_id"),
-        F.col("__best")["dist"].alias("dist"),
-    )
+    return src.mapInPandas(fn, schema)
 
 
 def kmeans(
@@ -97,7 +123,19 @@ def kmeans(
     """Run ``n_iter`` Lloyd iterations; returns (vec_id, cell_id, dist)
     final assignments. ``dist`` is the squared euclidean distance to
     the final centroid (sum over all rows = inertia)."""
-    corpus = vectors.select(id_col, vec_col).cache()
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
+
+    # the assign kernel makes n_iter+1 full passes over the cached
+    # corpus — fan a narrow scan out to all cores BEFORE caching so
+    # every pass runs wide (no-op on already-wide inputs; the one
+    # fan-out shuffle is paid once, then cached)
+    corpus = widen_narrow_input(
+        vectors.select(id_col, vec_col),
+        min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES,
+    ).cache()
 
     # hash-spread seeding: k smallest md5(id) — deterministic, but
     # uncorrelated with id order, so sorted/clustered corpora don't
