@@ -319,3 +319,15 @@ def test_kmeans_and_ivf_queries_lost_the_argmin_exchange(spark):
     plan = _plan(spark, "dedup_semantic_cells")
     assert "Exchange hashpartitioning(vec_id" not in plan
     assert "Window" not in plan
+
+
+def test_trimmed_stats_windows_only_the_histogram(spark):
+    # r14 rewrite: the per-type ROW_NUMBER window over every event row
+    # (one task per event_type at any corpus size) is gone — the corpus
+    # pass is a parallel hash aggregate to (event_type, value, cnt) and
+    # the rank arithmetic runs on the bounded cumulative histogram
+    plan = _plan(spark, "value_trimmed_stats_by_type")
+    assert "row_number" not in plan.lower()
+    # the histogram exchange is keyed (event_type, value): parallel
+    assert "hashpartitioning(event_type#" in plan
+    assert ", value#" in plan.split("hashpartitioning(event_type#")[1][:40]

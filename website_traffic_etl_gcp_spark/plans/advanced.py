@@ -871,43 +871,80 @@ TRIM_FRACTION = 0.1  # two-sided 10% trim
     "and WINSORIZED mean (clamp them to the k+1-th / (n−k)-th order "
     "statistics) — outlier-resistant aggregates built from exact rank "
     "selection, no interpolation, so both engines agree bit-for-bit. "
-    "One window pass + one aggregation; ties broken on event_id.",
+    "Scale shape (r14): the oracle's per-type (value, event_id) "
+    "ROW_NUMBER window is a one-task-per-type global sort — with ~5 "
+    "types the query runs on 5 cores at ANY corpus size. But every "
+    "output is a function of the per-type VALUE HISTOGRAM alone: rows "
+    "tied on value are interchangeable (the event_id tie-break decides "
+    "WHICH tied rows are trimmed, never the trimmed count, the order "
+    "statistics, or the decimal sums). So: one parallel hash "
+    "aggregate to (type, value, cnt) — map-side partials, shuffle "
+    "O(distinct values), which saturates (~18k/type at sf10) — then "
+    "rank arithmetic on the bounded histogram. Exact-rank trim counts "
+    "per value-group are clamped interval overlaps; sums stay exact "
+    "decimal (cnt × decimal(18,2)).",
 )
 def value_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # parallel corpus pass: per-type value histogram (bounded: distinct
+    # `value`s saturate with corpus size, so the window below is NOT
+    # corpus-scale)
+    h = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wn = Window.partitionBy("event_type")
-    ranked = ev.select(
+    hc = h.select(
         "event_type",
         "value",
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
     ).withColumn("k", F.floor(F.col("n") * TRIM_FRACTION).cast("bigint"))
-    ranked = ranked.withColumn(
-        "lo",
-        F.min(F.when(F.col("rn") == F.col("k") + 1, F.col("value"))).over(wn),
-    ).withColumn(
-        "hi",
-        F.min(
-            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("value"))
-        ).over(wn),
+    cum_before = F.col("cum") - F.col("cnt")
+    # rows of this value-group falling in the bottom-k / top-k trim:
+    # clamped overlap of [cum_before+1, cum] with [1, k] / (n-k, n]
+    take_bot = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cnt"), F.col("k") - cum_before),
     )
-    in_core = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
-    winsor_val = (
-        F.when(F.col("rn") <= F.col("k"), F.col("lo"))
-        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi"))
-        .otherwise(F.col("value"))
+    take_top = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cnt"), F.col("k") - (F.col("n") - F.col("cum"))),
     )
-    return ranked.groupBy("event_type").agg(
+    take_core = F.col("cnt") - take_bot - take_top
+    agg = hc.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        (
-            F.sum(F.when(in_core, dec("value"))).cast("double")
-            / F.sum(F.when(in_core, F.lit(1))).cast("double")
-        ).alias("trimmed_mean"),
-        (
-            F.sum(winsor_val.cast("decimal(18,2)")).cast("double")
-            / F.max("n").cast("double")
-        ).alias("winsor_mean"),
+        F.max("k").alias("k"),
+        F.sum(take_core * dec("value")).alias("core_sum"),
+        # order statistics off the cumulative histogram: value at rank
+        # k+1 (lo) and rank n-k (hi) = first group whose cum reaches it
+        F.min(
+            F.when(F.col("cum") >= F.col("k") + 1, F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("value"))
+        ).alias("hi"),
+    )
+    n_core = F.col("n") - F.lit(2) * F.col("k")
+    winsor_sum = (
+        F.col("core_sum")
+        + F.col("k") * dec("lo")
+        + F.col("k") * dec("hi")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("core_sum").cast("double") / n_core.cast("double")).alias(
+            "trimmed_mean"
+        ),
+        (winsor_sum.cast("double") / F.col("n").cast("double")).alias(
+            "winsor_mean"
+        ),
     )
 
 
