@@ -234,13 +234,17 @@ def test_leakage_safe_split_is_map_only(spark):
         raise AssertionError("no documents ReadSchema found")
 
 
-def test_winnow_fingerprints_single_doc_partitioning(spark):
-    # one explode feeding doc_id-partitioned windows + the final
-    # distinct: every exchange must be keyed (hash), never a cartesian
-    # or a broadcast of the corpus
+def test_winnow_fingerprints_zero_shuffle(spark):
+    # r14 kernel: winnowing is per-doc, so the fingerprint pass plans
+    # ZERO keyed exchanges — one MapInArrow over the (widened) scan;
+    # the old explode + doc_id-window shuffle of shingle strings is
+    # gone. The only allowed Exchange is the narrow-input round-robin
+    # fan-out (partitioning.widen_narrow_input), never a hash one.
     plan = _plan(spark, "doc_winnow_fingerprints")
     assert "CartesianProduct" not in plan
-    assert "hashpartitioning(doc_id" in plan
+    assert "MapInArrow" in plan
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
 
 
 def test_winnow_pairs_keyed_join_no_cartesian(spark):

@@ -120,40 +120,138 @@ def winnow_fingerprints(
     hash, then by DESCENDING position.  Docs with fewer than ``w``
     shingles contribute their single whole-window minimum.
 
-    One explode + two windows partitioned by doc_id (shared sort) +
-    one distinct keyed by doc — shuffle O(shingles), fully
-    whole-stage-codegen arithmetic."""
-    sh = positional_shingles(df, id_col, text_col)
-    h = F.conv(F.substring(F.md5("shingle"), 1, WINNOW_HASH_HEX), 16, 10).cast(
-        "bigint"
+    r14 kernel: winnowing is a strictly per-doc computation, yet the
+    explode + doc_id-window form shuffled every token-shingle STRING
+    to establish the window sort — O(corpus text) over the wire. This
+    runs the identical arithmetic in ONE ``mapInArrow`` pass with
+    ZERO shuffle: because ``norm`` collapses whitespace to single
+    spaces, shingle i is a byte SLICE of the normalized doc
+    (``norm[start(tok_i) : end(tok_{i+K-1})]``), so shingles are
+    never materialized as separate strings — per shingle one
+    ``hashlib.md5`` over a memoryview slice (bit-identical to the JVM
+    ``md5`` → 9-hex-char prefix), then the pack/sliding-min/distinct
+    run as vectorized int64 numpy exactly as the window form."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
     )
-    enc = sh.select(
-        "doc_id",
-        "pos",
-        "m",
-        (h * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("pos"))).alias("combined"),
+
+    w = WINNOW_WINDOW
+    k = SHINGLE_K
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            norm = batch.column("norm")
+            norm = (
+                norm.combine_chunks()
+                if isinstance(norm, pa.ChunkedArray)
+                else norm
+            )
+            assert norm.null_count == 0, "null text in winnow kernel"
+            n_offs = np.frombuffer(norm.buffers()[1], dtype=np.int32)[
+                norm.offset : norm.offset + len(norm) + 1
+            ].astype(np.int64)
+            n_buf = norm.buffers()[2]
+            n_data = (
+                np.frombuffer(n_buf, dtype=np.uint8)
+                if n_buf is not None
+                else np.empty(0, np.uint8)
+            )
+            toks = pc.split_pattern(norm, " ")
+            toks = (
+                toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray)
+                else toks
+            )
+            t_offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+                toks.offset : toks.offset + len(toks) + 1
+            ].astype(np.int64)
+            t_offs = t_offs - t_offs[0]  # flat-relative token indices
+            flat = toks.flatten()
+            f_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+                flat.offset : flat.offset + len(flat) + 1
+            ].astype(np.int64)
+            tlens = f_offs[1:] - f_offs[:-1]
+            n_tok = t_offs[1:] - t_offs[:-1]  # tokens per doc (>=1)
+            # char offset of each token inside ITS norm: cumsum of
+            # (len+1) reset at doc starts — norm is " ".join(tokens)
+            step = tlens + 1
+            cum = np.cumsum(step) - step  # exclusive prefix sum
+            doc_first = t_offs[:-1]  # first token index per doc
+            tok_doc = np.repeat(
+                np.arange(len(doc_ids), dtype=np.int64), n_tok
+            )
+            start_in_doc = cum - cum[doc_first][tok_doc]
+            end_in_doc = start_in_doc + tlens
+            # shingle i of doc d spans tokens i..i+k-1 (clamped to the
+            # doc end for short docs, whose single shingle is the
+            # whole norm); m = max(n_tok-k+1, 1) shingles per doc
+            m = np.maximum(n_tok - k + 1, 1)
+            sh_doc = np.repeat(np.arange(len(doc_ids), dtype=np.int64), m)
+            sh_first = np.cumsum(m) - m  # first shingle index per doc
+            pos0 = np.arange(len(sh_doc), dtype=np.int64) - sh_first[sh_doc]
+            tok_i = doc_first[sh_doc] + pos0
+            tok_j = np.minimum(
+                tok_i + k - 1, doc_first[sh_doc] + n_tok[sh_doc] - 1
+            )
+            base = n_offs[:-1][sh_doc]
+            a = (base + start_in_doc[tok_i]).tolist()
+            b = (base + end_in_doc[tok_j]).tolist()
+            mv = memoryview(n_data)
+            md5 = hashlib.md5
+            # 9 hex chars = first 4.5 digest bytes: (5 bytes BE) >> 4
+            hs = [
+                int.from_bytes(md5(mv[ai:bi]).digest()[:5], "big") >> 4
+                for ai, bi in zip(a, b)
+            ]
+            pos = pos0 + 1
+            combined = (
+                np.asarray(hs, dtype=np.int64) * _POS_MOD
+                + (_POS_MOD - 1 - pos)
+            )
+            # trailing sliding min of width w, masked at doc starts
+            wmin = combined.copy()
+            for s in range(1, w):
+                same = sh_doc[s:] == sh_doc[:-s]
+                np.minimum(
+                    wmin[s:], np.where(same, combined[:-s], wmin[s:]),
+                    out=wmin[s:],
+                )
+            keep = pos >= np.minimum(w, m[sh_doc])
+            d_keep, w_keep = sh_doc[keep], wmin[keep]
+            # per-doc distinct (the window form's trailing .distinct())
+            order = np.lexsort((w_keep, d_keep))
+            d_s, w_s = d_keep[order], w_keep[order]
+            new = np.empty(len(d_s), bool)
+            if len(d_s):
+                new[0] = True
+                new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+            d_u, w_u = d_s[new], w_s[new]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[d_u], pa.int64()),
+                    pa.array(_POS_MOD - 1 - (w_u % _POS_MOD), pa.int64()),
+                    pa.array(w_u // _POS_MOD, pa.int64()),
+                ],
+                names=["doc_id", "sel_pos", "sel_hash"],
+            )
+
+    src = widen_narrow_input(
+        df, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(text_col).alias("norm"),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_WINDOW - 1), 0)
-    )
-    picked = (
-        enc.withColumn("winmin", F.min("combined").over(w))
-        # full windows only; a doc with m < w has exactly one window,
-        # ending at its last shingle
-        .filter(F.col("pos") >= F.least(F.lit(WINNOW_WINDOW), F.col("m")))
-        .select(
-            "doc_id",
-            (F.lit(_POS_MOD - 1) - (F.col("winmin") % _POS_MOD)).alias(
-                "sel_pos"
-            ),
-            # integer div — float `/` would lose bits on 60-bit values
-            F.expr(f"winmin div {_POS_MOD}").cast("bigint").alias("sel_hash"),
-        )
-        .distinct()
-    )
-    return picked
+    return src.mapInArrow(fn, "doc_id bigint, sel_pos bigint, sel_hash bigint")
 
 
 def cdc_chunks(
