@@ -161,6 +161,10 @@ SF10_QUERIES = [
     "knn_pq_rerank",
     "knn_ivfpq_rerank",
     "knn_ivfpq_persisted",
+    # round 14 wave 8/9: the zero-shuffle winnow/CDC kernels — their
+    # linear oracles (the winnow/CDC CTEs) are sf10-tractable
+    "doc_winnow_fingerprints",
+    "doc_cdc_chunks",
 ]
 
 

@@ -255,16 +255,16 @@ def test_winnow_pairs_keyed_join_no_cartesian(spark):
     assert "hashpartitioning(sel_hash" in plan
 
 
-def test_cdc_chunks_shares_doc_sort(spark):
-    # lag windows + running cut-count + chunk groupBy: the window pair
-    # shares ONE doc_id exchange; the only other exchange is the
-    # (doc_id, chunk_idx) aggregation
+def test_cdc_chunks_zero_shuffle(spark):
+    # r14 kernel: chunking is per-doc, so the chunk pass plans ZERO
+    # keyed exchanges — one MapInArrow over the (widened) scan; the
+    # old lag-window + collect_list chunk rebuild is gone. The only
+    # allowed Exchange is the narrow-input round-robin fan-out.
     plan = _plan(spark, "doc_cdc_chunks")
     assert "CartesianProduct" not in plan
-    import re as _re
-
-    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges <= 2, f"expected <=2 shuffles, saw {n_exchanges}:\n{plan}"
+    assert "MapInArrow" in plan
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
 
 
 def test_cdc_span_manifest_no_cartesian_keyed_joins(spark):

@@ -266,54 +266,147 @@ def cdc_chunks(
     ``CDC_DIVISOR`` tokens.  ``chunk_hash`` is the md5 of the chunk's
     space-joined tokens — the insertion-robust dedup key.
 
-    Plan: explode + lag windows and a running cut-count share one
-    doc_id sort (single window exchange), then one groupBy
-    (doc_id, chunk_idx) rebuilds chunk text via a sorted struct
-    collect.  Shuffle O(tokens); chunks are ~CDC_DIVISOR tokens so
-    per-group state is tiny."""
-    from ..functions.partitioning import widen_narrow_input
+    r14 kernel (the wave-8 winnow pattern): chunking is strictly
+    per-doc, yet the explode + lag-window form shuffled every token
+    STRING for the doc_id window sort and then REBUILT chunk text
+    with a collect_list — O(corpus text) over the wire, twice. This
+    runs the identical arithmetic in ONE ``mapInArrow`` pass with
+    ZERO shuffle: both the K-gram cut hash and the chunk hash are
+    md5 over byte SLICES of the normalized doc (``norm`` joins
+    tokens with single spaces), the running cut-count and chunk
+    grouping are vectorized numpy."""
+    import hashlib
 
-    base = widen_narrow_input(df).select(
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
+
+    k = SHINGLE_K
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            norm = batch.column("norm")
+            norm = (
+                norm.combine_chunks()
+                if isinstance(norm, pa.ChunkedArray)
+                else norm
+            )
+            assert norm.null_count == 0, "null text in cdc kernel"
+            n_offs = np.frombuffer(norm.buffers()[1], dtype=np.int32)[
+                norm.offset : norm.offset + len(norm) + 1
+            ].astype(np.int64)
+            n_buf = norm.buffers()[2]
+            n_data = (
+                np.frombuffer(n_buf, dtype=np.uint8)
+                if n_buf is not None
+                else np.empty(0, np.uint8)
+            )
+            toks = pc.split_pattern(norm, " ")
+            toks = (
+                toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray)
+                else toks
+            )
+            t_offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+                toks.offset : toks.offset + len(toks) + 1
+            ].astype(np.int64)
+            t_offs = t_offs - t_offs[0]
+            flat = toks.flatten()
+            f_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+                flat.offset : flat.offset + len(flat) + 1
+            ].astype(np.int64)
+            tlens = f_offs[1:] - f_offs[:-1]
+            n_tok = t_offs[1:] - t_offs[:-1]
+            step = tlens + 1
+            cum = np.cumsum(step) - step
+            doc_first = t_offs[:-1]
+            tok_doc = np.repeat(
+                np.arange(len(doc_ids), dtype=np.int64), n_tok
+            )
+            start_in_doc = cum - cum[doc_first][tok_doc]
+            end_in_doc = start_in_doc + tlens
+            base = n_offs[:-1][tok_doc]
+            tok_a = base + start_in_doc
+            tok_b = base + end_in_doc
+            pos_in_doc = (
+                np.arange(len(tok_doc), dtype=np.int64)
+                - doc_first[tok_doc]
+                + 1
+            )
+            mv = memoryview(n_data)
+            md5 = hashlib.md5
+            # cut AFTER token j (pos >= K): 60-bit md5 prefix of the
+            # K-gram ending at j divisible by CDC_DIVISOR. The K-gram
+            # is the byte slice from token j-K+1's start to token j's
+            # end (15 hex chars = first 7.5 digest bytes).
+            cut = np.zeros(len(tok_doc), bool)
+            idx = np.flatnonzero(pos_in_doc >= k)
+            if len(idx):
+                ga = tok_a[idx - (k - 1)].tolist()
+                gb = tok_b[idx].tolist()
+                h60 = np.fromiter(
+                    (
+                        int.from_bytes(md5(mv[a:b]).digest()[:8], "big") >> 4
+                        for a, b in zip(ga, gb)
+                    ),
+                    dtype=np.int64,
+                    count=len(idx),
+                )
+                cut[idx] = (h60 % CDC_DIVISOR) == 0
+            # chunk_idx = cuts strictly BEFORE this token, per doc
+            cc = np.cumsum(cut)
+            chunk_idx = (
+                cc
+                - cut
+                - (cc - cut)[doc_first[tok_doc]]
+            )
+            # chunk heads: doc start or chunk_idx change
+            head = np.empty(len(tok_doc), bool)
+            if len(tok_doc):
+                head[0] = True
+                head[1:] = (tok_doc[1:] != tok_doc[:-1]) | (
+                    chunk_idx[1:] != chunk_idx[:-1]
+                )
+            heads = np.flatnonzero(head)
+            tails = np.append(heads[1:], len(tok_doc)) - 1
+            ca = tok_a[heads].tolist()
+            cb = tok_b[tails].tolist()
+            hashes = [md5(mv[a:b]).hexdigest() for a, b in zip(ca, cb)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[tok_doc[heads]], pa.int64()),
+                    pa.array(chunk_idx[heads], pa.int64()),
+                    pa.array(pos_in_doc[heads], pa.int64()),
+                    pa.array(pos_in_doc[tails], pa.int64()),
+                    pa.array(tails - heads + 1, pa.int64()),
+                    pa.array(hashes, pa.string()),
+                ],
+                names=[
+                    "doc_id",
+                    "chunk_idx",
+                    "start_pos",
+                    "end_pos",
+                    "n_tokens",
+                    "chunk_hash",
+                ],
+            )
+
+    src = widen_narrow_input(
+        df, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
         F.col(id_col).alias("doc_id"),
         normalize_text(text_col).alias("norm"),
     )
-    tok = base.select(
-        "doc_id", F.posexplode(F.split("norm", " ")).alias("pos0", "token")
-    ).select(
-        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token"
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    wtext = F.concat_ws(
-        " ", *[F.lag("token", SHINGLE_K - 1 - i).over(w) for i in range(SHINGLE_K)]
-    )
-    cut = (
-        (F.col("pos") >= SHINGLE_K)
-        & (md5_long(wtext) % CDC_DIVISOR == 0)
-    ).cast("int")
-    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    chunked = (
-        tok.withColumn("cut", cut)
-        .withColumn(
-            "chunk_idx",
-            F.coalesce(F.sum("cut").over(wprev), F.lit(0)).cast("bigint"),
-        )
-    )
-    return (
-        chunked.groupBy("doc_id", "chunk_idx")
-        .agg(
-            F.min("pos").alias("start_pos"),
-            F.max("pos").alias("end_pos"),
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "token"))
-                        ),
-                        lambda s: s["token"],
-                    ),
-                    " ",
-                )
-            ).alias("chunk_hash"),
-        )
+    return src.mapInArrow(
+        fn,
+        "doc_id bigint, chunk_idx bigint, start_pos bigint, "
+        "end_pos bigint, n_tokens bigint, chunk_hash string",
     )
