@@ -1,21 +1,34 @@
-"""Portable Bloom-filter semi-join reduction.
+"""Bloom-filter semi-join reduction.
 
 The runtime-filter technique behind big-join speedups at 100 TB: build
 a compact membership sketch of the SELECTIVE side's join keys, push it
 into the scan of the LARGE side so most non-matching rows die before
 the shuffle, then let the exact join remove the sketch's false
 positives. Spark's optimizer injects this automatically in some plans
-(`runtime.bloomFilter`); this operator is the explicit, engine-portable
-form — md5-derived bit positions, so DuckDB can reproduce the exact
-same filter, false positives included.
+(`runtime.bloomFilter`); this operator is the explicit form.
 
 Implementation notes:
-- k hash positions per key: ``md5(key || '#' || i) % m``.
+- The result of any consumer is INVARIANT to the position scheme: a
+  Bloom filter has no false negatives by construction and the exact
+  join removes false positives, so the only contract is "k positions
+  per key, derived identically on build and probe side"
+  (tests/test_redact_packing.py::test_bloom_prefilter_contract pins
+  no-false-negatives + genuine reduction, scheme-agnostic).
+- k positions per key are k disjoint bit slices of ONE ``xxhash64``
+  (codegen, hashes the raw key bytes). The r14 A/B measured the
+  previous scheme — ``md5(cast(key as string) || '#i') % m``, i.e.
+  string concat + md5 + hex-parse, three times per probe row — as
+  pure per-row overhead on the BIG side (guide §4.1: prefer JVM
+  built-ins; §2.3: the probe filter runs before the shuffle, so its
+  per-row cost multiplies the full corpus scan).
 - The "bitmap" is a distinct-positions relation (≤ m rows of ints),
   broadcast; membership = k broadcast LEFT SEMI joins, one per hash.
-  No driver-side collect, no UDF — the probe stays in codegen.
+  No driver-side collect, no UDF — the probe stays in codegen. (The
+  packed-bitmap single-row alternative measured SLOWER at two SFs —
+  AB_KMEANS_BLOOM_R14.json — and stays rejected.)
 - m defaults to 1<<13: at 8 KB-equivalent it broadcasts anywhere; size
   m ≈ 10–15 bits/key for ~1% false positives before the exact join.
+  m must be a power of two so each bit slice is an unbiased index.
 """
 
 from __future__ import annotations
@@ -23,24 +36,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texthash import md5_long
-
 BLOOM_M = 1 << 13
 BLOOM_K = 3
 
 
-def _position(key: Column, i: int, m: int) -> Column:
-    return (md5_long(F.concat(key.cast("string"), F.lit(f"#{i}"))) % m).cast(
-        "int"
-    )
+def _positions(key: Column, m: int, k: int) -> list[Column]:
+    """k bit positions from one 64-bit hash: disjoint bit slices of
+    ``xxhash64(key)``. Requires k * log2(m) <= 64."""
+    assert m > 0 and m & (m - 1) == 0, "BLOOM_M must be a power of two"
+    bits_per = m.bit_length() - 1
+    assert k * bits_per <= 64, "not enough hash bits for k slices"
+    h = F.xxhash64(key)
+    return [
+        F.shiftrightunsigned(h, i * bits_per).bitwiseAND(F.lit(m - 1)).cast("int")
+        for i in range(k)
+    ]
 
 
 def bloom_positions(df: DataFrame, key: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
     """The sketch: distinct occupied bit positions of the build side —
     a ≤ m-row int relation (the portable stand-in for a bitmap)."""
-    pos = F.explode(
-        F.array(*[_position(F.col(key), i, m) for i in range(k)])
-    ).alias("__pos")
+    pos = F.explode(F.array(*_positions(F.col(key), m, k))).alias("__pos")
     return df.select(pos).distinct()
 
 
@@ -56,12 +72,13 @@ def bloom_prefilter(
     against ``build``'s keys (false positives possible — follow with
     the exact join; false negatives impossible)."""
     bits = bloom_positions(build, build_key, m, k)
+    probe_pos = _positions(F.col(probe_key), m, k)
     out = probe
     for i in range(k):
         probe_bits = bits.select(F.col("__pos").alias(f"__pos{i}"))
         out = out.join(
             F.broadcast(probe_bits),
-            _position(F.col(probe_key), i, m) == F.col(f"__pos{i}"),
+            probe_pos[i] == F.col(f"__pos{i}"),
             "left_semi",
         )
     return out

@@ -115,12 +115,24 @@ def apply_merge(segs: DataFrame, left: str, right: str) -> DataFrame:
     return segs.select("word", "n", F.trim(merged).alias("seg"))
 
 
+# Checkpoint cadence for the merge loop: each localCheckpoint is an
+# EXTRA materialization job per round, while a stacked `replace` chain
+# on the (materialized, vocabulary-bounded) word table re-evaluates in
+# microseconds per job. Checkpointing every CHECKPOINT_EVERY rounds
+# keeps the lineage bounded (the r11-measured plan-reanalysis blowup
+# only bites on unbounded chains) and cuts the per-round fixed job
+# overhead that dominates this corpus-size-independent loop (r14 A/B).
+# Round arithmetic is UNCHANGED: pair_counts at round k sees the exact
+# same segmentation values whether materialized or recomputed.
+CHECKPOINT_EVERY = 4
+
+
 def train_merges(
     docs: DataFrame, n_merges: int = N_MERGES
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """(merge table rows, final segmentation). Each round is one
-    groupBy + one 1-row collect on the word table; localCheckpoint
-    keeps the iterative plan flat."""
+    groupBy + one 1-row collect on the word table; a localCheckpoint
+    every CHECKPOINT_EVERY rounds keeps the iterative plan flat."""
     segs = initial_segmentation(word_counts(docs)).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for k in range(1, n_merges + 1):
@@ -128,5 +140,7 @@ def train_merges(
         if best is None:
             break
         merges.append((k, best["l"], best["r"], best["cnt"]))
-        segs = apply_merge(segs, best["l"], best["r"]).localCheckpoint()
+        segs = apply_merge(segs, best["l"], best["r"])
+        if k % CHECKPOINT_EVERY == 0:
+            segs = segs.localCheckpoint()
     return merges, segs

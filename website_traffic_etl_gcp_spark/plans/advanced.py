@@ -961,8 +961,8 @@ def value_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
     tags=("relational", "sketch"),
-    doc="Runtime-filter join by hand: a portable Bloom sketch "
-    "(md5-position bitmap relation, broadcast; k=3 semi-join probes "
+    doc="Runtime-filter join by hand: a Bloom sketch (xxhash64 "
+    "bit-slice positions, broadcast; k=3 semi-join probes "
     "in codegen) of the urgent orders' keys prefilters the lineitem "
     "scan BEFORE the shuffle, and the exact join removes the sketch's "
     "false positives — at 100 TB this is the difference between "

@@ -1329,8 +1329,9 @@ _SQL_BPE_MERGES_UNION = "\n    UNION ALL ".join(
     "independent, the sentencepiece scale trick) followed by a "
     "deterministic argmax (count DESC, then lexicographic pair — no "
     "floats) collected as ONE driver row and applied as a literal "
-    "replace; localCheckpoint per round keeps the iterative plan "
-    "flat (the PageRank shape). Re-segmentation is leftmost non-"
+    "replace; a localCheckpoint every few rounds keeps the iterative "
+    "plan flat (the PageRank shape) without paying a materialization "
+    "job per round. Re-segmentation is leftmost non-"
     "overlapping replace — identical in both engines — so the merge "
     "table has an EXACT oracle: the DuckDB side unrolls the same "
     "rounds as CTEs. operators/bpe.py; planted-corpus merge-order "
