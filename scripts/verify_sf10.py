@@ -165,6 +165,32 @@ SF10_QUERIES = [
     # linear oracles (the winnow/CDC CTEs) are sf10-tractable
     "doc_winnow_fingerprints",
     "doc_cdc_chunks",
+    # round 14 wave 12: the remaining linear-oracle relational/events/
+    # ETL rows (aggregate/join/window shapes; the pairwise dedup,
+    # graph-closure, and heavyweight-CTE families stay on their
+    # sampled-frame sf1 rows)
+    "nation_revenue_yearly",
+    "order_priority_counts",
+    "part_type_revenue_share",
+    "q12_priority_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q19_brand_quantity_revenue",
+    "q20_excess_availability",
+    "q22_dormant_accounts",
+    "event_type_hourly",
+    "session_window_rollup",
+    "session_bounce_rate",
+    "top_users_by_purchase",
+    "users_without_purchase",
+    "user_purchase_gaps",
+    "props_json_extract",
+    "value_histogram_by_type",
+    "etl_traffic_quarantine",
+    "etl_traffic_daily_rolling",
 ]
 
 
