@@ -335,3 +335,79 @@ def test_trimmed_stats_windows_only_the_histogram(spark):
     # the histogram exchange is keyed (event_type, value): parallel
     assert "hashpartitioning(event_type#" in plan
     assert ", value#" in plan.split("hashpartitioning(event_type#")[1][:40]
+
+
+def test_balance_deciles_windows_only_the_histogram(spark):
+    # r14 rewrite: above the input-size threshold the global NTILE
+    # window over every customer row (a ONE-task sort at any corpus
+    # size) is gone — the corpus pass is a parallel hash aggregate to
+    # (c_acctbal, cnt) and the NTILE boundary arithmetic runs on the
+    # bounded cumulative histogram
+    key = "spark.graft.deciles.histogramMinBytes"
+    spark.conf.set(key, "0")  # force the scale branch
+    try:
+        plan = _plan(spark, "customer_balance_deciles")
+    finally:
+        spark.conf.unset(key)
+    assert "ntile" not in plan.lower()
+    # the histogram exchange is keyed on the balance: parallel
+    assert "hashpartitioning(c_acctbal#" in plan
+    # ...and below the threshold (sf0.01 input is KB-sized) the gate
+    # keeps the literal one-window oracle shape — no extra exchange
+    plan_small = _plan(spark, "customer_balance_deciles")
+    assert "ntile" in plan_small.lower()
+
+
+def test_balance_deciles_match_ntile_exactly(spark):
+    # bit-equivalence of the closed-form bucket boundaries vs Spark's
+    # own NTILE(10), on planted frames that exercise every n mod 10
+    # residue and ties straddling decile boundaries
+    from decimal import Decimal
+
+    from pyspark.sql import Window, functions as F
+
+    from website_traffic_etl_gcp_spark.plans.advanced import (
+        customer_balance_deciles,
+    )
+
+    for n, tie_every in ((7, 2), (40, 3), (41, 3), (45, 1), (49, 4), (104, 5)):
+        rows = [
+            # heavy ties (tie_every rows share a balance) so groups
+            # straddle the closed-form boundaries
+            (k + 1, "SEG", Decimal(f"{(k // tie_every) * 7 % 113}.25"))
+            for k in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "c_custkey bigint, c_mktsegment string, c_acctbal decimal(12,2)"
+        )
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        expect = {
+            tuple(r)
+            for r in df.withColumn(
+                "decile", F.ntile(10).over(w).cast("bigint")
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.min("c_acctbal").cast("double").alias("lo"),
+                F.max("c_acctbal").cast("double").alias("hi"),
+                (
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("avg_bal"),
+            )
+            .collect()
+        }
+        # force the histogram branch: planted frames are tiny, and the
+        # point is bit-equivalence of the closed-form arithmetic
+        from website_traffic_etl_gcp_spark.plans.advanced import (
+            _deciles_histogram,
+        )
+
+        got = {
+            tuple(r)
+            for r in _deciles_histogram(df.select("c_acctbal")).collect()
+        }
+        assert got == expect, f"n={n} tie_every={tie_every}"
