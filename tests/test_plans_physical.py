@@ -411,3 +411,69 @@ def test_balance_deciles_match_ntile_exactly(spark):
             for r in _deciles_histogram(df.select("c_acctbal")).collect()
         }
         assert got == expect, f"n={n} tie_every={tie_every}"
+
+
+def test_signup_median_windows_only_the_histogram(spark):
+    # r15 rewrite: above the input-size gate the global ROW_NUMBER
+    # median (a ONE-task sort of every converted user at any corpus
+    # size) is gone — pass 2 hash-aggregates in-band deltas to a
+    # bounded histogram in parallel and only THAT goes
+    # single-partition for the cumulative
+    key = "spark.graft.median.twoPhaseMinBytes"
+    spark.conf.set(key, "0")  # force the scale branch
+    try:
+        plan = _plan(spark, "signup_to_purchase_latency")
+    finally:
+        spark.conf.unset(key)
+    assert "row_number" not in plan.lower()
+    # the histogram exchange is keyed on the bucketed delta: parallel
+    assert "hashpartitioning(bucket#" in plan
+    # ...and below the gate (sf0.01 events is KB-sized) the literal
+    # one-window oracle shape stays — no extra exchanges
+    plan_small = _plan(spark, "signup_to_purchase_latency")
+    assert "row_number" in plan_small.lower()
+
+
+def test_two_phase_median_matches_row_number_exactly(spark):
+    # bit-equivalence of the two-phase exact median vs the literal
+    # global row_number form, on planted frames exercising both n
+    # parities, heavy ties, a band-bypass size (n <= accuracy) and
+    # sizes just above it (band + sentinel bucket in play)
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from website_traffic_etl_gcp_spark.plans.advanced import (
+        _two_phase_exact_median,
+    )
+
+    random.seed(7)
+    cases = [
+        (1, lambda i: 5),
+        (2, lambda i: i),
+        (7, lambda i: i % 3),
+        (101, lambda i: random.randrange(4)),  # just above acc=100
+        (250, lambda i: random.randrange(1000)),
+        (1000, lambda i: random.randrange(20)),  # massive ties
+        (1001, lambda i: random.randrange(10**9)),
+    ]
+    for n, valgen in cases:
+        rows = [(i + 1, valgen(i)) for i in range(n)]
+        df = spark.createDataFrame(rows, "user_id bigint, delta_us bigint")
+        w = Window.orderBy("delta_us", "user_id")
+        ranked = df.select(
+            "delta_us",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        ref = ranked.filter(
+            F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+        ).collect()[0]["delta_us"]
+        got = _two_phase_exact_median(df, "delta_us", 100).collect()
+        assert len(got) == 1, (n, got)
+        assert got[0]["median_v"] == ref, (n, ref, got)
+        assert got[0]["n"] == n
+        assert got[0]["sum_v"] == sum(v for _, v in rows)
+    # empty input keeps the row_number form's empty-result contract
+    empty = spark.createDataFrame([], "user_id bigint, delta_us bigint")
+    assert _two_phase_exact_median(empty, "delta_us", 100).count() == 0
