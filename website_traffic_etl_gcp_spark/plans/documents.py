@@ -1630,9 +1630,151 @@ def chunk_hash_embeddings(d: DataFrame) -> DataFrame:
     L2-normalized ``HASH_EMBED_DIM``-bucket hashed bag-of-words vector
     (feature hashing, Weinberger et al. ICML'09 — a real, public,
     model-free text embedding; a learned encoder slots in behind the
-    same schema). vec_id = doc_id·10⁶ + chunk_start. Two
-    token-cardinality shuffles (feature counts, per-chunk fold), both
-    map-side combinable — corpus-linear at any scale."""
+    same schema). vec_id = doc_id·10⁶ + chunk_start.
+
+    r15 kernel: chunk embedding is a strictly per-doc computation,
+    yet the explode + two token-cardinality groupBys shuffled ~1.33
+    md5'd rows per corpus token TWICE (feature counts, per-chunk
+    fold) — the dominant term of rag_chunk_ann_pipeline's uncached
+    cost (110 of each arm's ~98 s at sf10; each token also paid its
+    md5 once per overlapping chunk). This runs the identical
+    arithmetic in ONE ``mapInArrow`` pass with ZERO shuffle (the
+    winnow/CDC kernel pattern, operators/fingerprint.py): each doc
+    token md5s ONCE (byte slices of the normalized doc — bit-identical
+    to the JVM md5 → 15-hex prefix mod dim), chunk bucket counts come
+    from one flat bincount over (chunk, bucket) pairs, and the L2
+    normalization accumulates x·x left-to-right over ascending
+    dimensions exactly like the higher-order-function form it
+    replaces (integer counts are float64-exact, so the quotients are
+    bit-identical; test-pinned against the HOF reference)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
+
+    dim = HASH_EMBED_DIM
+    size, stride = CHUNK_SIZE_TOKENS, CHUNK_STRIDE_TOKENS
+
+    def fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            norm = batch.column("norm")
+            norm = (
+                norm.combine_chunks()
+                if isinstance(norm, pa.ChunkedArray)
+                else norm
+            )
+            assert norm.null_count == 0, "null text in chunk-embed kernel"
+            toks = pc.split_pattern(norm, " ")
+            toks = (
+                toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray)
+                else toks
+            )
+            t_offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+                toks.offset : toks.offset + len(toks) + 1
+            ].astype(np.int64)
+            t_offs = t_offs - t_offs[0]  # flat-relative token indices
+            flat = toks.flatten()
+            f_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+                flat.offset : flat.offset + len(flat) + 1
+            ].astype(np.int64)
+            n_tok = t_offs[1:] - t_offs[:-1]  # tokens per doc (>=1)
+            # one md5 per DOC TOKEN (the HOF form paid one per
+            # chunk-membership, ~size/stride ×): each token is a byte
+            # slice of the flattened token buffer (f_offs index THAT
+            # buffer, not norm's) — md5 first 15 hex chars = first 60
+            # bits of the digest, then mod dim
+            f_buf = flat.buffers()[2]
+            f_data = (
+                np.frombuffer(f_buf, dtype=np.uint8)
+                if f_buf is not None
+                else np.empty(0, np.uint8)
+            )
+            mv = memoryview(f_data)
+            md5 = hashlib.md5
+            buckets = np.fromiter(
+                (
+                    (
+                        int.from_bytes(md5(mv[ai:bi]).digest()[:8], "big")
+                        >> 4
+                    )
+                    % dim
+                    for ai, bi in zip(f_offs[:-1], f_offs[1:])
+                ),
+                dtype=np.int64,
+                count=len(f_offs) - 1,
+            )
+            # chunk starts per doc: sequence(1, n-size+1, stride) ∪
+            # {n-size+1} distinct for n ≥ size, else the single
+            # whole-doc chunk at start 1 — exactly the HOF `starts`
+            last = np.maximum(n_tok - size + 1, 1)  # last start, 1-based
+            n_seq = (last - 1) // stride + 1  # sequence(1,last,stride)
+            extra = ((last - 1) % stride != 0) & (n_tok >= size)
+            n_ch = n_seq + extra  # chunks per doc
+            ch_doc = np.repeat(np.arange(len(doc_ids), dtype=np.int64), n_ch)
+            ch_first = np.cumsum(n_ch) - n_ch
+            ch_i = np.arange(len(ch_doc), dtype=np.int64) - ch_first[ch_doc]
+            # start of chunk i: 1 + i·stride, except the appended tail
+            # start (i == n_seq) which is `last`
+            starts = np.where(
+                ch_i < n_seq[ch_doc], 1 + ch_i * stride, last[ch_doc]
+            )
+            lens = np.minimum(n_tok[ch_doc] - starts + 1, size)
+            # flat (chunk, bucket) pairs → one bincount = the two
+            # groupBys of the HOF form (exact integer counts)
+            tok0 = t_offs[:-1][ch_doc] + starts - 1  # first token idx
+            total = int(lens.sum())
+            cum = np.cumsum(lens) - lens
+            ragged = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+            flat_tok = np.repeat(tok0, lens) + ragged
+            pair_keys = (
+                np.repeat(np.arange(len(ch_doc), dtype=np.int64), lens) * dim
+                + buckets[flat_tok]
+            )
+            counts = (
+                np.bincount(pair_keys, minlength=len(ch_doc) * dim)
+                .reshape(len(ch_doc), dim)
+                .astype(np.float64)
+            )
+            # L2 normalize with the HOF's exact accumulation order:
+            # sq = fold over ascending dims of (acc + x·x)
+            sq = np.zeros(len(ch_doc))
+            for i in range(dim):
+                sq += counts[:, i] * counts[:, i]
+            unit = counts / np.sqrt(sq)[:, None]
+            vec_ids = doc_ids[ch_doc] * 1000000 + starts
+            offsets = np.arange(len(ch_doc) + 1, dtype=np.int32) * dim
+            emb = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(unit.ravel(), pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vec_ids, pa.int64()), emb],
+                names=["vec_id", "embedding"],
+            )
+
+    src = widen_narrow_input(
+        d, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(
+        F.col("doc_id"), normalize_text("text").alias("norm")
+    )
+    return src.mapInArrow(fn, "vec_id bigint, embedding array<double>")
+
+
+def _chunk_hash_embeddings_hof(d: DataFrame) -> DataFrame:
+    """The pre-r15 higher-order-function reference form of
+    ``chunk_hash_embeddings`` — explode + two token-cardinality
+    groupBys. Kept as the bit-equivalence oracle for the kernel
+    (tests/test_plans_physical.py); not used by any query plan."""
     toks = F.split(normalize_text("text"), " ")
     from ..functions.texthash import md5_long
 
