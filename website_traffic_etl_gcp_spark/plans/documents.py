@@ -2931,7 +2931,13 @@ WINNOW_MIN_SHARED = 2
     "boilerplate posting lists, pairs need >= "
     f"{WINNOW_MIN_SHARED} shared fingerprints. Candidate volume "
     "O(selected x df_cap) — never all-pairs; the window-count df "
-    "follows the dedup_jaccard_dfcap pattern.",
+    "follows the dedup_jaccard_dfcap pattern. r15 audit: NO posting "
+    "skew exists (max df 48 < the 64 cap at sf10), and the fused "
+    "groupBy·collect_set + map-side pair-expansion alternative "
+    "measured 0.70× at sf0.1 but 1.1-1.26× SLOWER at sf10 "
+    "(AB_WINNOWPAIRS_R15.json) — the candidate-pair count shuffle "
+    "(42M pairs at sf10) is the data-inherent term either way, so "
+    "the window form stays.",
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = fpr.winnow_fingerprints(_docs(spark, sf_dir))
