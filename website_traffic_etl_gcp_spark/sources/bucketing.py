@@ -14,6 +14,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 8
 
@@ -66,6 +67,21 @@ def _fsync_dir(path: str) -> None:
         pass  # fsync of a directory is best-effort on some filesystems
 
 
+def _one_file_per_bucket(
+    df: DataFrame, bucket_col: str, n_buckets: int
+) -> DataFrame:
+    """Repartition on the bucket column before a bucketed write so
+    each writer task holds exactly one bucket's rows. Without this the
+    write emits (writer tasks × buckets) files — the measured bands
+    index at sf0.1 was 2048 files for 17 MB, and its probe-side scan
+    spent ~0.75 s of a 10k-row read on per-file open overhead (guide
+    §6's small-files problem, paid on EVERY probe). repartition(n,
+    col) and bucketBy(n, col) share the same pmod(murmur3) routing, so
+    the shuffle aligns rows exactly one bucket per task; layout-only —
+    bytes, rows and bucket ids are unchanged."""
+    return df.repartition(n_buckets, F.col(bucket_col))
+
+
 def publish_bucketed(
     df: DataFrame,
     table_name: str,
@@ -93,7 +109,8 @@ def publish_bucketed(
         spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
         shutil.rmtree(tmp_path, ignore_errors=True)  # own leftovers only
         writer = (
-            df.write.mode("overwrite")
+            _one_file_per_bucket(df, bucket_col, n_buckets)
+            .write.mode("overwrite")
             .format("parquet")
             .bucketBy(n_buckets, bucket_col)
         )
@@ -139,7 +156,8 @@ def write_bucketed(
     if wh:
         shutil.rmtree(f"{wh.rstrip('/')}/{table_name}", ignore_errors=True)
     writer = (
-        df.write.mode("overwrite")
+        _one_file_per_bucket(df, bucket_col, n_buckets)
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
     )
