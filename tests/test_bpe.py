@@ -82,3 +82,49 @@ def test_fertility_query_consistency(spark):
         assert abs(
             r["tokens_per_char"] - r["n_bpe_tokens"] / r["n_chars"]
         ) < 1e-12
+
+
+def test_batched_merges_match_sequential_argmax(spark):
+    """r15 batched multi-merge: train_merges (one bounded collect per
+    batch of provably-independent merges) must be bit-identical to
+    the per-round top_pair loop — on adversarial planted corpora
+    exercising created-pair traps (a merge creates a pair that beats
+    a later snapshot row), lexicographic tie-breaks, self-pair runs,
+    dependency chains, and all-equal counts."""
+    from website_traffic_etl_gcp_spark.operators import bpe
+
+    def sequential(docs, n_merges):
+        segs = bpe.initial_segmentation(
+            bpe.word_counts(docs)
+        ).localCheckpoint()
+        merges = []
+        for k in range(1, n_merges + 1):
+            best = bpe.top_pair(bpe.pair_counts(segs))
+            if best is None:
+                break
+            merges.append((k, best["l"], best["r"], best["cnt"]))
+            segs = bpe.apply_merge(segs, best["l"], best["r"])
+            if k % bpe.CHECKPOINT_EVERY == 0:
+                segs = segs.localCheckpoint()
+        return merges, segs
+
+    cases = [
+        ["xab"] * 100 + ["cd"] * 50,  # created pair (x,ab) beats (c,d)
+        ["ab"] * 10 + ["cd"] * 10 + ["bc"] * 10,  # ties, shared symbol
+        ["aaaa"] * 20 + ["bc"] * 15,  # self-pair closes the batch
+        ["abcdefgh"] * 30,  # dependency chain
+        ["ab", "cd", "ef", "ad"] * 5,  # everything equal: pure tie-break
+        ["xaby"] * 50 + ["pq"] * 50,  # created pair ties a snapshot row
+        ["ab"] * 100 + ["cd"] * 90 + ["ef"] * 80 + ["gh"] * 70,  # batch=4
+        ["aa"] * 100 + ["bc"] * 90,  # self-pair first
+    ]
+    for texts in cases:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        m_seq, s_seq = sequential(docs, 8)
+        m_bat, s_bat = bpe.train_merges(docs, 8)
+        assert m_seq == m_bat, (texts[0], m_seq, m_bat)
+        assert {tuple(r) for r in s_seq.collect()} == {
+            tuple(r) for r in s_bat.collect()
+        }, texts[0]

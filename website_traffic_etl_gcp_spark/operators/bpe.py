@@ -103,6 +103,87 @@ def top_pair(pc: DataFrame):
     return rows[0] if rows else None
 
 
+# how many top pairs one batch-selection collect scans; bounds the
+# driver row count (BATCH_SCAN rows per barrier instead of 1)
+BATCH_SCAN = 32
+
+
+def top_batch(pc: DataFrame, max_len: int, scan: int = BATCH_SCAN):
+    """A PREFIX of the sequential merge choices derivable from ONE
+    pair-count snapshot — the argmax plus every immediately-following
+    top pair provably unaffected by the merges before it (r15: one
+    driver barrier per batch instead of per merge round).
+
+    Soundness, from the snapshot ordered (cnt DESC, l, r):
+
+    - Merging (l, r) only DECREASES counts of other existing pairs
+      (occurrences at merge sites are consumed) and CREATES pairs
+      containing the new symbol lr. A created pair's count is bounded
+      by a snapshot neighbor: cnt(x, lr) ≤ cnt(x, l) (a snapshot pair
+      whose RIGHT symbol is l) and cnt(lr, y) ≤ cnt(r, y) (LEFT
+      symbol r).
+    - A candidate p taken CONSECUTIVELY after the current batch is
+      therefore still the sequential argmax at its round iff (a) its
+      symbols are disjoint from every batch pair's (disjointness
+      means no batch merge touches any of p's occurrences, so
+      cnt(p) — including the recorded merge-table count — is
+      EXACTLY its snapshot value), and (b) cnt(p) STRICTLY exceeds
+      every possible created-pair count: the max snapshot cnt over
+      pairs q (∉ batch) with q.r ∈ {batch lefts} or q.l ∈ {batch
+      rights}, and the snapshot truncation floor when ``scan`` rows
+      were collected (an uncollected pair's cnt is ≤ the last
+      collected cnt). Strictness guards the lexicographic tie-break.
+    - A self-pair (l == l) creates pairs bounded by its OWN count
+      ('a a a' → 'aa a' creates (aa, a) ≤ cnt(a, a)), which no later
+      candidate can strictly beat — the batch closes after it.
+    - The first candidate that fails any check STOPS the batch
+      (skipping it would reorder the tie-break); the sequential
+      per-round argmax resumes from a fresh snapshot next batch.
+
+    Every sequence of batches is bit-identical to the per-round
+    top_pair loop (pinned in tests/test_bpe.py on adversarial planted
+    corpora and by the unchanged round-unrolled oracle)."""
+    rows = (
+        pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(scan)
+        .collect()
+    )
+    if not rows:
+        return []
+    floor = rows[-1]["cnt"] if len(rows) == scan else 0
+    batch = [rows[0]]
+    syms = {rows[0]["l"], rows[0]["r"]}
+    lefts = {rows[0]["l"]}
+    rights = {rows[0]["r"]}
+    if rows[0]["l"] == rows[0]["r"]:
+        return batch[:max_len]
+    for p in rows[1:]:
+        if len(batch) >= max_len:
+            break
+        if p["l"] in syms or p["r"] in syms:
+            break
+        # batch members can never satisfy the sharing predicate (they
+        # are pairwise symbol-disjoint) and neither can p (it just
+        # passed the disjointness check), so no exclusions are needed
+        created_bound = max(
+            [floor]
+            + [
+                q["cnt"]
+                for q in rows
+                if q["r"] in lefts or q["l"] in rights
+            ]
+        )
+        if p["cnt"] <= created_bound:
+            break
+        batch.append(p)
+        syms |= {p["l"], p["r"]}
+        lefts.add(p["l"])
+        rights.add(p["r"])
+        if p["l"] == p["r"]:
+            break
+    return batch
+
+
 def apply_merge(segs: DataFrame, left: str, right: str) -> DataFrame:
     """Leftmost non-overlapping replacement of the pair — the defined
     (engine-exact) re-segmentation convention."""
@@ -130,17 +211,24 @@ CHECKPOINT_EVERY = 4
 def train_merges(
     docs: DataFrame, n_merges: int = N_MERGES
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """(merge table rows, final segmentation). Each round is one
-    groupBy + one 1-row collect on the word table; a localCheckpoint
-    every CHECKPOINT_EVERY rounds keeps the iterative plan flat."""
+    """(merge table rows, final segmentation). One groupBy + one
+    bounded collect per BATCH of provably-independent merges (see
+    ``top_batch`` — the r14 loop paid the barrier per merge; the
+    measured corpus batches 12 rounds into ~6 collects), merges
+    applied as stacked replace projections, a localCheckpoint every
+    CHECKPOINT_EVERY merges keeping the iterative plan flat. The
+    merge table is bit-identical to the per-round argmax loop."""
     segs = initial_segmentation(word_counts(docs)).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
-    for k in range(1, n_merges + 1):
-        best = top_pair(pair_counts(segs))
-        if best is None:
+    k = 0
+    while k < n_merges:
+        batch = top_batch(pair_counts(segs), max_len=n_merges - k)
+        if not batch:
             break
-        merges.append((k, best["l"], best["r"], best["cnt"]))
-        segs = apply_merge(segs, best["l"], best["r"])
-        if k % CHECKPOINT_EVERY == 0:
-            segs = segs.localCheckpoint()
+        for best in batch:
+            k += 1
+            merges.append((k, best["l"], best["r"], best["cnt"]))
+            segs = apply_merge(segs, best["l"], best["r"])
+            if k % CHECKPOINT_EVERY == 0:
+                segs = segs.localCheckpoint()
     return merges, segs
