@@ -636,6 +636,7 @@ def _deciles_histogram(c: DataFrame) -> DataFrame:
 
 @register(
     "signup_to_purchase_latency",
+    bench=True,  # r15 third bench cohort (verdict item 8)
     oracle="""
     WITH firsts AS (
         SELECT user_id,

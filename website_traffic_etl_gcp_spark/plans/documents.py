@@ -3393,6 +3393,7 @@ KN_DISCOUNT = 0.75
 
 @register(
     "bigram_kn_prob",
+    bench=True,  # r15 third bench cohort (verdict item 8)
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
@@ -3471,6 +3472,7 @@ def bigram_kn_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trigram_kn_prob",
+    bench=True,  # r15 third bench cohort (verdict item 8)
     oracle=f"""
     WITH tok3 AS (
         SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
@@ -3699,6 +3701,7 @@ def extract_quality_stats(ex: DataFrame, *extra_cols: str) -> DataFrame:
 
 @register(
     "text_extract_html_quality",
+    bench=True,  # r15 third bench cohort (verdict item 8)
     oracle=f"""
     SELECT doc_id, content_chars,
            CAST(round(({_SQL_QSCORE}) * 1e6, 0) AS BIGINT) AS score_micro

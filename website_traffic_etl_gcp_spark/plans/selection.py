@@ -207,6 +207,7 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_token_entropy",
+    bench=True,  # r15 third bench cohort (verdict item 8)
     oracle=f"""
     WITH tc AS (
         SELECT doc_id, token, COUNT(*) AS c
