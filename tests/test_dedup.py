@@ -171,6 +171,43 @@ def test_connected_components_chains_and_islands(spark):
     assert set(got2.values()) == {0} and len(got2) == 10
 
 
+def test_connected_components_star_input_is_fixed_point(spark):
+    # a graph that is ALREADY one star per component must be detected
+    # as converged with a zero round budget — the convergence probe's
+    # "no witness" side. Exercises both witness clauses' negatives:
+    # root 1 appears only as lo (cnt_hi = 0), leaves appear as hi
+    # exactly once and never as lo.
+    star = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (11, 10)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(star, max_iter=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_each_witness_shape_alone(spark):
+    # chained witness WITHOUT multi-parent: (2,1),(3,2) — node 2 is a
+    # hi once and a lo once, no node has two parents. Must NOT be
+    # treated as converged: the closure must unify {1,2,3}.
+    chained = spark.createDataFrame([(2, 1), (3, 2)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(chained).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # multi-parent witness WITHOUT a chain: (3,1),(3,2) — hi 3 carries
+    # two edges but no lo is ever a hi. Same requirement.
+    multi = spark.createDataFrame([(3, 1), (3, 2)], ["doc_a", "doc_b"])
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(multi).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1}
+
+
 def test_salted_self_join_splits_hot_key_reducer_load(spark):
     """Skew proof at the task level: one hot (bucket, shingle) key puts
     every candidate pair on a single reducer; salting must spread that

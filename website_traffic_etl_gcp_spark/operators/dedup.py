@@ -661,23 +661,34 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # stars (canonical orientation forces root = star minimum) are
         # exactly the fixed points: every hi carries ONE edge and no
         # edge target is itself a source. Both witnesses ride ONE
-        # Spark job (union + limit 1) — the loop's per-round action
-        # count dominates wall-clock on high-latency schedulers, so
-        # probing twice per round was measurably the bottleneck.
-        multi_parent = (
-            e.groupBy("hi")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .select(F.lit(1).alias("witness"))
+        # aggregation: a node n violates iff it appears as hi on >1
+        # edge (multi-parent) or as both a hi and a lo (a chain
+        # x.lo == y.hi is exactly a node with cnt_hi ≥ 1 AND
+        # cnt_lo ≥ 1). One partial-aggregating shuffle on node id
+        # replaces the old groupBy-count PLUS edge⋈edge self-join —
+        # on real corpora the graph is star-shaped from round 0, so
+        # this probe IS the loop's entire cost after pair generation.
+        nodes = e.select(
+            F.col("hi").alias("n"),
+            F.lit(1).alias("as_hi"),
+            F.lit(0).alias("as_lo"),
+        ).unionAll(
+            e.select(
+                F.col("lo").alias("n"),
+                F.lit(0).alias("as_hi"),
+                F.lit(1).alias("as_lo"),
+            )
         )
-        chained = (
-            e.alias("x")
-            .join(e.alias("y"), F.col("x.lo") == F.col("y.hi"))
+        witness = (
+            nodes.groupBy("n")
+            .agg(F.sum("as_hi").alias("nh"), F.max("as_lo").alias("nl"))
+            .filter(
+                (F.col("nh") > 1)
+                | ((F.col("nh") >= 1) & (F.col("nl") == 1))
+            )
             .limit(1)
-            .select(F.lit(1).alias("witness"))
         )
-        return multi_parent.unionByName(chained).limit(1).count() == 0
+        return witness.count() == 0
 
     converged = _is_star_set(edges)
     for _ in range(max_iter):
