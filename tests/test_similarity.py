@@ -79,6 +79,68 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert assigned.count() == emb.count()
 
 
+def test_ivf_topk_kernel_matches_hof_bit_exact(spark):
+    """The round-15 mapInPandas kernel must reproduce the replaced
+    Catalyst join form ROW FOR ROW — ids, ranks, and the cosine
+    doubles to full precision — on real data and on a planted frame
+    with exact cosine ties and a zero cosine."""
+    from website_traffic_etl_gcp_spark.plans.embeddings import label_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    cents = label_centroids(emb)
+    for n_probe in (1, 2):
+        got = sorted(
+            map(
+                tuple,
+                sim.ivf_topk(emb, q, cents, KNN_K, n_probe=n_probe).collect(),
+            )
+        )
+        ref = sorted(
+            map(
+                tuple,
+                sim.ivf_topk_hof(
+                    emb, q, cents, KNN_K, n_probe=n_probe
+                ).collect(),
+            )
+        )
+        assert got == ref
+
+    # planted ties: duplicate candidate vectors (equal cosine, id
+    # tie-break) and a candidate orthogonal to the query (cosine 0 —
+    # the ±0.0 rounding corner); two far-apart cells
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # query
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of query vector
+        (3, [1.0, 0.0, 0.0, 0.0]),   # second dup: rank tie on cosine
+        (4, [0.0, 1e-9, 1.0, 0.0]),  # ~orthogonal: cosine rounds to 0
+        (5, [-1.0, 1e-6, 0.0, 0.0]),  # negative cosine
+        (6, [0.0, 0.0, 0.0, 1.0]),   # other cell's resident
+    ]
+    planted = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pq = planted.filter(F.col("vec_id") == 1)
+    pc = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 1.0])],
+        ["cell_id", "centroid"],
+    )
+    for n_probe in (1, 2):
+        got = sorted(
+            map(
+                tuple,
+                sim.ivf_topk(planted, pq, pc, 3, n_probe=n_probe).collect(),
+            )
+        )
+        ref = sorted(
+            map(
+                tuple,
+                sim.ivf_topk_hof(
+                    planted, pq, pc, 3, n_probe=n_probe
+                ).collect(),
+            )
+        )
+        assert got == ref and got, f"n_probe={n_probe}: {got} vs {ref}"
+
+
 def test_kmeans_converges_and_is_deterministic(spark):
     from website_traffic_etl_gcp_spark.operators.clustering import kmeans
 

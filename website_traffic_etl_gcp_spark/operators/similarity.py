@@ -448,7 +448,183 @@ def ivf_topk(
     nearest cell; each query probes its ``n_probe`` nearest cells and
     ranks exact cosine only against those cells' members. At 100 TB
     the corpus shuffles ONCE on cell_id (index build); each query
-    touches |corpus| × n_probe / n_cells candidates in expectation."""
+    touches |corpus| × n_probe / n_cells candidates in expectation.
+
+    Round 15: like brute_force_topk/lsh_topk, the whole probe runs as
+    ONE Arrow-batched mapInPandas over the corpus with the bounded
+    query set AND the (small by construction) centroid set riding the
+    kernel closure. Per batch it assigns each corpus row its nearest
+    cell (the bit-exact assign_cells twin: per-centroid cosine
+    rounded to 6dp, argmin scanning cells in ascending cell_id with
+    strict-less updates — Spark's struct comparison short-circuits on
+    numeric ``==``, so ±0.0 ties fall to the cell id exactly like the
+    numpy scan), masks candidates through each query's probe-cell set
+    (computed driver-side with the same arithmetic), computes exact
+    pair cosines only for masked pairs, and emits the partition-local
+    top-k per query under the exact final comparator. The replaced
+    shape evaluated an interpreted-HOF cosine per (query, cell-mate)
+    pair after a pair-exploding broadcast join, plus corpus × cells
+    interpreted HOF steps for the cell assignment, and fed the global
+    rank window queries × corpus/n_cells × n_probe rows instead of
+    queries × k × partitions. Arithmetic contract:
+    operators/semcell_pairs.py. ``ivf_topk_hof`` keeps the replaced
+    Catalyst form as the equivalence-test reference."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.partitioning import (
+        CPU_HEAVY_MIN_PARTITION_BYTES,
+        widen_narrow_input,
+    )
+
+    cent_rows = centroids.select("cell_id", "centroid").collect()
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows or not cent_rows:
+        # HOF twin: no queries (or no cells) → no candidate pairs
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cosine double, rank bigint"
+        )
+
+    # centroids in ascending cell_id — the argmin scan order below
+    # relies on it for the lowest-cell tie-break
+    cents = sorted(
+        (
+            (int(r["cell_id"]), np.asarray(r["centroid"], dtype=np.float64))
+            for r in cent_rows
+        ),
+        key=lambda cv: cv[0],
+    )
+
+    def _norm(vec: "np.ndarray") -> float:
+        # left-to-right sumsq + sqrt: functions/vectors.norm twin
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return float(np.sqrt(acc))
+
+    cns = [(_cid, cv, _norm(cv)) for _cid, cv in cents]
+
+    qids = np.array([int(r[id_col]) for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    nq = np.zeros(len(qids))
+    for i in range(qm.shape[1]):
+        nq += qm[:, i] * qm[:, i]
+    nq = np.sqrt(nq)
+    assert (nq > 0).all(), "zero-norm query vector"
+
+    def _cell_cosines(mat: "np.ndarray", vn: "np.ndarray") -> "np.ndarray":
+        """(rows × cells) cosine vs every centroid, rounded to 6dp —
+        the assign_cells scoring arithmetic (dot and norms accumulate
+        left-to-right; round before any comparison)."""
+        out = np.empty((len(mat), len(cns)))
+        for j, (_cid, cv, cn) in enumerate(cns):
+            d = np.zeros(len(mat))
+            for i in range(mat.shape[1]):
+                d += mat[:, i] * cv[i]
+            out[:, j] = np.round(d / (vn * cn), COSINE_SCALE)
+        return out
+
+    # query probe cells, driver-side: rank (−cosine, cell_id) exactly
+    # like assign_cells' array_sort — Python tuple sort matches
+    # Spark's struct comparison here because float == also treats
+    # -0.0 == 0.0 and the zero-norm assert above excludes NaN
+    qcells: list[set] = []
+    qcos = _cell_cosines(qm, nq)
+    for jq in range(len(qids)):
+        ranked = sorted(
+            (-(qcos[jq, j]), cid)
+            for j, (cid, _cv, _cn) in enumerate(cns)
+        )
+        qcells.append({cid for _negc, cid in ranked[:n_probe]})
+    cell_ids = np.array([cid for cid, _cv, _cn in cns], dtype=np.int64)
+    # per-cell boolean mask over queries: lut[cell_index, query] — the
+    # corpus row's assigned cell indexes straight into it
+    lut = np.zeros((len(cns), len(qids)), dtype=bool)
+    for jq, cells in enumerate(qcells):
+        for j, cid in enumerate(cell_ids):
+            if int(cid) in cells:
+                lut[j, jq] = True
+
+    c = widen_narrow_input(
+        corpus, min_partition_bytes=CPU_HEAVY_MIN_PARTITION_BYTES
+    ).select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["cand_id"].to_numpy(np.int64)
+            cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            nc = np.zeros(len(ids))
+            for i in range(cm.shape[1]):
+                nc += cm[:, i] * cm[:, i]
+            nc = np.sqrt(nc)
+            assert (nc > 0).all(), "zero-norm corpus vector in ivf_topk"
+            # nearest cell per row: strict-less argmin over the
+            # 6dp-rounded cosines, cells scanned in ascending cell_id
+            ccos = _cell_cosines(cm, nc)
+            best = ccos[:, 0].copy()
+            cell_ix = np.zeros(len(ids), dtype=np.int64)
+            for j in range(1, len(cns)):
+                upd = ccos[:, j] > best
+                best = np.where(upd, ccos[:, j], best)
+                cell_ix = np.where(upd, j, cell_ix)
+            cand = lut[cell_ix]
+            cand &= ids[:, None] != qids[None, :]
+            rows = np.flatnonzero(cand.any(axis=1))
+            if not len(rows):
+                continue
+            ids, cm, nc, cand = ids[rows], cm[rows], nc[rows], cand[rows]
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                idx = np.flatnonzero(cand[:, j])
+                if not len(idx):
+                    continue
+                sub = cm[idx]
+                d = np.zeros(len(idx))
+                for i in range(sub.shape[1]):
+                    d += sub[:, i] * qm[j, i]
+                col = np.round(d / (nc[idx] * nq[j]), COSINE_SCALE)
+                col[col == 0] = 0.0  # -0.0 -> +0.0, semcell_pairs
+                take = min(k, len(idx))
+                order = np.lexsort((ids[idx], -col))[:take]
+                out_q.append(np.full(take, qids[j], dtype=np.int64))
+                out_c.append(ids[idx[order]])
+                out_s.append(col[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    cand = c.mapInPandas(
+        fn, "query_id bigint, cand_id bigint, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
+def ivf_topk_hof(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The replaced Catalyst form of ``ivf_topk`` — assign_cells on
+    both sides, a cell-equality broadcast join, per-pair HOF cosine,
+    global rank window. Kept as the bit-equivalence reference for
+    tests (the chunk-embedding-kernel precedent)."""
     from ..functions.partitioning import (
         CPU_HEAVY_MIN_PARTITION_BYTES,
         widen_narrow_input,
