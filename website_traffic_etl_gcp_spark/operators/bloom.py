@@ -42,10 +42,18 @@ BLOOM_K = 3
 
 def _positions(key: Column, m: int, k: int) -> list[Column]:
     """k bit positions from one 64-bit hash: disjoint bit slices of
-    ``xxhash64(key)``. Requires k * log2(m) <= 64."""
-    assert m > 0 and m & (m - 1) == 0, "BLOOM_M must be a power of two"
+    ``xxhash64(key)``. Requires k * log2(m) <= 64.
+
+    m and k are caller-supplied public parameters, so the invariants
+    raise ValueError (an assert would vanish under ``python -O`` and
+    an invalid override would silently bias positions)."""
+    if m <= 0 or m & (m - 1) != 0:
+        raise ValueError(f"bloom m must be a power of two, got {m}")
     bits_per = m.bit_length() - 1
-    assert k * bits_per <= 64, "not enough hash bits for k slices"
+    if k * bits_per > 64:
+        raise ValueError(
+            f"not enough hash bits for k={k} slices of log2(m)={bits_per}"
+        )
     h = F.xxhash64(key)
     return [
         F.shiftrightunsigned(h, i * bits_per).bitwiseAND(F.lit(m - 1)).cast("int")
@@ -70,7 +78,22 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Rows of ``probe`` whose key passes the Bloom membership test
     against ``build``'s keys (false positives possible — follow with
-    the exact join; false negatives impossible)."""
+    the exact join; false negatives impossible).
+
+    ``xxhash64`` hashes the RAW TYPED key bytes, so build and probe
+    keys of different but join-compatible types (int vs bigint,
+    decimal scales) would hash differently and produce SILENT false
+    negatives — refuse loudly instead (ADVICE r14)."""
+    bt = build.schema[build_key].dataType
+    pt = probe.schema[probe_key].dataType
+    if bt != pt:
+        raise ValueError(
+            f"bloom_prefilter keys must share one exact type: "
+            f"build {build_key}:{bt.simpleString()} vs "
+            f"probe {probe_key}:{pt.simpleString()} — cast one side "
+            f"first (xxhash64 is type-sensitive; a mismatch would "
+            f"cause silent false negatives)"
+        )
     bits = bloom_positions(build, build_key, m, k)
     probe_pos = _positions(F.col(probe_key), m, k)
     out = probe

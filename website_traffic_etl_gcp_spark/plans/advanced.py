@@ -556,6 +556,11 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "spark.graft.deciles.histogramMinBytes", 4 << 20
     )
     est = _estimated_bytes(c)
+    # est=None (no Catalyst stats) deliberately falls through to the
+    # histogram branch: at unknown size the scale-safe form is the
+    # right default — the window form's one-task sort is the 100 TB
+    # failure mode, the histogram is merely ~1.7× slower on tiny
+    # inputs (ADVICE r14; forms are test-pinned bit-identical)
     if est is not None and est < threshold:
         return _deciles_window(c)
     return _deciles_histogram(c.select("c_acctbal"))
